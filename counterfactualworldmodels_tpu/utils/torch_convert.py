@@ -1,0 +1,125 @@
+"""Convert reference PyTorch checkpoints to flax parameter pytrees.
+
+Handles the VMAE family (cwm/models/VideoMAE/vmae.py state dicts, including
+the released checkpoints cwm_baseVMAE_224px_8x8patches_2frames.pth /
+cwm_largeVMAE_224px_4x4patches_2frames.pth, loaded as
+``torch.load(path)['model']`` per reference cwm/models/prediction.py:94-99)
+and the RAFT checkpoints (raft-large / keypoint predictor, with DDP
+'module.' prefixes stripped per reference raft_model.py:78-90).
+
+Rules:
+* torch Linear weight [out, in]  -> flax Dense kernel [in, out] (transpose)
+* torch Conv   weight [out, in, *k] -> flax kernel [*k, in, out]
+* the VMAE Conv3d patch embed     -> our matmul patch embed: weight
+  [E, C, pt, ph, pw] -> kernel [(pt ph pw c), E] matching the
+  ops.patches.patchify intra-patch layout.
+* LayerNorm/BatchNorm weight/bias -> scale/bias.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _np(v):
+    if hasattr(v, 'detach'):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _set(tree: Dict, path: str, value):
+    parts = path.split('/')
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def _linear(tree, flax_path, sd, torch_prefix, bias=True):
+    _set(tree, flax_path + '/kernel', _np(sd[torch_prefix + '.weight']).T)
+    if bias and (torch_prefix + '.bias') in sd:
+        _set(tree, flax_path + '/bias', _np(sd[torch_prefix + '.bias']))
+
+
+def _layernorm(tree, flax_path, sd, torch_prefix):
+    _set(tree, flax_path + '/scale', _np(sd[torch_prefix + '.weight']))
+    _set(tree, flax_path + '/bias', _np(sd[torch_prefix + '.bias']))
+
+
+def _block(tree, flax_path, sd, torch_prefix):
+    _layernorm(tree, flax_path + '/norm1', sd, torch_prefix + '.norm1')
+    _layernorm(tree, flax_path + '/norm2', sd, torch_prefix + '.norm2')
+    _set(tree, flax_path + '/attn/qkv_kernel',
+         _np(sd[torch_prefix + '.attn.qkv.weight']).T)
+    for b in ('q_bias', 'v_bias'):
+        k = f'{torch_prefix}.attn.{b}'
+        if k in sd:
+            _set(tree, f'{flax_path}/attn/{b}', _np(sd[k]))
+    _linear(tree, flax_path + '/attn/proj', sd, torch_prefix + '.attn.proj')
+    _linear(tree, flax_path + '/mlp/fc1', sd, torch_prefix + '.mlp.fc1')
+    _linear(tree, flax_path + '/mlp/fc2', sd, torch_prefix + '.mlp.fc2')
+    for g in ('gamma_1', 'gamma_2'):
+        k = f'{torch_prefix}.{g}'
+        if k in sd:
+            _set(tree, f'{flax_path}/{g}', _np(sd[k]))
+
+
+def _patch_embed(tree, flax_path, sd, torch_prefix):
+    w = _np(sd[torch_prefix + '.proj.weight'])  # [E, C, pt, ph, pw] or [E,C,ph,pw]
+    if w.ndim == 4:
+        w = w[:, :, None]
+    e = w.shape[0]
+    kernel = w.transpose(2, 3, 4, 1, 0).reshape(-1, e)  # [(pt ph pw c), E]
+    _set(tree, flax_path + '/proj/kernel', kernel)
+    _set(tree, flax_path + '/proj/bias', _np(sd[torch_prefix + '.proj.bias']))
+
+
+def strip_prefixes(sd: Dict, prefixes=('module.',)) -> Dict:
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def convert_vmae(sd: Dict) -> Dict:
+    """Reference PretrainVisionTransformer state dict -> flax params tree."""
+    sd = strip_prefixes(sd)
+    if 'model' in sd and hasattr(sd['model'], 'keys'):
+        sd = strip_prefixes(sd['model'])
+    tree: Dict = {}
+
+    enc_depth = max((int(k.split('.')[2]) for k in sd
+                     if k.startswith('encoder.blocks.')), default=-1) + 1
+    dec_depth = max((int(k.split('.')[2]) for k in sd
+                     if k.startswith('decoder.blocks.')), default=-1) + 1
+
+    _patch_embed(tree, 'encoder/patch_embed', sd, 'encoder.patch_embed')
+    for i in range(enc_depth):
+        _block(tree, f'encoder/blocks_{i}', sd, f'encoder.blocks.{i}')
+    _layernorm(tree, 'encoder/norm', sd, 'encoder.norm')
+    if 'encoder.pos_embed' in sd:
+        _set(tree, 'encoder/pos_embed', _np(sd['encoder.pos_embed']))
+
+    if dec_depth > 0:
+        for i in range(dec_depth):
+            _block(tree, f'decoder/blocks_{i}', sd, f'decoder.blocks.{i}')
+        _layernorm(tree, 'decoder/norm', sd, 'decoder.norm')
+        _linear(tree, 'decoder/head', sd, 'decoder.head')
+        _linear(tree, 'encoder_to_decoder', sd, 'encoder_to_decoder',
+                bias=False)
+    if 'mask_token' in sd:
+        _set(tree, 'mask_token', _np(sd['mask_token']))
+    return tree
+
+
+def load_vmae_checkpoint(path: str) -> Dict:
+    """torch.load a reference VMAE checkpoint and convert to flax params."""
+    import torch
+    weights = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(weights, dict) and 'model' in weights:
+        weights = weights['model']
+    return convert_vmae(weights)

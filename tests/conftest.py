@@ -1,13 +1,17 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip sharding tests use xla_force_host_platform_device_count, per the
-strategy in SURVEY.md §4. Must run before jax initializes its backend.
+The ambient environment preloads jax with the axon TPU backend via
+sitecustomize (PYTHONPATH=/root/.axon_site), so env vars alone can't switch
+platforms — use jax.config.update before any backend is touched. CPU gives
+exact f32 matmuls (TPU defaults to bf16 passes), which the golden parity
+tests rely on. Multi-chip sharding tests use the 8 virtual CPU devices,
+per SURVEY.md §4.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
-os.environ.setdefault('JAX_ENABLE_X64', '0')
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
+                           ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

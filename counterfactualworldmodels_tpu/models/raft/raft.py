@@ -1,0 +1,200 @@
+"""RAFT optical flow in JAX, TPU-native.
+
+Re-design of reference cwm/models/raft/raft_model.py:113-300. The 24-step
+ConvGRU refinement runs under nn.scan (compiled once, parameters broadcast),
+the correlation volume is an einsum, and the convex upsampling is a gather-
+free shifted-stack einsum. Supports the ``output_dim`` head used by the
+keypoint-predictor variant (raft_model.py:152-159).
+
+API: images in [0, 255] (use scale_inputs for [0,1] videos), NCHW in/out to
+mirror the reference; everything internal is NHWC.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .corr import all_pairs_correlation, build_pyramid, lookup_pyramid
+from .layers import (BasicEncoder, BasicUpdateBlock, SmallEncoder,
+                     SmallUpdateBlock, conv)
+
+
+def coords_grid(b: int, h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, H, W, 2] grid of (x, y) pixel coordinates."""
+    y, x = jnp.meshgrid(jnp.arange(h, dtype=dtype),
+                        jnp.arange(w, dtype=dtype), indexing='ij')
+    return jnp.broadcast_to(jnp.stack([x, y], -1)[None], (b, h, w, 2))
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray,
+                    factor: int = 8) -> jnp.ndarray:
+    """Convex-combination 8x upsampling (reference raft_model.py:179-192).
+
+    flow: [B, H, W, C]; mask: [B, H, W, 9*factor^2]. Returns
+    [B, H*factor, W*factor, C].
+    """
+    b, h, w, c = flow.shape
+    u = factor
+    m = mask.reshape(b, h, w, 9, u, u)
+    m = jax.nn.softmax(m, axis=3)
+
+    fp = jnp.pad(factor * flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    shifts = jnp.stack([fp[:, ky:ky + h, kx:kx + w]
+                        for ky in range(3) for kx in range(3)], axis=3)
+    # out[b,h,u,w,v,c] = sum_k m[b,h,w,k,u,v] * shifts[b,h,w,k,c]
+    out = jnp.einsum('bhwkuv,bhwkc->bhuwvc', m, shifts,
+                     preferred_element_type=jnp.float32).astype(flow.dtype)
+    return out.reshape(b, h * u, w * u, c)
+
+
+def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 8x upsample * 8 (reference raft/utils.py:88-91). NHWC."""
+    b, h, w, c = flow.shape
+    return 8 * jax.image.resize(flow, (b, 8 * h, 8 * w, c), 'bilinear')
+
+
+class _UpdateStep(nn.Module):
+    """One GRU refinement step, wrapped by nn.scan in RAFT.__call__."""
+    small: bool
+    corr_levels: int
+    corr_radius: int
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, inp, coords0, pyramid):
+        net, coords1, _prev_mask = carry
+        corr = lookup_pyramid(pyramid, coords1, self.corr_radius)
+        flow = coords1 - coords0
+        if self.small:
+            block = SmallUpdateBlock(self.corr_levels, self.corr_radius,
+                                     self.hidden_dim, self.dtype,
+                                     name='update_block')
+        else:
+            block = BasicUpdateBlock(self.corr_levels, self.corr_radius,
+                                     self.hidden_dim, self.dtype,
+                                     name='update_block')
+        net, up_mask, delta = block(net, inp, corr, flow)
+        coords1 = coords1 + delta
+        if up_mask is None:
+            up_mask = _prev_mask
+        return (net, coords1, up_mask), None
+
+
+class RAFT(nn.Module):
+    """Reference RAFT (raft_model.py:113-300) as a flax module.
+
+    __call__(image1, image2): NCHW [B, 3, H, W] images in [0, 255];
+    returns (flow_lr [B,2,H/8,W/8], flow_up [B,C,H,W]) like the reference
+    test-mode output pair.
+    """
+    small: bool = False
+    corr_levels: int = 4
+    corr_radius: int = 4
+    output_dim: Optional[int] = None
+    iters: int = 24
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def hidden_dim(self):
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self):
+        return 64 if self.small else 128
+
+    @nn.compact
+    def __call__(self, image1, image2, iters: Optional[int] = None):
+        iters = iters if iters is not None else self.iters
+        hdim, cdim = self.hidden_dim, self.context_dim
+
+        x1 = jnp.moveaxis(image1, 1, -1)
+        x2 = jnp.moveaxis(image2, 1, -1)
+        x1 = 2 * (x1 / 255.0) - 1.0
+        x2 = 2 * (x2 / 255.0) - 1.0
+
+        if self.small:
+            fnet = SmallEncoder(128, 'instance', self.dtype, name='fnet')
+            cnet = SmallEncoder(hdim + cdim, 'none', self.dtype, name='cnet')
+        else:
+            fnet = BasicEncoder(256, 'instance', self.dtype, name='fnet')
+            cnet = BasicEncoder(hdim + cdim, 'batch', self.dtype, name='cnet')
+
+        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+        fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
+        pyramid = build_pyramid(all_pairs_correlation(fmap1, fmap2),
+                                self.corr_levels)
+
+        c = cnet(x1)
+        net = jnp.tanh(c[..., :hdim])
+        inp = nn.relu(c[..., hdim:])
+
+        b, h8, w8, _ = net.shape
+        coords0 = coords_grid(b, h8, w8)
+        coords1 = coords_grid(b, h8, w8)
+        mask0 = jnp.zeros((b, h8, w8, 9 * 64), self.dtype)
+
+        scan = nn.scan(_UpdateStep,
+                       variable_broadcast='params',
+                       split_rngs={'params': False},
+                       in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                       length=iters)
+        step = scan(self.small, self.corr_levels, self.corr_radius,
+                    self.hidden_dim, self.dtype, name='update_step')
+        (net, coords1, up_mask), _ = step((net, coords1, mask0),
+                                          inp, coords0, pyramid)
+
+        if self.output_dim is not None:
+            hid = 192 if self.small else 256
+            out = nn.relu(conv(hid, 3, 1, 1, 'output_block_0',
+                               self.dtype)(net))
+            out = conv(self.output_dim, 1, 1, 0, 'output_block_2',
+                       self.dtype)(out)
+        else:
+            out = coords1 - coords0
+
+        if self.small:
+            flow_up = upflow8(out)
+        else:
+            flow_up = convex_upsample(out, up_mask)
+
+        flow_lr = jnp.moveaxis(coords1 - coords0, -1, 1)
+        return flow_lr, jnp.moveaxis(flow_up, -1, 1)
+
+
+def init_raft_params(model: RAFT, key=None, hw: int = 64):
+    key = key if key is not None else jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 3, hw, hw), jnp.float32)
+    return model.init(key, img, img, 2)['params']
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def apply_raft_video(model: RAFT, params, video, backward: bool = False,
+                     iters: Optional[int] = None, scale_inputs: bool = True):
+    """Multiframe wrapper (reference raft_model.py:276-300).
+
+    video: [B, T, C, H, W]; values in [0,1] when scale_inputs (the wrapper
+    convention) else [0,255]. Returns flows [B, T-1, 2, H, W]; with
+    ``backward`` the pair order is swapped and the stack reversed.
+    """
+    x = video * 255.0 if scale_inputs else video
+    if x.ndim == 4:
+        x = x[:, None]
+    if x.shape[1] == 1:
+        x = jnp.tile(x, (1, 2, 1, 1, 1))
+    t = x.shape[1]
+    flows = []
+    for i in range(t - 1):
+        a, bb = x[:, i], x[:, i + 1]
+        if backward:
+            a, bb = bb, a
+        flow = model.apply({'params': params}, a, bb, iters)[1]
+        if backward:
+            flows.insert(0, flow)
+        else:
+            flows.append(flow)
+    return jnp.stack(flows, 1)

@@ -1,0 +1,465 @@
+"""Factual & counterfactual prediction pipeline.
+
+TPU-native re-design of reference cwm/models/prediction.py. The functional
+core (:func:`predict_video`, :func:`predict_counterfactual`) is fully jitted:
+preprocessing, the masked-ViT forward, and the scatter of predictions back
+into the video all fuse into one XLA program. The
+:class:`PredictorBasedGenerator` wrapper reproduces the reference class API
+(predict / predict_per_sample / batch_predict_per_sample /
+get_counterfactual_prediction / mask utilities) as a thin stateful shell:
+all state is (params, config, PRNG key); every compute call is pure.
+
+Wrapper video layout: [B, T, C, H, W]; predictor layout: [B, C, T, H, W]
+(reference prediction.py:304-312). Masks: bool [B, N], True = masked.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..masking import mask_ops, generators
+from ..models.vmae import mask_order, take_tokens
+from ..ops import patches as patch_ops
+from ..ops.normalization import imagenet_normalize, imagenet_unnormalize
+from ..ops.sampling import boltzmann
+from . import perturbation as perturb
+
+
+def scatter_pred_patches(y: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,
+                         n_vis: int, patch_size) -> jnp.ndarray:
+    """Rebuild a video with input at visible patches and predictions at
+    masked patches (reference pred_patches_to_video, prediction.py:245-259).
+
+    y: [B, N - n_vis, D] predicted patch vectors (masked positions, in
+       original row-major order); x: [B, T, C, H, W] the raw input video.
+    """
+    patches = patch_ops.patchify(x, patch_size, temporal_dim=1)
+    order = mask_order(mask)
+    x_vis = take_tokens(patches, order[:, :n_vis])
+    merged = jnp.concatenate([x_vis, y.astype(patches.dtype)], axis=1)
+    inv = jnp.argsort(order, axis=-1)
+    full = jnp.take_along_axis(merged, inv[..., None], axis=1)
+    return patch_ops.unpatchify(full, patch_size, x.shape, temporal_dim=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def predict_video(model, params, x, mask, n_vis: int, normalize: bool,
+                  frame: Optional[int]):
+    """Jitted: preprocess -> masked forward -> scatter back -> frame select.
+
+    x: [B, T, C, H, W] wrapper layout. Returns [B, T, C, H, W] (or a single
+    frame [B, 1, C, H, W] when ``frame`` is not None).
+    """
+    xm = imagenet_normalize(x, temporal_dim=1) if normalize else x
+    xm = jnp.swapaxes(xm, 1, 2)  # -> [B, C, T, H, W]
+    y = model.apply({'params': params}, xm, mask, n_vis)
+    vid = scatter_pred_patches(y, x, mask, n_vis, model.full_patch_size)
+    if frame is not None:
+        f = frame % vid.shape[1]
+        vid = vid[:, f:f + 1]
+    return vid
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 9, 10))
+def predict_counterfactuals(model, params, x, masks, n_vis: int,
+                            normalize: bool, frame: Optional[int],
+                            actives, shifts, n_samples: int,
+                            fix_passive: bool = True, *, keys=None):
+    """Jitted batched counterfactual prediction.
+
+    x: [B, T, C, H, W]; masks (passive) bool [B, N, S]; actives bool
+    [B, N, S]; shifts int [B, S, 2] patch units; keys [B, S, 2] uint32.
+    Returns predicted videos [B*S, T, C, H, W] (sample-major per batch row,
+    matching the reference (b s) flattening at segmentation.py:313-315).
+    """
+    b, t, c, h, w = x.shape
+    s = n_samples
+
+    def one(xb, passive, active, shift, key):
+        return perturb.make_motion_counterfactual(
+            xb, passive, active, shift, key, model.full_patch_size,
+            n_vis_target=n_vis, fix_passive=fix_passive)
+
+    # vmap over samples then batch
+    f = jax.vmap(one, in_axes=(None, 1, 1, 0, 0))       # over S
+    f = jax.vmap(f, in_axes=(0, 0, 0, 0, 0))            # over B
+    x_mocos, mask_mocos = f(x, masks, actives, shifts, keys)
+    x_mocos = x_mocos.reshape(b * s, t, c, h, w)
+    mask_mocos = mask_mocos.reshape(b * s, -1)
+    return predict_video(model, params, x_mocos, mask_mocos, n_vis,
+                         normalize, frame), x_mocos, mask_mocos
+
+
+class PredictorBasedGenerator:
+    """Stateful wrapper mirroring reference PredictorBasedGenerator
+    (cwm/models/prediction.py:17-836)."""
+
+    def __init__(self,
+                 predictor=None,
+                 params=None,
+                 predictor_load_path: Optional[str] = None,
+                 keypoint_predictor=None,
+                 keypoint_params=None,
+                 keypoint_predictor_load_path: Optional[str] = None,
+                 imagenet_normalize_inputs: bool = False,
+                 temporal_dim: int = 2,
+                 seed: int = 0,
+                 mask_generator=None,
+                 max_shift_fraction: float = 0.15,
+                 **kwargs):
+        self.predictor = predictor
+        if params is None and predictor_load_path is not None:
+            from ..utils.torch_convert import load_vmae_checkpoint
+            params = load_vmae_checkpoint(predictor_load_path)
+        self.params = params
+        self.imagenet_normalize_inputs = imagenet_normalize_inputs
+        self.temporal_dim = temporal_dim
+        self.max_shift_fraction = max_shift_fraction
+        self.seed = seed
+        self._key = jax.random.PRNGKey(seed)
+        self.rng = np.random.RandomState(seed=seed)
+
+        self.mask_generator = mask_generator
+        self.keypoint_predictor = keypoint_predictor
+        self.keypoint_params = keypoint_params
+        if keypoint_predictor is not None and keypoint_params is None and \
+                keypoint_predictor_load_path is not None:
+            from ..utils.torch_convert import load_raft_checkpoint
+            self.keypoint_params = load_raft_checkpoint(
+                keypoint_predictor_load_path)
+
+        self.x = None
+        self.mask = None
+        self.timestamps = None
+        self.shifts = []
+
+    # ------------------------------------------------------------------
+    # bookkeeping / properties (reference prediction.py:131-214)
+    # ------------------------------------------------------------------
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def patch_size(self):
+        return self.predictor.full_patch_size
+
+    @property
+    def image_size(self):
+        return self.predictor.img_size
+
+    @property
+    def sequence_length(self):
+        return self.predictor.num_frames
+
+    @property
+    def mask_shape(self):
+        return self.predictor.mask_size
+
+    @property
+    def inp_mask_shape(self):
+        return (self.x.shape[0], int(np.prod(self.mask_shape)))
+
+    # ------------------------------------------------------------------
+    # masks (reference prediction.py:109-130, 216-243, 577-659)
+    # ------------------------------------------------------------------
+    def generate_mask(self, x=None):
+        assert self.mask_generator is not None
+        if x is None:
+            x = self.x
+        mask = self.mask_generator(x, key=self.next_key())
+        return jnp.asarray(mask).reshape(x.shape[0], -1)
+
+    def set_new_mask(self, x=None):
+        self.mask = self.generate_mask(x if x is not None else self.x)
+
+    def get_zeros_mask(self, x=None, frame=-1):
+        if x is None:
+            x = self.x
+        t, h, w = self.mask_shape
+        mask = np.zeros((t, h, w), dtype=bool)
+        if frame is not None:
+            mask[frame] = True
+        mask = jnp.asarray(mask.reshape(-1))
+        return jnp.broadcast_to(mask[None], (x.shape[0], mask.shape[0]))
+
+    def get_fully_visible_mask(self, x=None):
+        if x is None:
+            x = self.x
+        n = int(np.prod(self.mask_shape))
+        return jnp.zeros((x.shape[0], n), dtype=bool)
+
+    def get_mask_image(self, mask, upsample=False, invert=False, shape=None):
+        if shape is None:
+            shape = self.mask_shape
+        mask = mask.reshape(-1, *shape)
+        if upsample:
+            mask = mask_ops.upsample_masks(
+                mask.astype(jnp.float32), self.x.shape[-2:])
+        if invert:
+            mask = 1 - mask if upsample else ~mask
+        return mask
+
+    def _invert_mask(self, mask, frame=-1):
+        return mask_ops.invert_mask_frame(mask, self.mask_shape[-2:], frame)
+
+    def mask_complement(self, mask1, mask2, frame=-1):
+        m1 = self.get_mask_image(mask1)
+        m2 = self.get_mask_image(mask2)
+        diff = m1 & (~m2)
+        if frame is None:
+            return (~diff).reshape(diff.shape[0], -1)
+        f = frame % m1.shape[1]
+        out = m1.at[:, f].set(~diff[:, f])
+        return out.reshape(diff.shape[0], -1)
+
+    def get_nearby_patches(self, mask, radius=1, upsample=False, shape=None):
+        mask = self.get_mask_image(mask, shape=shape)
+        nearby = mask_ops.patches_adjacent_to_visible(mask, radius=radius)
+        if upsample:
+            nearby = mask_ops.upsample_masks(nearby, self.x.shape[-2:])
+        return nearby
+
+    def sample_random_masks(self, num_samples=10, num_visible=1,
+                            mask_ratio=None):
+        assert self.mask_generator is not None
+        prev = self.mask_generator.num_visible
+        if mask_ratio is None:
+            self.mask_generator.num_visible = num_visible
+        else:
+            self.mask_generator.mask_ratio = mask_ratio
+        masks = jnp.stack([self.generate_mask(self.x)
+                           for _ in range(num_samples)], -1)
+        self.mask_generator.num_visible = prev
+        return masks
+
+    # ------------------------------------------------------------------
+    # inputs (reference prediction.py:703-739)
+    # ------------------------------------------------------------------
+    def set_input(self, x, mask=None, make_mask=False, timestamps=None):
+        x = jnp.asarray(x)
+        if x.ndim == 4:
+            x = x[:, None]
+        assert x.ndim == 5, x.shape
+        self.x = x
+        self.inp_shape = x.shape
+        self.B, self.T, self.C = x.shape[:3]
+        if mask is not None:
+            self.mask = jnp.asarray(mask)
+        elif make_mask:
+            self.set_new_mask(x)
+        if timestamps is not None:
+            self.timestamps = timestamps
+
+    def make_static_movie(self, x=None, t=None, frame=0):
+        if x is None:
+            x = self.x
+        if t is None:
+            t = self.predictor.num_frames
+        return perturb.make_static_movie(jnp.asarray(x), t=t, frame=frame)
+
+    get_static_input = make_static_movie
+
+    # ------------------------------------------------------------------
+    # prediction (reference prediction.py:406-540)
+    # ------------------------------------------------------------------
+    def _equalize(self, mask):
+        """Ensure equal visible counts (static shapes); returns mask, n_vis."""
+        counts = np.asarray((~mask).sum(-1))
+        if counts.min() != counts.max():
+            mask = mask_ops.rectangularize(self.next_key(), mask,
+                                           num_visible=int(counts.max()))
+            return mask, int(counts.max())
+        return mask, int(counts[0])
+
+    def predict(self, x=None, mask=None, frame=-1, **kwargs):
+        if x is None:
+            x = self.x
+        if mask is None:
+            mask = self.mask if self.mask is not None else self.generate_mask(x)
+        x = jnp.asarray(x)
+        if x.ndim == 4:
+            x = x[:, None]
+        mask = jnp.asarray(mask).reshape(x.shape[0], -1)
+        mask, n_vis = self._equalize(mask)
+        return predict_video(self.predictor, self.params, x, mask, n_vis,
+                             self.imagenet_normalize_inputs, frame)
+
+    def predict_per_sample(self, x, masks, frame=-1, split_samples=True,
+                           **kwargs):
+        """Tile B -> B*S over the sample axis (reference prediction.py:456-482)."""
+        assert masks.ndim == 3, masks.shape
+        if x is None:
+            x = self.x
+        x = jnp.asarray(x)
+        b, s = x.shape[0], masks.shape[-1]
+        x_t = jnp.repeat(x, s, axis=0)
+        m_t = jnp.swapaxes(masks, 1, 2).reshape(b * s, -1)
+        y = self.predict(x_t, m_t, frame=frame, **kwargs)
+        if not split_samples:
+            return y
+        y = y.reshape(b, s, *y.shape[1:])
+        return jnp.moveaxis(y, 1, -1)
+
+    def sample_tile(self, z, num_samples):
+        return jnp.repeat(jnp.asarray(z), num_samples, axis=0)
+
+    def batch_predict_per_sample(self, x, masks, frame=-1, batch_size=None,
+                                 sample_dim=None, **kwargs):
+        """Micro-batched per-sample prediction (reference prediction.py:497-540).
+
+        With sample_dim=0 the sample axis is already flattened into the
+        batch; otherwise masks is [B, N, S].
+        """
+        if sample_dim != 0:
+            s = masks.shape[-1]
+        else:
+            s = masks.shape[0]
+        if batch_size is None:
+            batch_size = s
+        else:
+            batch_size = max(1, batch_size // x.shape[0])
+        ys = []
+        for i in range(int(np.ceil(s / batch_size))):
+            b0, b1 = i * batch_size, min((i + 1) * batch_size, s)
+            if sample_dim != 0:
+                ys.append(self.predict_per_sample(
+                    x, masks[..., b0:b1], frame=frame, split_samples=True,
+                    **kwargs))
+            else:
+                ys.append(self.predict(x[b0:b1], masks[b0:b1], frame=frame,
+                                       **kwargs))
+        return jnp.concatenate(ys, -1 if sample_dim != 0 else 0)
+
+    # ------------------------------------------------------------------
+    # counterfactuals (reference prediction.py:760-814)
+    # ------------------------------------------------------------------
+    def _shift(self, x, mask, active_patches=None, shift=None, frame=1):
+        """Shift active patches; returns (x_shift, mask_shift)
+        (reference prediction.py:760-779)."""
+        x = jnp.asarray(x)
+        if active_patches is None:
+            active_patches = jnp.ones_like(mask)
+        if shift is None:
+            shift = perturb.random_shift(self.next_key(),
+                                         self.max_shift_fraction,
+                                         x.shape[-2:], self.patch_size)
+        shift = jnp.asarray(shift)
+        self.shift = np.asarray(shift).tolist()
+        self.shifts.append(np.asarray(shift))
+
+        n_vis = int(np.asarray(
+            ((~mask) | (~active_patches)).sum(-1)).max())
+
+        def one(xb, p, a, key):
+            return perturb.make_motion_counterfactual(
+                xb, p, a, shift, key, self.patch_size, n_vis_target=n_vis,
+                frame=frame, fix_passive=False)
+
+        keys = jax.random.split(self.next_key(), x.shape[0])
+        x_s, m_s = jax.vmap(one)(x, mask, active_patches, keys)
+        return x_s, m_s
+
+    def get_counterfactual_prediction(self, x, mask=None, active_patches=None,
+                                      shift=None, fix_passive=False, **kwargs):
+        x = jnp.asarray(x)
+        if x.ndim == 3:
+            x = x[None, None]
+        elif x.ndim == 4:
+            x = x[:, None]
+        if x.shape[1] == 1:
+            x = self.make_static_movie(x, t=2)
+        self.set_input(x)
+        if mask is None:
+            mask = self.get_zeros_mask(x)
+        if active_patches is None:
+            active_patches = self.get_zeros_mask(x)
+        if fix_passive:
+            x = perturb.make_static(x, mask, self.patch_size)
+        x_p, mask_p = self._shift(x, mask, active_patches, shift, frame=1)
+        return self.predict(x_p, mask_p, frame=None, **kwargs)
+
+    # ------------------------------------------------------------------
+    # errors (reference prediction.py:324-343, 553-574)
+    # ------------------------------------------------------------------
+    def predict_error(self, x=None, mask=None, target=None, frame=None,
+                      dim=-3):
+        if x is None:
+            x = self.x
+        if mask is None:
+            mask = self.generate_mask(x)
+        pred = self.predict(x, mask, frame=frame)
+        if target is None:
+            target = x
+        target = jnp.asarray(target)
+        if frame is not None:
+            target = target[:, frame][:, None]
+        err = (pred - target) ** 2
+        return err.sum(dim, keepdims=True)
+
+    def get_error_on_target_region(self, x, mask, target_mask, target=None,
+                                   average_error=True, frame=-1,
+                                   aggregate_over_patches=True,
+                                   patch_size=None, **kwargs):
+        if target is None:
+            target = x
+        th, tw = self.mask_shape[-2:]
+        if target_mask.ndim == 2:
+            region = 1.0 - target_mask.reshape(
+                x.shape[0], -1, th, tw).astype(jnp.float32)
+        else:
+            region = 1.0 - target_mask.astype(jnp.float32)
+        pred = self.predict(x, mask, frame=frame, **kwargs)
+        t_pred = target.shape[1]
+        err = ((pred[:, -t_pred:] - target) ** 2).sum(-3, keepdims=True)
+        if not aggregate_over_patches:
+            return err
+        ps = patch_size or self.patch_size
+        b, t, _, h, w = err.shape
+        err = err.reshape(b, t // ps[0], ps[0], 1, h // ps[1], ps[1],
+                          w // ps[2], ps[2]).mean((2, 5, 7))[:, :, 0]
+        err = err * region
+        if not average_error:
+            return err
+        return err.sum((1, 2, 3)) / jnp.clip(region.sum((1, 2, 3)), min=1)
+
+    # ------------------------------------------------------------------
+    # keypoints (reference prediction.py:816-828)
+    # ------------------------------------------------------------------
+    def predict_keypoints_map(self, x, **kwargs):
+        x = jnp.asarray(x)
+        assert x.ndim == 5, x.shape
+        if self.keypoint_predictor is None:
+            return jnp.ones_like(x[:, 0:1, 0:1])
+        return self.keypoint_predictor(self.keypoint_params, x, **kwargs)
+
+    def predict_keypoints_distribution(self, x, power=8, eps=1e-3):
+        v = self.predict_keypoints_map(x)
+        v = jnp.squeeze(v, -3)
+        v = jax.nn.sigmoid(v) ** power
+        v = v - v.min((-2, -1), keepdims=True)
+        return v / jnp.clip(v.max((-2, -1), keepdims=True), min=eps)
+
+    def patchify_energy_density(self, density, mode='min', beta=None):
+        density = boltzmann(density, beta)
+        ps = self.patch_size
+        if density.ndim == 5:
+            b, t, c, h, w = density.shape
+            d = density.reshape(b, t // ps[0], ps[0], c, h // ps[1], ps[1],
+                                w // ps[2], ps[2])
+            red = {'mean': jnp.mean, 'max': jnp.max, 'min': jnp.min}[mode]
+            return red(d, axis=(2, 5, 7)).squeeze(2)
+        b, c, h, w = density.shape
+        d = density.reshape(b, c, h // ps[1], ps[1], w // ps[2], ps[2])
+        red = {'mean': jnp.mean, 'max': jnp.max, 'min': jnp.min}[mode]
+        return red(d, axis=(3, 5))
+
+    def __call__(self, x, mask=None, frame=None, **kwargs):
+        self.set_input(x, mask)
+        if mask is None:
+            self.mask = self.generate_mask(self.x)
+        return self.predict(self.x, self.mask, frame=frame, **kwargs)

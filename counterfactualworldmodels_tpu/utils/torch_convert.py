@@ -123,3 +123,85 @@ def load_vmae_checkpoint(path: str) -> Dict:
     if isinstance(weights, dict) and 'model' in weights:
         weights = weights['model']
     return convert_vmae(weights)
+
+
+# ---------------------------------------------------------------------------
+# RAFT (reference cwm/models/raft/*)
+# ---------------------------------------------------------------------------
+
+def _conv2d(tree, flax_path, sd, torch_prefix):
+    w = _np(sd[torch_prefix + '.weight'])  # [O, I, kh, kw]
+    _set(tree, flax_path + '/kernel', w.transpose(2, 3, 1, 0))
+    bk = torch_prefix + '.bias'
+    if bk in sd and sd[bk] is not None:
+        _set(tree, flax_path + '/bias', _np(sd[bk]))
+
+
+def _bn(tree, flax_path, sd, torch_prefix):
+    _set(tree, flax_path + '/scale', _np(sd[torch_prefix + '.weight']))
+    _set(tree, flax_path + '/bias', _np(sd[torch_prefix + '.bias']))
+    _set(tree, flax_path + '/mean', _np(sd[torch_prefix + '.running_mean']))
+    _set(tree, flax_path + '/var', _np(sd[torch_prefix + '.running_var']))
+
+
+def _res_block(tree, flax_path, sd, torch_prefix, norm_fn, bottleneck=False):
+    n_convs = 3 if bottleneck else 2
+    for i in range(1, n_convs + 1):
+        _conv2d(tree, f'{flax_path}/conv{i}', sd, f'{torch_prefix}.conv{i}')
+        if norm_fn == 'batch':
+            _bn(tree, f'{flax_path}/norm{i}', sd, f'{torch_prefix}.norm{i}')
+    ds = f'{torch_prefix}.downsample.0'
+    if ds + '.weight' in sd:
+        _conv2d(tree, f'{flax_path}/downsample_conv', sd, ds)
+        norm_i = n_convs + 1
+        if norm_fn == 'batch':
+            _bn(tree, f'{flax_path}/norm{norm_i}', sd,
+                f'{torch_prefix}.downsample.1')
+
+
+def _encoder(tree, flax_path, sd, torch_prefix, norm_fn, bottleneck=False):
+    _conv2d(tree, f'{flax_path}/conv1', sd, f'{torch_prefix}.conv1')
+    if norm_fn == 'batch':
+        _bn(tree, f'{flax_path}/norm1', sd, f'{torch_prefix}.norm1')
+    for layer in (1, 2, 3):
+        for blk in (0, 1):
+            _res_block(tree, f'{flax_path}/layer{layer}_{blk}', sd,
+                       f'{torch_prefix}.layer{layer}.{blk}', norm_fn,
+                       bottleneck)
+    _conv2d(tree, f'{flax_path}/conv2', sd, f'{torch_prefix}.conv2')
+
+
+def convert_raft(sd: Dict, small: bool = False) -> Dict:
+    """Reference RAFT state dict -> flax params tree for models.raft.RAFT."""
+    sd = strip_prefixes(sd)
+    tree: Dict = {}
+    bottleneck = small
+    _encoder(tree, 'fnet', sd, 'fnet', 'instance', bottleneck)
+    _encoder(tree, 'cnet', sd, 'cnet', 'batch' if not small else 'none',
+             bottleneck)
+
+    ub = 'update_step/update_block'
+    for c in (['convc1', 'convc2', 'convf1', 'convf2', 'conv'] if not small
+              else ['convc1', 'convf1', 'convf2', 'conv']):
+        _conv2d(tree, f'{ub}/encoder/{c}', sd, f'update_block.encoder.{c}')
+    gru_convs = (['convz1', 'convr1', 'convq1', 'convz2', 'convr2', 'convq2']
+                 if not small else ['convz', 'convr', 'convq'])
+    for c in gru_convs:
+        _conv2d(tree, f'{ub}/gru/{c}', sd, f'update_block.gru.{c}')
+    _conv2d(tree, f'{ub}/flow_head/conv1', sd, 'update_block.flow_head.conv1')
+    _conv2d(tree, f'{ub}/flow_head/conv2', sd, 'update_block.flow_head.conv2')
+    if 'update_block.mask.0.weight' in sd:
+        _conv2d(tree, f'{ub}/mask_0', sd, 'update_block.mask.0')
+        _conv2d(tree, f'{ub}/mask_2', sd, 'update_block.mask.2')
+    if 'output_block.0.weight' in sd:
+        _conv2d(tree, 'output_block_0', sd, 'output_block.0')
+        _conv2d(tree, 'output_block_2', sd, 'output_block.2')
+    return tree
+
+
+def load_raft_checkpoint(path: str, small: bool = False) -> Dict:
+    import torch
+    weights = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(weights, dict) and 'model' in weights:
+        weights = weights['model']
+    return convert_raft(weights, small=small)

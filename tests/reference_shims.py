@@ -121,6 +121,7 @@ def _install_torchvision():
 
     transforms.CenterCrop = CenterCrop
     transforms.Resize = Resize
+    transforms.ToPILImage = lambda *a, **k: (lambda x: x)
     tvmodels.vgg16 = lambda *a, **k: None
     tv.transforms = transforms
     tv.models = tvmodels

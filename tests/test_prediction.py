@@ -1,0 +1,199 @@
+"""Golden parity for perturbations and the prediction pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reference_shims import install as install_reference
+install_reference()
+
+import torch  # noqa: E402
+
+from counterfactualworldmodels_tpu.models import vmae as jvmae  # noqa: E402
+from counterfactualworldmodels_tpu.pipelines import perturbation as jperturb  # noqa: E402
+from counterfactualworldmodels_tpu.pipelines.prediction import (  # noqa: E402
+    PredictorBasedGenerator, predict_video, scatter_pred_patches)
+from counterfactualworldmodels_tpu.utils.torch_convert import convert_vmae  # noqa: E402
+
+
+PS = (1, 4, 4)
+
+
+def _video(b=1, t=2, c=3, hw=16, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(b, t, c, hw, hw).astype(np.float32)
+
+
+def _mask(rng, b, n, n_vis):
+    m = np.ones((b, n), dtype=bool)
+    for i in range(b):
+        m[i, rng.choice(n, n_vis, replace=False)] = False
+    return m
+
+
+def test_translate2d():
+    x = jnp.arange(16.0).reshape(4, 4)
+    out = np.asarray(jperturb.translate2d(x, (1, 2), fill=0.0))
+    assert out[0, 0] == 0 and out[0, 1] == 0
+    assert out[1, 2] == 0.0  # row 0 shifted down, cols shifted right by 2
+    np.testing.assert_array_equal(out[1, 2:], np.asarray([0., 1.]))
+    # negative shift
+    out2 = np.asarray(jperturb.translate2d(x, (-1, 0), fill=7.0))
+    np.testing.assert_array_equal(out2[3], np.asarray([7., 7., 7., 7.]))
+    np.testing.assert_array_equal(out2[0], np.asarray([4., 5., 6., 7.]))
+
+
+def test_make_static_matches_reference():
+    from cwm.models.perturbation import MakeStatic
+    x = _video(2, 2, 3, 16)
+    rng = np.random.RandomState(0)
+    mask = _mask(rng, 2, 2 * 16, 6)  # (T=2)*(4x4 grid)=32 patches
+    ref_op = MakeStatic(patch_size=PS)
+    x_ref, m_ref = ref_op(torch.tensor(x), torch.tensor(mask))
+    mine = np.asarray(jperturb.make_static(jnp.asarray(x), jnp.asarray(mask), PS))
+    np.testing.assert_allclose(mine, x_ref.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(mask, m_ref.numpy())
+
+
+@pytest.mark.parametrize('shift', [(1, 2), (-2, 1), (0, -3)])
+def test_shift_matches_reference(shift):
+    from cwm.models.perturbation import ShiftPatchesAndMask
+    x = _video(1, 2, 3, 16, seed=1)
+    rng = np.random.RandomState(1)
+    # active mask: a few visible patches in frame 1
+    mask = np.ones((1, 32), dtype=bool)
+    mask[0, [16 + 5, 16 + 9]] = False
+
+    ref_op = ShiftPatchesAndMask(patch_size=PS, padding_mode='constant',
+                                 allow_fractional_shifts=False)
+    ref_op.set_shapes(torch.tensor(x), torch.tensor(mask))
+    x_ref, m_ref = ref_op.perturb(torch.tensor(x), torch.tensor(mask),
+                                  mask_shift=shift, frame=-1)
+
+    mask_f1 = jnp.asarray(mask.reshape(2, 4, 4)[1])
+    x_out, m_shift = jperturb.shift_frame_and_mask(
+        jnp.asarray(x[0]), mask_f1, jnp.asarray(shift), PS, frame=1)
+    np.testing.assert_allclose(np.asarray(x_out), x_ref.numpy()[0], atol=1e-6)
+    ref_m = m_ref.numpy().reshape(2, 4, 4)
+    np.testing.assert_array_equal(np.asarray(m_shift), ref_m[1])
+    np.testing.assert_array_equal(mask.reshape(2, 4, 4)[0], ref_m[0])
+
+
+def test_motion_counterfactual_matches_reference():
+    """Full counterfactual construction vs the reference forward() chain,
+    with a shift that doesn't clip (rectangularization is then a no-op)."""
+    from cwm.models.perturbation import ShiftPatchesAndMask
+    x = _video(1, 2, 3, 16, seed=2)
+    passive = np.ones((1, 32), dtype=bool)
+    passive[0, 16 + 2] = False
+    active = np.ones((1, 32), dtype=bool)
+    active[0, 16 + 5] = False  # patch (1,1) in frame 1
+    shift = (1, 1)
+
+    ref_op = ShiftPatchesAndMask(patch_size=PS, padding_mode='constant',
+                                 allow_fractional_shifts=False)
+    ref_op.set_shapes(torch.tensor(x), torch.tensor(passive))
+    x_ref, m_ref = ref_op(
+        torch.tensor(x),
+        mask=torch.minimum(torch.tensor(passive), torch.tensor(active)),
+        perturbation_points=torch.logical_not(torch.tensor(active)),
+        mask_shift=shift, frame=1)
+
+    x_mine, m_mine = jperturb.make_motion_counterfactual(
+        jnp.asarray(x[0]), jnp.asarray(passive[0]), jnp.asarray(active[0]),
+        jnp.asarray(shift), jax.random.PRNGKey(0), PS,
+        n_vis_target=None, fix_passive=False)
+    np.testing.assert_allclose(np.asarray(x_mine), x_ref.numpy()[0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_mine), m_ref.numpy()[0])
+    # with matching n_vis target the mask is unchanged (no clipping)
+    x2, m2 = jperturb.make_motion_counterfactual(
+        jnp.asarray(x[0]), jnp.asarray(passive[0]), jnp.asarray(active[0]),
+        jnp.asarray(shift), jax.random.PRNGKey(0), PS,
+        n_vis_target=int((~np.asarray(m_mine)).sum()), fix_passive=False)
+    np.testing.assert_array_equal(np.asarray(m2), m_ref.numpy()[0])
+
+
+def _wrapped_pair(img_size=16, patch=4):
+    """(reference generator, my generator) with identical weights."""
+    from cwm.models.VideoMAE.vmae import PretrainVisionTransformer as TorchPVT
+    from cwm.models.prediction import PredictorBasedGenerator as RefGen
+    torch.manual_seed(0)
+    tmodel = TorchPVT(
+        img_size=img_size, patch_size=(patch, patch), encoder_embed_dim=48,
+        encoder_depth=2, encoder_num_heads=4, encoder_num_classes=0,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2, qkv_bias=True, num_frames=2, tubelet_size=1,
+        decoder_num_classes=3 * patch * patch,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6)).eval()
+    ref = RefGen(predictor=tmodel, imagenet_normalize_inputs=True,
+                 temporal_dim=2, seed=0)
+    jmodel = jvmae.PretrainVisionTransformer(
+        img_size=(img_size, img_size), patch_size=(patch, patch),
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2.0, qkv_bias=True, num_frames=2, tubelet_size=1)
+    mine = PredictorBasedGenerator(predictor=jmodel,
+                                   params=convert_vmae(tmodel.state_dict()),
+                                   imagenet_normalize_inputs=True, seed=0)
+    return ref, mine
+
+
+def test_predict_matches_reference():
+    ref, mine = _wrapped_pair()
+    x = _video(1, 2, 3, 16, seed=3)
+    rng = np.random.RandomState(4)
+    mask = _mask(rng, 1, 32, 12)
+    with torch.no_grad():
+        y_ref = ref.predict(torch.tensor(x), torch.tensor(mask),
+                            frame=-1).numpy()
+    y = np.asarray(mine.predict(jnp.asarray(x), jnp.asarray(mask), frame=-1))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
+def test_predict_per_sample_matches_reference():
+    ref, mine = _wrapped_pair()
+    x = _video(1, 2, 3, 16, seed=5)
+    rng = np.random.RandomState(6)
+    masks = np.stack([_mask(rng, 1, 32, 10)[0] for _ in range(3)], -1)[None][0]
+    masks = masks[None]  # [1, 32, 3]
+    with torch.no_grad():
+        y_ref = ref.predict_per_sample(torch.tensor(x), torch.tensor(masks),
+                                       frame=None, split_samples=True).numpy()
+    y = np.asarray(mine.predict_per_sample(jnp.asarray(x), jnp.asarray(masks),
+                                           frame=None, split_samples=True))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
+def test_counterfactual_prediction_matches_reference():
+    ref, mine = _wrapped_pair()
+    x = _video(1, 1, 3, 16, seed=7)  # single frame -> static movie
+    # passive mask: all masked in frame 1; active: one patch
+    mask = np.ones((1, 32), dtype=bool)
+    mask[0, :16] = False
+    active = np.ones((1, 32), dtype=bool)
+    active[0, 16 + 5] = False
+    shift = (1, 1)
+    with torch.no_grad():
+        y_ref = ref.get_counterfactual_prediction(
+            torch.tensor(x), mask=torch.tensor(mask),
+            active_patches=torch.tensor(active), shift=shift,
+            fix_passive=True).numpy()
+    y = np.asarray(mine.get_counterfactual_prediction(
+        jnp.asarray(x), mask=jnp.asarray(mask),
+        active_patches=jnp.asarray(active), shift=shift, fix_passive=True))
+    assert y.shape == y_ref.shape
+    np.testing.assert_allclose(y, y_ref, atol=5e-4)
+
+
+def test_predict_ragged_masks_equalized():
+    _, mine = _wrapped_pair()
+    x = _video(2, 2, 3, 16, seed=8)
+    rng = np.random.RandomState(9)
+    mask = np.ones((2, 32), dtype=bool)
+    mask[0, rng.choice(32, 8, replace=False)] = False
+    mask[1, rng.choice(32, 12, replace=False)] = False
+    y = mine.predict(jnp.asarray(x), jnp.asarray(mask), frame=-1)
+    assert y.shape == (2, 1, 3, 16, 16)
+    assert np.isfinite(np.asarray(y)).all()

@@ -120,18 +120,30 @@ class VMAEDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = 'dense'
 
-    @nn.compact
-    def __call__(self, x, return_token_num: int):
-        for i in range(self.depth):
-            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                      self.qkv_bias, self.qk_scale, self.init_values,
-                      dtype=self.dtype, attn_impl=self.attn_impl,
-                      name=f'blocks_{i}')(x)
-        norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name='norm')
-        head = nn.Dense(self.num_classes, dtype=self.dtype, name='head')
+    def setup(self):
+        self.blocks = [
+            Block(self.embed_dim, self.num_heads, self.mlp_ratio,
+                  self.qkv_bias, self.qk_scale, self.init_values,
+                  dtype=self.dtype, attn_impl=self.attn_impl)
+            for _ in range(self.depth)]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.head = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def get_last_tokens(self, x, return_token_num: int):
+        """Head over the trailing (masked) tokens (reference vmae.py:238-244).
+
+        0 -> empty output; negative -> all tokens, matching the reference.
+        """
         if return_token_num > 0:
             x = x[:, -return_token_num:]
-        return head(norm(x))
+        elif return_token_num == 0:
+            x = x[:, :0]
+        return self.head(self.norm(x))
+
+    def __call__(self, x, return_token_num: int):
+        for blk in self.blocks:
+            x = blk(x)
+        return self.get_last_tokens(x, return_token_num)
 
 
 class PretrainVisionTransformer(nn.Module):

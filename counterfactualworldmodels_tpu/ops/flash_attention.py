@@ -1,0 +1,108 @@
+"""Flash attention for TPU (Pallas).
+
+Replaces the reference's optional HazyResearch CUDA flash-attention path
+(cwm/models/VideoMAE/utils.py:71-73,102-106) with a Pallas kernel: online-
+softmax tiling over key blocks so the [N, N] score matrix never materializes
+in HBM. Numerically interchangeable with the dense softmax path
+(VideoMAE/utils.py:108-113): q arrives pre-scaled (softmax scale 1), scores
+and the accumulator run in f32.
+
+Layout: q, k, v [B, H, N, D] -> out [B, H, N, D]. Non-multiple-of-block
+sequence lengths are zero-padded; padded keys are masked to -inf, padded
+queries sliced off.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
+    q = q_ref[0].astype(jnp.float32)           # [BQ, D]
+    n_pad = k_ref.shape[1]
+    num_kb = n_pad // block_k
+    bq, d = q.shape
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
+            + i * block_k
+        s = jnp.where(key_idx < n_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, s.max(-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v,
+                                        preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('block_q', 'block_k',
+                                             'interpret'))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
+    bh, n, d = q.shape
+    n_pad_q = -(-n // block_q) * block_q
+    n_pad_k = -(-n // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - n), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
+
+    grid = (bh, n_pad_q // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, n_valid=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad_q * n_pad_k * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * n_pad_q * n_pad_k),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n]
+
+
+def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = None) -> jnp.ndarray:
+    """Online-softmax attention. q, k, v: [B, H, N, D], q pre-scaled.
+
+    On non-TPU backends the kernel runs in interpreter mode (slow; tests
+    only) unless ``interpret`` is forced.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    b, h, n, d = q.shape
+    q3 = q.reshape(b * h, n, d)
+    k3 = k.reshape(b * h, n, d)
+    v3 = v.reshape(b * h, n, d)
+    out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret)
+    return out.reshape(b, h, n, d)

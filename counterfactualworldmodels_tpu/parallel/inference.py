@@ -1,0 +1,53 @@
+"""Multi-chip counterfactual inference: shard the sample axis.
+
+The counterfactual workload is embarrassingly parallel over the S sampled
+(mask, shift) variants (SURVEY.md §2.3). Here the flattened B*S batch of the
+fused pipeline (pipelines/segmentation.py) is sharded over a 1-D device
+mesh: each chip runs its slice of samples; the only cross-chip traffic is
+the all-gather XLA inserts when the caller reduces over samples (mean motion
+map / covariance).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..pipelines.segmentation import counterfactual_videos_and_flows
+
+
+def shard_counterfactual_batch(mesh: Mesh, *arrays, axis: int = 0,
+                               axis_name: str = 'samples'):
+    """device_put arrays with the given axis sharded over the mesh."""
+    out = []
+    for a in arrays:
+        spec = [None] * a.ndim
+        spec[axis] = axis_name
+        out.append(jax.device_put(a, NamedSharding(mesh, P(*spec))))
+    return tuple(out)
+
+
+def sharded_counterfactuals(mesh: Mesh, vmae_model, vmae_params, raft_model,
+                            raft_params, x, passive, active, shifts, keys,
+                            n_vis: int, normalize: bool, raft_iters: int,
+                            fix_passive: bool = True):
+    """Run the fused counterfactual step with samples sharded across chips.
+
+    Same signature/semantics as
+    pipelines.segmentation.counterfactual_videos_and_flows, but passive /
+    active [B, N, S], shifts/keys [B, S, ...] are placed with S sharded over
+    the mesh ('samples' axis) and parameters replicated. S must be divisible
+    by the mesh size.
+    """
+    repl = NamedSharding(mesh, P())
+    vmae_params = jax.device_put(vmae_params, repl)
+    raft_params = jax.device_put(raft_params, repl)
+    x = jax.device_put(x, repl)
+    passive, active = shard_counterfactual_batch(mesh, passive, active,
+                                                 axis=2)
+    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
+    return counterfactual_videos_and_flows(
+        vmae_model, vmae_params, raft_model, raft_params, x, passive, active,
+        shifts, keys, n_vis, normalize, raft_iters, fix_passive)

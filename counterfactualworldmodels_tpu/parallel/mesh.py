@@ -1,0 +1,117 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process/single-device (SURVEY.md §2.3); this module
+is the TPU-native scaling layer it lacks: a named mesh over (dp, tp) axes,
+regex partition rules for the ViT parameter tree, and NamedShardings for the
+counterfactual sample axis. Collectives are inserted by XLA from the
+shardings — no hand-written NCCL-style communication.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_sizes: Dict[str, int], devices=None) -> Mesh:
+    """Build a named mesh, e.g. make_mesh({'dp': 4, 'tp': 2})."""
+    if devices is None:
+        devices = jax.devices()
+    names = tuple(axis_sizes.keys())
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    assert len(devices) >= n, (len(devices), axis_sizes)
+    dev = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev, names)
+
+
+def sample_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the counterfactual sample axis (inference scaling)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return make_mesh({'samples': n}, devices)
+
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning for the VMAE family: tensor-parallel over heads/MLP.
+# Dense kernels are [in, out]; attention qkv_kernel is [D, 3*A].
+# ---------------------------------------------------------------------------
+
+VMAE_PARTITION_RULES: Sequence[Tuple[str, P]] = (
+    # attention: shard the head dim (columns of qkv, rows of out-proj)
+    (r'.*attn/qkv_kernel$', P(None, 'tp')),
+    (r'.*attn/(q_bias|v_bias)$', P('tp')),
+    (r'.*attn/proj/kernel$', P('tp', None)),
+    (r'.*attn/proj/bias$', P()),
+    # mlp: shard the hidden dim
+    (r'.*mlp/fc1/kernel$', P(None, 'tp')),
+    (r'.*mlp/fc1/bias$', P('tp')),
+    (r'.*mlp/fc2/kernel$', P('tp', None)),
+    (r'.*mlp/fc2/bias$', P()),
+    # everything else replicated
+    (r'.*', P()),
+)
+
+
+def partition_spec_for(path: str, rules=VMAE_PARTITION_RULES) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _flatten_paths(tree, prefix=''):
+    out = {}
+    for k, v in tree.items():
+        path = f'{prefix}/{k}' if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_paths(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def param_shardings(params, mesh: Mesh, rules=VMAE_PARTITION_RULES):
+    """Pytree of NamedShardings matching ``params`` via regex rules.
+
+    tp-sharded specs fall back to replication when the named axis doesn't
+    divide the parameter dim (small test models).
+    """
+    tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get('tp', 1)
+
+    def spec_of(path, leaf):
+        spec = partition_spec_for(path, rules)
+        for dim, axis in enumerate(spec):
+            if axis == 'tp':
+                if dim >= leaf.ndim or leaf.shape[dim] % max(tp_size, 1):
+                    return P()
+        return spec
+
+    flat = _flatten_paths(params)
+    specs = {path: NamedSharding(mesh, spec_of(path, leaf))
+             for path, leaf in flat.items()}
+
+    def rebuild(tree, prefix=''):
+        out = {}
+        for k, v in tree.items():
+            path = f'{prefix}/{k}' if prefix else k
+            out[k] = rebuild(v, path) if isinstance(v, dict) else specs[path]
+        return out
+
+    return rebuild(params)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully-replicated NamedShardings for a pytree."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda _: sh, tree)
+
+
+def shard_params(params, mesh: Mesh, rules=VMAE_PARTITION_RULES):
+    """Place a parameter pytree on the mesh per the partition rules."""
+    shardings = param_shardings(params, mesh, rules)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)

@@ -1,0 +1,130 @@
+"""VMAE masked-prediction pretraining, multi-chip via pjit shardings.
+
+The reference publishes no training code (README.md:85 "Coming Soon"); this
+module supplies the TPU-native training loop its checkpoints imply: the
+temporally-factored masking policy (masking.py:478-545 semantics), MSE on
+masked patch pixels against the (optionally per-patch-normalized) target
+(the VideoMAE objective the reference's get_masked_targets supports,
+vmae.py:483-537), AdamW, and dp x tp sharding with XLA-inserted collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..masking.generators import rotated_table_uniform_mask
+from ..models.vmae import PretrainVisionTransformer, mask_order, take_tokens
+from ..ops.normalization import imagenet_normalize
+from ..ops.patches import patchify
+from .. import parallel
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(learning_rate=1.5e-4, weight_decay=0.05,
+                   warmup_steps=1000, total_steps=100_000,
+                   b1=0.9, b2=0.95, clip_norm=1.0):
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay))
+
+
+def masked_prediction_loss(model: PretrainVisionTransformer, params, x, mask,
+                           n_vis: int, normalize_inputs: bool = True,
+                           normalize_targets: bool = True,
+                           eps: float = 1e-6):
+    """MSE on masked patch pixels. x: [B, T, C, H, W] in [0, 1]."""
+    xm = imagenet_normalize(x, temporal_dim=1) if normalize_inputs else x
+    pred = model.apply({'params': params}, jnp.swapaxes(xm, 1, 2), mask,
+                       n_vis)
+    target = patchify(xm, model.full_patch_size, temporal_dim=1)
+    if normalize_targets:
+        mean = target.mean(-1, keepdims=True)
+        var = target.var(-1, keepdims=True)
+        target = (target - mean) / jnp.sqrt(var + eps)
+    order = mask_order(mask)
+    target_masked = take_tokens(target, order[:, n_vis:])
+    return ((pred - target_masked) ** 2).mean()
+
+
+def make_train_step(model: PretrainVisionTransformer, optimizer,
+                    n_vis: int, normalize_inputs: bool = True,
+                    normalize_targets: bool = True, remat: bool = True):
+    """Returns a pure train_step(state, x, mask) -> (state, metrics)."""
+    loss_fn = functools.partial(
+        masked_prediction_loss, model,
+        n_vis=n_vis, normalize_inputs=normalize_inputs,
+        normalize_targets=normalize_targets)
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
+
+    def train_step(state: TrainState, x, mask):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x, mask))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (TrainState(state.step + 1, params, opt_state),
+                {'loss': loss, 'grad_norm': gnorm})
+
+    return train_step
+
+
+def init_train_state(model: PretrainVisionTransformer, optimizer, key,
+                     n_vis: Optional[int] = None) -> TrainState:
+    from ..models.vmae import init_params
+    params = init_params(model, key, n_vis=n_vis)
+    return TrainState(jnp.zeros((), jnp.int32), params,
+                      optimizer.init(params))
+
+
+def make_sharded_train_step(model: PretrainVisionTransformer, optimizer,
+                            mesh: Mesh, n_vis: int, remat: bool = True,
+                            **loss_kwargs):
+    """jit the train step with dp sharding on data and tp sharding on
+    parameters; XLA inserts the psum/all-gather collectives.
+
+    Returns (jitted_step, shard_state, data_sharding).
+    """
+    step_fn = make_train_step(model, optimizer, n_vis, remat=remat,
+                              **loss_kwargs)
+    data_sharding = NamedSharding(mesh, P('dp'))
+    repl = NamedSharding(mesh, P())
+
+    def shard_state(state: TrainState) -> TrainState:
+        p_sh = parallel.param_shardings(state.params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
+        opt_state = jax.device_put(state.opt_state, repl)
+        # adam moments follow the param shardings
+        opt_state = jax.tree_util.tree_map(
+            lambda x: x,
+            opt_state)
+        return TrainState(jax.device_put(state.step, repl), params, opt_state)
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return jitted, shard_state, data_sharding
+
+
+def make_batch_masks(key, model: PretrainVisionTransformer, batch_size: int,
+                     mask_ratio: float = 0.9):
+    """Training masks with the rotated-table policy; returns (mask, n_vis)."""
+    t, h, w = model.mask_size
+    mask = rotated_table_uniform_mask(key, (t, h, w), mask_ratio,
+                                      batch_size=batch_size)
+    n = model.num_patches
+    n_per_frame = n // t
+    n_vis = (t - 1) * n_per_frame + (n_per_frame -
+                                     int(mask_ratio * n_per_frame))
+    return mask, n_vis

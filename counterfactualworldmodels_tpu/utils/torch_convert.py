@@ -205,3 +205,115 @@ def load_raft_checkpoint(path: str, small: bool = False) -> Dict:
     if isinstance(weights, dict) and 'model' in weights:
         weights = weights['model']
     return convert_raft(weights, small=small)
+
+
+# ---------------------------------------------------------------------------
+# Conjoined VMAE (reference cwm/models/VideoMAE/conjoined_vmae.py)
+# ---------------------------------------------------------------------------
+
+def _imu_patch_embed(tree, flax_path, sd, torch_prefix):
+    w = _np(sd[torch_prefix + '.proj.weight'])  # [E, C, pt, 1, 1]
+    e = w.shape[0]
+    kernel = w[:, :, :, 0, 0].transpose(2, 1, 0).reshape(-1, e)  # [(pt c), E]
+    _set(tree, flax_path + '/kernel', kernel)
+    _set(tree, flax_path + '/bias', _np(sd[torch_prefix + '.proj.bias']))
+
+
+def _cross_block(tree, flax_path, sd, torch_prefix):
+    _layernorm(tree, f'{flax_path}/norm1_cross', sd, f'{torch_prefix}.norm1_cross')
+    _layernorm(tree, f'{flax_path}/norm1_src_cross', sd,
+               f'{torch_prefix}.norm1_src_cross')
+    for lin in ('qk', 'qk_src', 'v', 'v_src'):
+        _linear(tree, f'{flax_path}/cross_attention/{lin}', sd,
+                f'{torch_prefix}.cross_attention.{lin}')
+    _linear(tree, f'{flax_path}/cross_attention/projection', sd,
+            f'{torch_prefix}.cross_attention.projection')
+    _linear(tree, f'{flax_path}/cross_attention/projection_src', sd,
+            f'{torch_prefix}.cross_attention.projection_src')
+    if f'{torch_prefix}.norm2.weight' in sd:
+        _layernorm(tree, f'{flax_path}/norm2', sd, f'{torch_prefix}.norm2')
+        _linear(tree, f'{flax_path}/mlp_trg/layers_0', sd,
+                f'{torch_prefix}.mlp.trg.layers.0')
+        _linear(tree, f'{flax_path}/mlp_trg/layers_2', sd,
+                f'{torch_prefix}.mlp.trg.layers.2')
+    if f'{torch_prefix}.norm2_src.weight' in sd:
+        _layernorm(tree, f'{flax_path}/norm2_src', sd,
+                   f'{torch_prefix}.norm2_src')
+        _linear(tree, f'{flax_path}/mlp_src/layers_0', sd,
+                f'{torch_prefix}.mlp.src.layers.0')
+        _linear(tree, f'{flax_path}/mlp_src/layers_2', sd,
+                f'{torch_prefix}.mlp.src.layers.2')
+    for g in ('gamma_1', 'gamma_1_cross', 'gamma_1_src', 'gamma_1_src_cross',
+              'gamma_2', 'gamma_2_src'):
+        k = f'{torch_prefix}.{g}'
+        if k in sd:
+            _set(tree, f'{flax_path}/{g}', _np(sd[k]))
+
+
+def _stream(tree, prefix_flax, sd, prefix_torch, is_imu=False):
+    enc_depth = max((int(k.split('.')[3]) for k in sd
+                     if k.startswith(f'{prefix_torch}.encoder.blocks.')),
+                    default=-1) + 1
+    dec_depth = max((int(k.split('.')[3]) for k in sd
+                     if k.startswith(f'{prefix_torch}.decoder.blocks.')),
+                    default=-1) + 1
+    if is_imu:
+        _imu_patch_embed(tree, f'{prefix_flax}_encoder/proj', sd,
+                         f'{prefix_torch}.encoder.patch_embed')
+        dk = f'{prefix_torch}.encoder.dummy_token'
+        if dk in sd:
+            _set(tree, f'{prefix_flax}_encoder/dummy_token', _np(sd[dk]))
+    else:
+        _patch_embed(tree, f'{prefix_flax}_encoder/patch_embed', sd,
+                     f'{prefix_torch}.encoder.patch_embed')
+    for i in range(enc_depth):
+        _block(tree, f'{prefix_flax}_encoder/blocks_{i}', sd,
+               f'{prefix_torch}.encoder.blocks.{i}')
+    _layernorm(tree, f'{prefix_flax}_encoder/norm', sd,
+               f'{prefix_torch}.encoder.norm')
+    for i in range(dec_depth):
+        _block(tree, f'{prefix_flax}_decoder/blocks_{i}', sd,
+               f'{prefix_torch}.decoder.blocks.{i}')
+    _layernorm(tree, f'{prefix_flax}_decoder/norm', sd,
+               f'{prefix_torch}.decoder.norm')
+    _linear(tree, f'{prefix_flax}_decoder/head', sd,
+            f'{prefix_torch}.decoder.head')
+    _linear(tree, f'{prefix_flax}_e2d', sd,
+            f'{prefix_torch}.encoder_to_decoder', bias=False)
+    _set(tree, f'{prefix_flax}_mask_token', _np(sd[f'{prefix_torch}.mask_token']))
+    for tname, fname in (('null_token_enc', 'null_enc'),
+                         ('null_token_dec', 'null_dec')):
+        k = f'{prefix_torch}.{tname}'
+        if k in sd:
+            _set(tree, f'{prefix_flax}_{fname}', _np(sd[k]))
+
+
+def convert_conjoined(sd: Dict, context_is_imu: bool = True) -> Dict:
+    """Reference Conjoined(Padded)PretrainVisionTransformer state dict ->
+    flax params for models.conjoined.ConjoinedVMAE."""
+    sd = strip_prefixes(sd)
+    tree: Dict = {}
+    _stream(tree, 'main', sd, 'main_stream', is_imu=False)
+    _stream(tree, 'context', sd, 'context_stream', is_imu=context_is_imu)
+
+    enc_keys = sorted({k.split('.')[1] for k in sd
+                       if k.startswith('encoder_conjoining_blocks.')},
+                      key=lambda s: int(s.split('-')[0]))
+    dec_keys = sorted({k.split('.')[1] for k in sd
+                       if k.startswith('decoder_conjoining_blocks.')},
+                      key=lambda s: int(s.split('-')[0]))
+    for idx, key in enumerate(enc_keys):
+        _cross_block(tree, f'encoder_cross_blocks_{idx}', sd,
+                     f'encoder_conjoining_blocks.{key}')
+    for idx, key in enumerate(dec_keys):
+        _cross_block(tree, f'decoder_cross_blocks_{idx}', sd,
+                     f'decoder_conjoining_blocks.{key}')
+    return tree
+
+
+def load_conjoined_checkpoint(path: str, context_is_imu: bool = True) -> Dict:
+    import torch
+    weights = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(weights, dict) and 'model' in weights:
+        weights = weights['model']
+    return convert_conjoined(weights, context_is_imu=context_is_imu)

@@ -1,0 +1,171 @@
+"""Golden parity for the conjoined (two-stream) VMAE models."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reference_shims import install as install_reference
+install_reference()
+
+import torch  # noqa: E402
+
+from counterfactualworldmodels_tpu.models import conjoined as jconj  # noqa: E402
+from counterfactualworldmodels_tpu.models.conjoined import (  # noqa: E402
+    ConjoinedVMAE, ConjoinedPredictorWrapper, StreamSpec)
+from counterfactualworldmodels_tpu.utils.torch_convert import (  # noqa: E402
+    convert_conjoined)
+
+
+def _ref_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4,
+                   dummy=True):
+    """Small reference conjoined model: rgb01 main + IMU context."""
+    from cwm.models.VideoMAE.conjoined_vmae import (
+        ConjoinedPretrainVisionTransformer, ConjoinedPaddedVisionTransformer,
+        ImuEncoder, PaddedVisionTransformer)
+    from cwm.models.VideoMAE.vmae import (PretrainVisionTransformer,
+                                          PretrainVisionTransformerEncoder)
+    torch.manual_seed(0)
+    main_kwargs = {'encoder_func': PretrainVisionTransformerEncoder,
+                   'tubelet_size': 1, 'decoder_num_classes': None}
+    ctx_kwargs = {'encoder_func': ImuEncoder, 'tubelet_size': 8,
+                  'sequence_length': 32, 'encoder_embed_dim': 32,
+                  'decoder_embed_dim': 24, 'decoder_num_classes': 6 * 8,
+                  'concat_dummy_token': dummy}
+    common = dict(
+        img_size=32, patch_size=(8, 8), num_frames=2,
+        main_input='rgb01', main_input_kwargs={'unnormalize': False},
+        context_input='imu', context_input_kwargs={'sequence_length': 32},
+        conjoin_encoder_layers=[0, -1], conjoin_decoder_layers=True,
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        encoder_num_classes=0, decoder_embed_dim=32, decoder_depth=2,
+        decoder_num_heads=4, mlp_ratio=2, qkv_bias=True,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6))
+    if padded:
+        main_kwargs.update({'min_padding_tokens': 0,
+                            'max_padding_tokens': max_pad_main})
+        ctx_kwargs.update({'min_padding_tokens': 0,
+                           'max_padding_tokens': max_pad_ctx,
+                           'concat_dummy_token': False})
+        model = ConjoinedPaddedVisionTransformer(
+            main_model_func=PaddedVisionTransformer,
+            context_model_func=PaddedVisionTransformer,
+            main_model_kwargs=main_kwargs, context_model_kwargs=ctx_kwargs,
+            **common)
+    else:
+        model = ConjoinedPretrainVisionTransformer(
+            main_model_func=PretrainVisionTransformer,
+            context_model_func=PretrainVisionTransformer,
+            main_model_kwargs=main_kwargs, context_model_kwargs=ctx_kwargs,
+            **common)
+    return model.eval()
+
+
+def _my_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4, dummy=True):
+    main = StreamSpec(
+        img_size=(32, 32), patch_size=(8, 8), in_chans=3, num_frames=2,
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+        mlp_ratio=2.0, padded=padded, max_padding_tokens=max_pad_main)
+    context = StreamSpec(
+        is_imu=True, in_chans=6, sequence_length=32, imu_tubelet=8,
+        encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+        decoder_num_classes=48, mlp_ratio=2.0,
+        concat_dummy_token=(dummy and not padded), padded=padded,
+        max_padding_tokens=max_pad_ctx)
+    model = ConjoinedVMAE(
+        main=main, context=context,
+        conjoin_encoder_layers=((0, 0), (-1, -1)),
+        conjoin_decoder_layers=((0, 0), (1, 1)))
+    return ConjoinedPredictorWrapper(
+        model, params=None, main_input='rgb01',
+        main_input_kwargs={'unnormalize': False}, context_input='imu')
+
+
+def _inputs(rng, b=2, vis_per_row=None):
+    x = rng.rand(b, 3, 2, 32, 32).astype(np.float32)
+    imu = rng.randn(b, 6, 32).astype(np.float32)
+    n = 32  # 2 frames x 16 patches
+    mask = np.ones((b, n), dtype=bool)
+    mask[:, :16] = False
+    for i in range(b):
+        k = vis_per_row[i] if vis_per_row else 2
+        vis = rng.choice(16, k, replace=False)
+        mask[i, 16 + vis] = False
+    mask_c = np.zeros((b, 4), dtype=bool)  # IMU fully visible
+    return x, imu, mask, mask_c
+
+
+def test_conjoined_imu_forward_matches_reference():
+    ref = _ref_conjoined(padded=False)
+    mine = _my_conjoined(padded=False)
+    mine.params = convert_conjoined(ref.state_dict(), context_is_imu=True)
+
+    rng = np.random.RandomState(0)
+    x, imu, mask, mask_c = _inputs(rng)
+    with torch.no_grad():
+        y_ref, yc_ref = ref(torch.tensor(x), torch.tensor(mask),
+                            x_context=torch.tensor(imu),
+                            mask_context=torch.tensor(mask_c),
+                            output_main=True, output_context=True)
+    y, y_c = mine(jnp.asarray(x), jnp.asarray(mask),
+                  x_context=jnp.asarray(imu),
+                  mask_context=jnp.asarray(mask_c),
+                  output_main=True, output_context=True)
+    assert y.shape == tuple(y_ref.shape), (y.shape, y_ref.shape)
+    assert y_c.shape == tuple(yc_ref.shape)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(y_c), yc_ref.numpy(), atol=5e-4)
+
+
+def test_conjoined_imu_missing_context():
+    """IMU=None path: fully-masked context with only the dummy visible."""
+    ref = _ref_conjoined(padded=False)
+    mine = _my_conjoined(padded=False)
+    mine.params = convert_conjoined(ref.state_dict(), context_is_imu=True)
+    rng = np.random.RandomState(1)
+    x, imu, mask, mask_c = _inputs(rng)
+    mask_c_full = np.ones_like(mask_c)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x), torch.tensor(mask),
+                    x_context=torch.tensor(imu),
+                    mask_context=torch.tensor(mask_c_full),
+                    output_main=True, output_context=False)
+    y = mine(jnp.asarray(x), jnp.asarray(mask),
+             x_context=jnp.asarray(imu),
+             mask_context=jnp.asarray(mask_c_full),
+             output_main=True, output_context=False)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+
+
+def test_conjoined_padded_matches_reference():
+    """Ragged visible counts through the null-token padding scheme."""
+    ref = _ref_conjoined(padded=True)
+    mine = _my_conjoined(padded=True)
+    mine.params = convert_conjoined(ref.state_dict(), context_is_imu=True)
+
+    rng = np.random.RandomState(2)
+    x, imu, mask, mask_c = _inputs(rng, b=3, vis_per_row=[1, 3, 2])
+    with torch.no_grad():
+        y_ref, yc_ref = ref(torch.tensor(x), torch.tensor(mask),
+                            x_context=torch.tensor(imu),
+                            mask_context=torch.tensor(mask_c),
+                            output_main=True, output_context=True)
+    y, y_c = mine(jnp.asarray(x), jnp.asarray(mask),
+                  x_context=jnp.asarray(imu),
+                  mask_context=jnp.asarray(mask_c),
+                  output_main=True, output_context=True)
+    assert y.shape == tuple(y_ref.shape), (y.shape, y_ref.shape)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(y_c), yc_ref.numpy(), atol=5e-4)
+
+
+def test_factories_build_and_run_tiny():
+    """Full-size factory configs build; run only param counting."""
+    m = jconj.imu400_base_4x4patch_2frames_1tube()
+    assert m.main.num_patches == 2 * 56 * 56
+    assert m.context.num_patches == 25
+    assert m.main.padded and m.context.padded
+    m2 = jconj.imu400_8x8patch_2frames_1tube_flowbackrgb01()
+    assert m2.main.in_chans == 7 and m2.main.num_frames == 1
+    assert m2.context.concat_dummy_token

@@ -1,0 +1,125 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from counterfactualworldmodels_tpu import parallel
+from counterfactualworldmodels_tpu.models import vmae as jvmae
+from counterfactualworldmodels_tpu.models.raft.raft import RAFT, init_raft_params
+from counterfactualworldmodels_tpu.pipelines.segmentation import (
+    FlowGenerator, counterfactual_videos_and_flows)
+from counterfactualworldmodels_tpu.training import train as jtrain
+
+
+def _tiny_model():
+    return jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=64,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2)
+
+
+def test_mesh_and_partition_rules():
+    mesh = parallel.make_mesh({'dp': 4, 'tp': 2})
+    assert mesh.devices.shape == (4, 2)
+    from jax.sharding import PartitionSpec as P
+    assert parallel.partition_spec_for('encoder/blocks_0/attn/qkv_kernel') \
+        == P(None, 'tp')
+    assert parallel.partition_spec_for('encoder/blocks_0/mlp/fc2/kernel') \
+        == P('tp', None)
+    assert parallel.partition_spec_for('mask_token') == P()
+
+
+def test_sharded_params_match_unsharded_forward():
+    mesh = parallel.make_mesh({'dp': 4, 'tp': 2})
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    sharded = parallel.shard_params(params, mesh)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 3, 2, 32, 32).astype(np.float32))
+    n = model.num_patches
+    mask = jnp.asarray(np.tile(np.arange(n) >= 12, (2, 1)))
+    y_ref = jvmae.apply_vmae(model, params, x, mask, 12)
+    y_sh = jvmae.apply_vmae(model, sharded, x, mask, 12)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=1e-5)
+
+
+def test_sharded_counterfactuals_match_single_device():
+    mesh = parallel.sample_parallel_mesh(8)
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    rng = np.random.RandomState(1)
+    b, s = 1, 8
+    x = jnp.asarray(rng.rand(b, 2, 3, 32, 32).astype(np.float32))
+    n = model.num_patches
+    passive = np.ones((b, n, s), dtype=bool)
+    passive[:, :n // 2] = False
+    active = passive.copy()
+    for i in range(s):
+        active[0, n // 2 + rng.randint(n // 2), i] = False
+    passive, active = jnp.asarray(passive), jnp.asarray(active)
+    shifts = jnp.asarray(rng.randint(-1, 2, size=(b, s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(2), b * s).reshape(b, s, 2)
+    n_vis = n // 2 + 1
+
+    args = (model, params, raft, raft_params, x, passive, active, shifts,
+            keys, n_vis, True, 1, True)
+    y_ref, f_ref, m_ref = counterfactual_videos_and_flows(*args)
+    y_sh, f_sh, m_sh = parallel.sharded_counterfactuals(mesh, *args)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
+
+
+def test_sharded_train_step_runs_and_matches():
+    mesh = parallel.make_mesh({'dp': 2, 'tp': 2})
+    model = _tiny_model()
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    state = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+
+    mask, n_vis = jtrain.make_batch_masks(jax.random.PRNGKey(1), model,
+                                          batch_size=4, mask_ratio=0.5)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(4, 2, 3, 32, 32).astype(np.float32))
+
+    # single-device result
+    step = jtrain.make_train_step(model, opt, n_vis)
+    ref_state, ref_metrics = step(state, x, mask)
+
+    # sharded result
+    jitted, shard_state, data_sharding = jtrain.make_sharded_train_step(
+        model, opt, mesh, n_vis)
+    st = shard_state(state)
+    xs = jax.device_put(x, data_sharding)
+    ms = jax.device_put(mask, data_sharding)
+    new_state, metrics = jitted(st, xs, ms)
+    assert np.isfinite(float(metrics['loss']))
+    np.testing.assert_allclose(float(metrics['loss']),
+                               float(ref_metrics['loss']), rtol=1e-4)
+    # params actually updated and match the single-device update
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(ref_state.params)[0])
+    sh_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
+
+
+def test_train_loss_decreases():
+    model = _tiny_model()
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=50)
+    state = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+    mask, n_vis = jtrain.make_batch_masks(jax.random.PRNGKey(1), model,
+                                          batch_size=2, mask_ratio=0.5)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 2, 3, 32, 32).astype(np.float32))
+    step = jax.jit(jtrain.make_train_step(model, opt, n_vis))
+    losses = []
+    for _ in range(8):
+        state, m = step(state, x, mask)
+        losses.append(float(m['loss']))
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,184 @@
+"""Golden + invariant tests for the counterfactual flow pipeline."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reference_shims import install as install_reference
+install_reference()
+
+import torch  # noqa: E402
+
+from counterfactualworldmodels_tpu.models import vmae as jvmae  # noqa: E402
+from counterfactualworldmodels_tpu.models.raft.raft import RAFT  # noqa: E402
+from counterfactualworldmodels_tpu.pipelines import (  # noqa: E402
+    FlowGenerator, MovabilityPredictor, compute_flow_corrs,
+    flow_sample_filter)
+from counterfactualworldmodels_tpu.utils.torch_convert import (  # noqa: E402
+    convert_raft, convert_vmae)
+
+
+def test_flow_sample_filter_matches_reference():
+    from cwm.models.sampling import FlowSampleFilter as RefFilter
+    rng = np.random.RandomState(0)
+    b, h, w, s = 2, 16, 16, 6
+    flows = (rng.randn(b, 2, h, w, s) * 4).astype(np.float32)
+    # active patches over 2 frames of a 4x4 grid
+    active = np.ones((b, 32, s), dtype=bool)
+    for bi in range(b):
+        for si in range(s):
+            active[bi, 16 + rng.randint(16), si] = False
+
+    ref_filter = RefFilter(flow_magnitude_threshold=2.0,
+                           flow_area_threshold=0.5, num_corners_threshold=2)
+    ref_flows, ref_mask = ref_filter(torch.tensor(flows.copy()),
+                                     torch.tensor(active))
+    mine, mask = flow_sample_filter(jnp.asarray(flows), jnp.asarray(active),
+                                    flow_magnitude_threshold=2.0,
+                                    flow_area_threshold=0.5,
+                                    num_corners_threshold=2)
+    np.testing.assert_array_equal(np.asarray(mask), ref_mask.numpy()[:, 0, 0, 0])
+    np.testing.assert_allclose(np.asarray(mine), ref_flows.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize('use_covariance', [True, False])
+def test_flow_corrs_matches_reference(use_covariance):
+    from cwm.models.segmentation import FlowGenerator as RefFG
+    rng = np.random.RandomState(1)
+    flows = rng.randn(2, 2, 8, 8, 5).astype(np.float32)
+    ref = RefFG.compute_flow_corrs(torch.tensor(flows), downsample=2,
+                                   use_covariance=use_covariance).numpy()
+    mine = np.asarray(compute_flow_corrs(jnp.asarray(flows), downsample=2,
+                                         use_covariance=use_covariance))
+    assert mine.shape == ref.shape
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+
+def _paired_generators(img_size=128, patch=8):
+    """(reference FlowGenerator, my FlowGenerator) with identical weights."""
+    from cwm.models.VideoMAE.vmae import PretrainVisionTransformer as TorchPVT
+    from cwm.models.segmentation import FlowGenerator as RefFG
+    from cwm.models.raft.raft_model import RAFT as TorchRAFT, get_args
+
+    torch.manual_seed(0)
+    tmodel = TorchPVT(
+        img_size=img_size, patch_size=(patch, patch), encoder_embed_dim=48,
+        encoder_depth=2, encoder_num_heads=4, encoder_num_classes=0,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2, qkv_bias=True, num_frames=2, tubelet_size=1,
+        decoder_num_classes=3 * patch * patch,
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6)).eval()
+
+    args = get_args('')
+    args.multiframe = True
+    args.scale_inputs = True
+    args.small = False
+    args.output_dim = None
+    args.mixed_precision = False
+    torch.manual_seed(1)
+    traft = TorchRAFT(args).eval()
+
+    ref = RefFG(predictor=tmodel, flow_model=traft, raft_iters=2,
+                imagenet_normalize_inputs=True, temporal_dim=2, seed=0)
+
+    jmodel = jvmae.PretrainVisionTransformer(
+        img_size=(img_size, img_size), patch_size=(patch, patch),
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        mlp_ratio=2.0, qkv_bias=True, num_frames=2, tubelet_size=1)
+    jraft = RAFT(iters=2)
+    mine = FlowGenerator(predictor=jmodel,
+                         params=convert_vmae(tmodel.state_dict()),
+                         flow_model=jraft,
+                         flow_params=convert_raft(traft.state_dict()),
+                         raft_iters=2, imagenet_normalize_inputs=True, seed=0)
+    return ref, mine
+
+
+def test_create_motion_counterfactuals_matches_reference():
+    ref, mine = _paired_generators()
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    n = 2 * 16 * 16
+    passive = np.ones((1, n), dtype=bool)
+    passive[0, :n // 2] = False          # frame 0 visible
+    passive[0, n // 2 + 37] = False      # one passive patch in frame 1
+    active = np.ones((1, n), dtype=bool)
+    active[0, :n // 2] = False
+    active[0, n // 2 + 7 * 16 + 8] = False  # one active patch
+    shifts = [(1, 1), (-1, 2)]
+
+    ref.set_input(torch.tensor(x))
+    x_ref, m_ref = ref.create_motion_counterfactuals(
+        torch.tensor(x),
+        masks=torch.tensor(passive)[..., None].expand(-1, -1, 2),
+        active_patches=torch.tensor(active)[..., None].expand(-1, -1, 2),
+        shifts=shifts, num_samples=2, fix_passive=True)
+
+    mine.set_input(jnp.asarray(x))
+    x_mine, m_mine = mine.create_motion_counterfactuals(
+        jnp.asarray(x), masks=jnp.tile(jnp.asarray(passive)[..., None],
+                                       (1, 1, 2)),
+        active_patches=jnp.tile(jnp.asarray(active)[..., None], (1, 1, 2)),
+        shifts=shifts, num_samples=2, fix_passive=True)
+    np.testing.assert_allclose(np.asarray(x_mine), x_ref.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_mine), m_ref.numpy())
+
+
+def test_counterfactual_videos_and_flows_match_reference():
+    """Full fused pipeline vs the reference chain (predictor + RAFT)."""
+    ref, mine = _paired_generators()
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    n = 2 * 16 * 16
+    active = np.ones((1, n), dtype=bool)
+    active[0, :n // 2] = False
+    active[0, n // 2 + 5 * 16 + 5] = False
+    shifts = [(2, 1), (1, -2)]
+
+    with torch.no_grad():
+        y_ref, f_ref = ref.predict_counterfactual_videos_and_flows(
+            torch.tensor(x), active_patches=torch.tensor(active),
+            shifts=shifts, num_samples=2, sample_batch_size=2)
+    y, f = mine.predict_counterfactual_videos_and_flows(
+        jnp.asarray(x), active_patches=jnp.asarray(active), shifts=shifts,
+        num_samples=2, sample_batch_size=2)
+    assert y.shape == tuple(y_ref.shape)
+    assert f.shape == tuple(f_ref.shape)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f), f_ref.numpy(), atol=2e-2)
+
+
+def test_sample_counterfactual_motion_map_shapes():
+    _, mine = _paired_generators()
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    flows, active, passive = mine.sample_counterfactual_motion_map(
+        jnp.asarray(x), num_active_patches=1, num_passive_patches=1,
+        num_samples=3, sample_batch_size=3)
+    assert flows.shape == (1, 2, 128, 128, 3)
+    assert active.shape == (1, 512, 3)
+    assert np.isfinite(np.asarray(flows)).all()
+    motion = mine.compute_mean_motion_map(flows)
+    assert motion.shape == (1, 1, 128, 128)
+    assert float(motion.max()) <= 1.0 + 1e-5
+
+
+def test_movability_predictor_runs():
+    _, base = _paired_generators()
+    m = MovabilityPredictor(
+        predictor=base.predictor, params=base.params,
+        flow_model=base.flow_model, flow_params=base.flow_params,
+        raft_iters=2, imagenet_normalize_inputs=True, seed=0,
+        initialize_from_keypoints=False, num_initial_samples=2,
+        num_samples_per_iteration=2, num_iters=1, sample_batch_size=2)
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    out = m(jnp.asarray(x))
+    assert out.shape == (1, 1, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    assert len(m.flow_samples_per_iter) == 2
+    total = m.get_total_movability()
+    assert total.shape == (1, 1, 128, 128)
+    mini = m.get_minimum_movability()
+    assert mini.shape == (1, 1, 128, 128)

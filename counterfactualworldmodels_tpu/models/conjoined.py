@@ -550,6 +550,9 @@ class ConjoinedPredictorWrapper:
         m = self.model.main
         return (m.tubelet_size,) + m.patch_size
 
+    # alias matching the plain-VMAE module surface
+    full_patch_size = patch_size
+
     @property
     def img_size(self):
         return self.model.main.img_size

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):

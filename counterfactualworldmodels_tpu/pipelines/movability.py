@@ -207,3 +207,20 @@ class MovabilityPredictor(FlowGenerator):
         return self.movability_maps[-1]
 
     forward = __call__
+
+
+def make_imu_conditioned_movability_predictor():
+    """Class combining MovabilityPredictor with the IMU-conditioned pipeline
+    (the reference demo composition: movability.py:13 extends
+    ImuConditionedFlowGenerator). Deferred to avoid an import cycle."""
+    from .imu import ImuConditionedFlowGenerator
+
+    class ImuConditionedMovabilityPredictor(MovabilityPredictor,
+                                            ImuConditionedFlowGenerator):
+        pass
+
+    return ImuConditionedMovabilityPredictor
+
+
+def ImuConditionedMovabilityPredictor(*args, **kwargs):  # noqa: N802
+    return make_imu_conditioned_movability_predictor()(*args, **kwargs)

@@ -370,6 +370,15 @@ class FlowGenerator(PredictorBasedGenerator):
         return (x_out.reshape(b * s, *x.shape[1:]),
                 mask_out.reshape(b * s, n))
 
+    def _counterfactual_chunk(self, x, passive, active, shifts, keys,
+                              n_vis, iters, fix_passive):
+        """One fused jitted chunk; overridden by context-conditioned
+        generators (pipelines/imu.py)."""
+        return counterfactual_videos_and_flows(
+            self.predictor, self.params, self.flow_model, self.flow_params,
+            x, passive, active, shifts, keys, n_vis,
+            self.imagenet_normalize_inputs, iters, fix_passive)
+
     def predict_counterfactual_videos_and_flows(
             self, x, active_patches, passive_patches=None, shifts=None,
             num_samples=8, sample_batch_size=8, fix_passive=True,
@@ -431,11 +440,9 @@ class FlowGenerator(PredictorBasedGenerator):
             keys = jax.random.split(self.next_key(),
                                     b * (s1 - s0)).reshape(b, s1 - s0, 2)
             sh = jnp.broadcast_to(shifts[None, s0:s1], (b, s1 - s0, 2))
-            y, fl, _ = counterfactual_videos_and_flows(
-                self.predictor, self.params, self.flow_model,
-                self.flow_params, x, passive_patches[..., s0:s1],
-                active_patches[..., s0:s1], sh, keys, n_vis,
-                self.imagenet_normalize_inputs, iters, fix_passive)
+            y, fl, _ = self._counterfactual_chunk(
+                x, passive_patches[..., s0:s1], active_patches[..., s0:s1],
+                sh, keys, n_vis, iters, fix_passive)
             ys.append(y.reshape(b, s1 - s0, *y.shape[1:]))
             flows.append(fl.reshape(b, s1 - s0, *fl.shape[1:]))
         y = jnp.concatenate(ys, 1).reshape(b * s, 2, *x.shape[2:])

@@ -119,8 +119,18 @@ def _install_torchvision():
             return torch.nn.functional.interpolate(
                 x.float(), size=self.size, mode='bilinear', align_corners=False)
 
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
     transforms.CenterCrop = CenterCrop
     transforms.Resize = Resize
+    transforms.Compose = Compose
     transforms.ToPILImage = lambda *a, **k: (lambda x: x)
     tvmodels.vgg16 = lambda *a, **k: None
     tv.transforms = transforms

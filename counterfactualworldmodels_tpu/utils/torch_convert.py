@@ -317,3 +317,41 @@ def load_conjoined_checkpoint(path: str, context_is_imu: bool = True) -> Dict:
     if isinstance(weights, dict) and 'model' in weights:
         weights = weights['model']
     return convert_conjoined(weights, context_is_imu=context_is_imu)
+
+
+# ---------------------------------------------------------------------------
+# ChannelMAE (reference cwm/models/VideoMAE/cmae.py)
+# ---------------------------------------------------------------------------
+
+def convert_channel_mae(sd: Dict) -> Dict:
+    """Reference ChannelMae state dict -> flax params for models.cmae."""
+    sd = strip_prefixes(sd)
+    tree: Dict = {}
+    groups = sorted({int(k.split('.')[2]) for k in sd
+                     if k.startswith('encoder.patch_embed.')})
+    for g in groups:
+        w = _np(sd[f'encoder.patch_embed.{g}.proj.weight'])  # [E,C,ph,pw]
+        e = w.shape[0]
+        # ImagePatchEmbed conv -> matmul on (ph pw c)-ordered patch vectors
+        _set(tree, f'encoder/patch_embeds_{g}/kernel',
+             w.transpose(2, 3, 1, 0).reshape(-1, e))
+        _set(tree, f'encoder/patch_embeds_{g}/bias',
+             _np(sd[f'encoder.patch_embed.{g}.proj.bias']))
+    enc_depth = max((int(k.split('.')[2]) for k in sd
+                     if k.startswith('encoder.blocks.')), default=-1) + 1
+    dec_depth = max((int(k.split('.')[2]) for k in sd
+                     if k.startswith('decoder.blocks.')), default=-1) + 1
+    for i in range(enc_depth):
+        _block(tree, f'encoder/blocks_{i}', sd, f'encoder.blocks.{i}')
+    _layernorm(tree, 'encoder/norm', sd, 'encoder.norm')
+    for i in range(dec_depth):
+        _block(tree, f'decoder/blocks_{i}', sd, f'decoder.blocks.{i}')
+    _layernorm(tree, 'decoder/norm', sd, 'decoder.norm')
+    _linear(tree, 'encoder_to_decoder', sd, 'encoder_to_decoder', bias=False)
+    if 'mask_token' in sd:
+        _set(tree, 'mask_token', _np(sd['mask_token']))
+    heads = sorted({int(k.split('.')[1]) for k in sd
+                    if k.startswith('channel_heads.')})
+    for g in heads:
+        _linear(tree, f'channel_heads_{g}', sd, f'channel_heads.{g}')
+    return tree

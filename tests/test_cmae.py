@@ -1,0 +1,141 @@
+"""ChannelMAE golden parity + Soft variant invariants."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reference_shims import install as install_reference
+install_reference()
+
+import torch  # noqa: E402
+
+from counterfactualworldmodels_tpu.models import cmae as jcmae  # noqa: E402
+from counterfactualworldmodels_tpu.utils import torch_convert as tc  # noqa: E402
+
+
+def _pair(img=32, patch=8, partition=(1, 2)):
+    from cwm.models.VideoMAE.cmae import ChannelMae as TorchCMae
+    torch.manual_seed(0)
+    enc = dict(image_size=img, patch_size=(patch, patch),
+               in_channels=sum(partition), channel_partition=partition,
+               embed_dim=48, depth=2, num_heads=4, mlp_ratio=2.0,
+               qkv_bias=True)
+    dec = dict(embed_dim=32, depth=1, num_heads=4, mlp_ratio=2.0,
+               qkv_bias=True)
+    tmodel = TorchCMae(encoder_params=enc, decoder_params=dec).eval()
+
+    jmodel = jcmae.ChannelMae(
+        image_size=(img, img), patch_size=(patch, patch),
+        in_channels=sum(partition), channel_partition=partition,
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True)
+    return tmodel, jmodel
+
+
+def _group_mask(rng, b, groups, n_per, vis_per_group):
+    mask = np.ones((b, groups * n_per), dtype=bool)
+    for i in range(b):
+        for g in range(groups):
+            vis = rng.choice(n_per, vis_per_group[g], replace=False)
+            mask[i, g * n_per + vis] = False
+    return mask
+
+
+def test_channel_mae_matches_reference():
+    # NOTE: B=1 only — the reference forward boolean-indexes a [1,N,C] pos
+    # table with a [B,N,C] mask and breaks for B>1 (cmae.py:479-484)
+    partition = (1, 2)
+    tmodel, jmodel = _pair(partition=partition)
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    n_per = jmodel.patches_per_group
+    vis = [5, 7]
+    mask = _group_mask(rng, 1, 2, n_per, vis)
+    n_vis = sum(vis)
+    counts = tuple(n_per - v for v in vis)
+
+    with torch.no_grad():
+        ys_ref = tmodel(torch.tensor(x), torch.tensor(mask))
+    ys = jcmae.apply_channel_mae(jmodel, params, jnp.asarray(x),
+                                 jnp.asarray(mask), n_vis, counts)
+    assert len(ys) == len(ys_ref)
+    for y, y_ref in zip(ys, ys_ref):
+        assert y.shape == tuple(y_ref.shape)
+        np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+
+
+def test_channel_mae_labels_and_loss_match_reference():
+    partition = (1, 2)
+    tmodel, jmodel = _pair(partition=partition)
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    n_per = jmodel.patches_per_group
+    vis = [4, 6]
+    mask = _group_mask(rng, 1, 2, n_per, vis)
+    counts = tuple(n_per - v for v in vis)
+    n_vis = sum(vis)
+
+    with torch.no_grad():
+        labels_ref = tmodel.compute_labels(torch.tensor(x), torch.tensor(mask))
+        loss_ref = tmodel.compute_train_loss(torch.tensor(x),
+                                             torch.tensor(mask))
+    labels = jmodel.apply({'params': params}, jnp.asarray(x),
+                          jnp.asarray(mask), counts,
+                          method=jmodel.compute_labels)
+    for l, l_ref in zip(labels, labels_ref):
+        np.testing.assert_allclose(np.asarray(l), l_ref.numpy(), atol=1e-6)
+    loss = jcmae.channel_mae_train_loss(jmodel, params, jnp.asarray(x),
+                                        jnp.asarray(mask), n_vis, counts)
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+
+
+def test_channel_mae_predict_image_matches_reference():
+    partition = (1, 2)
+    tmodel, jmodel = _pair(partition=partition)
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    n_per = jmodel.patches_per_group
+    vis = [6, 6]
+    mask = _group_mask(rng, 1, 2, n_per, vis)
+    counts = tuple(n_per - v for v in vis)
+    with torch.no_grad():
+        img_ref = tmodel.predict_image(torch.tensor(x), torch.tensor(mask))
+    img = jcmae.channel_mae_predict_image(jmodel, params, jnp.asarray(x),
+                                          jnp.asarray(mask), sum(vis), counts)
+    assert img.shape == tuple(img_ref.shape)
+    np.testing.assert_allclose(np.asarray(img), img_ref.numpy(), atol=5e-4)
+
+
+def test_group_uniform_mask():
+    mask, counts = jcmae.group_uniform_mask(jax.random.PRNGKey(0),
+                                            (3, 4, 4), 0.75, batch_size=2)
+    m = np.asarray(mask).reshape(2, 3, 16)
+    assert (m.sum(-1) == 12).all()
+    assert counts == (12, 12, 12)
+
+
+def test_soft_channel_mae_differentiable():
+    model = jcmae.SoftChannelMae(
+        image_size=(32, 32), patch_size=(8, 8), in_channels=3,
+        channel_partition=(1, 2), encoder_embed_dim=48, encoder_depth=1,
+        encoder_num_heads=4, decoder_embed_dim=32, decoder_depth=1,
+        decoder_num_heads=4, mlp_ratio=2.0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    soft = jnp.full((1, model.num_patches), 0.5)
+    params = model.init(jax.random.PRNGKey(0), x, soft)['params']
+    ys = model.apply({'params': params}, x, soft)
+    assert len(ys) == 2
+    assert ys[0].shape == (1, 16, 64) and ys[1].shape == (1, 16, 128)
+
+    def loss(s):
+        outs = model.apply({'params': params}, x, s)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    g = jax.grad(loss)(soft)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0  # gradients flow through the mask

@@ -64,11 +64,62 @@ def bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.n
     return out
 
 
+def pad_pyramid(pyramid: List[jnp.ndarray], radius: int) -> List[jnp.ndarray]:
+    """Zero-pad each level by radius+2 so window lookups never leave the
+    array. Call once per pyramid (outside the GRU scan) — padding inside the
+    refinement loop would re-materialize every iteration."""
+    pad = radius + 2
+    return [jnp.pad(lv, ((0, 0), (pad, pad), (pad, pad))) for lv in pyramid]
+
+
+def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                   radius: int, h: int, w: int) -> jnp.ndarray:
+    """Bilinear window sample via ONE contiguous dynamic-slice per query.
+
+    The (2r+1)^2 bilinear samples of a window share a (2r+2)^2 integer patch,
+    so instead of 4 scattered element-gathers per offset (the XLA-gather
+    formulation is ~25x slower on TPU), slice the patch and combine the four
+    shifted views with the separable bilinear weights. Zero padding + coord
+    pre-clipping reproduce grid_sample's zero out-of-bounds exactly.
+
+    level_padded: [N, h+2p, w+2p] (p = radius+2); x, y: [N] float coords in
+    the UNPADDED frame. Returns [N, 2r+1, 2r+1] where out[:, a, b] is the
+    sample at (x - r + a, y - r + b) — the reference's offset ordering
+    (corr.py:43-49: first axis offsets x, second offsets y).
+    """
+    r = radius
+    pad = r + 2
+    win = 2 * r + 2
+    # clip so the window stays inside the padded array; clipped coords have
+    # fully-out-of-bounds windows whose real-data contributions get weight 0
+    x = jnp.clip(x, -(r + 1.0), w + r)
+    y = jnp.clip(y, -(r + 1.0), h + r)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None, None]
+    wy = (y - y0)[:, None, None]
+    sy = (y0 - r + pad).astype(jnp.int32)
+    sx = (x0 - r + pad).astype(jnp.int32)
+
+    patch = jax.vmap(
+        lambda lv, yy, xx: jax.lax.dynamic_slice(lv, (yy, xx), (win, win))
+    )(level_padded, sy, sx)  # [N, win, win] rows=y, cols=x
+
+    p = 2 * r + 1
+    out = ((1 - wy) * (1 - wx) * patch[:, :p, :p] +
+           (1 - wy) * wx * patch[:, :p, 1:] +
+           wy * (1 - wx) * patch[:, 1:, :p] +
+           wy * wx * patch[:, 1:, 1:])
+    # out[n, row=y-offset, col=x-offset] -> reference order [x-offset, y-offset]
+    return jnp.swapaxes(out, 1, 2)
+
+
 def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
-                   radius: int) -> jnp.ndarray:
+                   radius: int, padded: bool = False) -> jnp.ndarray:
     """Index the correlation pyramid around current flow coords.
 
-    coords: [B, H, W, 2] (x, y) pixel coords at 1/8 res.
+    coords: [B, H, W, 2] (x, y) pixel coords at 1/8 res. ``padded`` marks
+    pyramid levels already processed by :func:`pad_pyramid`.
     Returns [B, H, W, num_levels * (2r+1)^2] features, ordered exactly like
     the reference (levels outer; within a level, offset (i, j) row-major
     where i offsets x and j offsets y).
@@ -76,18 +127,16 @@ def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
     b, h, w, _ = coords.shape
     r = radius
     p = 2 * r + 1
-    off = jnp.arange(-r, r + 1, dtype=coords.dtype)
-    # reference: delta[...,0] (added to x) varies along axis 0; delta[...,1]
-    # (added to y) varies along axis 1
-    off_x = jnp.broadcast_to(off[:, None], (p, p))
-    off_y = jnp.broadcast_to(off[None, :], (p, p))
+    if not padded:
+        pyramid = pad_pyramid(pyramid, radius)
+    pad = r + 2
 
     x = coords[..., 0].reshape(b * h * w)
     y = coords[..., 1].reshape(b * h * w)
     out = []
     for i, level in enumerate(pyramid):
-        xs = x[:, None, None] / (2 ** i) + off_x[None]
-        ys = y[:, None, None] / (2 ** i) + off_y[None]
-        vals = bilinear_sample(level, xs, ys)  # [BHW, p, p]
+        lh = level.shape[1] - 2 * pad
+        lw = level.shape[2] - 2 * pad
+        vals = _window_lookup(level, x / (2 ** i), y / (2 ** i), r, lh, lw)
         out.append(vals.reshape(b, h, w, p * p))
     return jnp.concatenate(out, axis=-1)

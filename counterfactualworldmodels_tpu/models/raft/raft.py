@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .corr import all_pairs_correlation, build_pyramid, lookup_pyramid
+from .corr import (all_pairs_correlation, build_pyramid, lookup_pyramid,
+                   pad_pyramid)
 from .layers import (BasicEncoder, BasicUpdateBlock, SmallEncoder,
                      SmallUpdateBlock, conv)
 
@@ -68,7 +69,8 @@ class _UpdateStep(nn.Module):
     @nn.compact
     def __call__(self, carry, inp, coords0, pyramid):
         net, coords1, _prev_mask = carry
-        corr = lookup_pyramid(pyramid, coords1, self.corr_radius)
+        corr = lookup_pyramid(pyramid, coords1, self.corr_radius,
+                              padded=True)
         flow = coords1 - coords0
         if self.small:
             block = SmallUpdateBlock(self.corr_levels, self.corr_radius,
@@ -126,8 +128,9 @@ class RAFT(nn.Module):
 
         fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
         fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
-        pyramid = build_pyramid(all_pairs_correlation(fmap1, fmap2),
-                                self.corr_levels)
+        pyramid = pad_pyramid(
+            build_pyramid(all_pairs_correlation(fmap1, fmap2),
+                          self.corr_levels), self.corr_radius)
 
         c = cnet(x1)
         net = jnp.tanh(c[..., :hdim])

@@ -463,3 +463,53 @@ class PredictorBasedGenerator:
         if mask is None:
             self.mask = self.generate_mask(self.x)
         return self.predict(self.x, self.mask, frame=frame, **kwargs)
+
+
+# -- visualization-support methods (referenced by the interface) -----------
+
+def _masked_pred_patches(self, preds, mask, invert=False, fill_value=None):
+    """Zero (or fill) everything except the visible patches
+    (reference prediction.py:261-282)."""
+    preds = jnp.asarray(preds)
+    t = preds.shape[1]
+    th, tw = self.mask_shape[-2:]
+    m = mask.reshape(mask.shape[0], -1, th, tw)
+    m_pix = mask_ops.upsample_masks(m, preds.shape[-2:]).astype(preds.dtype)
+    if invert:
+        m_pix = 1.0 - m_pix
+    out = preds * m_pix[:, :, None]
+    if fill_value is not None:
+        fv = jnp.asarray(fill_value, preds.dtype).reshape(1, 1, -1, 1, 1)
+        out = out + (1.0 - m_pix[:, :, None]) * fv
+    return out
+
+
+def _unmask_one_patch(mask, idx, mask_shape=None, frame=0):
+    """Reveal the patch at idx (reference prediction.py:580-607)."""
+    mask = jnp.asarray(mask)
+    shape = mask.shape
+    if mask_shape is None:
+        return mask.at[:, idx].set(False)
+    m = mask.reshape(-1, *mask_shape)
+    if len(idx) == 2:
+        idx = [frame] + list(idx)
+    m = m.at[(slice(None),) + tuple(idx)].set(False)
+    return m.reshape(shape)
+
+
+def _mask_from_patch_idx_list(self, patch_idx_list, b=0, frame=-1):
+    """Visible mask at the given (i, j) patch positions
+    (reference prediction.py:640-648)."""
+    m = np.asarray(self.get_zeros_mask(frame=frame)).reshape(
+        -1, *self.mask_shape).copy()
+    t = frame % self.mask_shape[0]
+    for p in patch_idx_list:
+        i, j = p[-2], p[-1]
+        m[b, t, i % self.mask_shape[1], j % self.mask_shape[2]] = False
+    return jnp.asarray(m.reshape(m.shape[0], -1))
+
+
+PredictorBasedGenerator.get_masked_pred_patches = _masked_pred_patches
+PredictorBasedGenerator.unmask_one_patch = staticmethod(_unmask_one_patch)
+PredictorBasedGenerator.generate_mask_from_patch_idx_list = \
+    _mask_from_patch_idx_list

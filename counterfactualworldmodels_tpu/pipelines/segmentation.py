@@ -484,3 +484,44 @@ class FlowGenerator(PredictorBasedGenerator):
         return flows, active_patches, passive_patches
 
     compute_flow_corrs = staticmethod(compute_flow_corrs)
+
+
+def _flowshow(self, flow, set_max_speed=True, frame=0, ax=None, title=None,
+              fontsize=12, **kwargs):
+    """Render a flow field as RGB (reference segmentation.py:155-168)."""
+    from ..ops.flow_viz import flow_to_rgb
+    from ..vis_utils import imshow
+    flow = jnp.asarray(flow)
+    if flow.ndim == 5:
+        flow = flow[:, frame]
+    max_speed = 1.0
+    if set_max_speed:
+        max_speed = float(jnp.sqrt((flow ** 2).sum(-3)).max())
+        self._last_max_speed = max_speed
+    else:
+        max_speed = getattr(self, '_last_max_speed', 1.0)
+    rgb = flow_to_rgb(flow, max_speed=max(max_speed, 1e-6))
+    return imshow(np.asarray(rgb), ax=ax, title=title, fontsize=fontsize,
+                  **kwargs)
+
+
+def _get_error_maps(self, x, mask, frame=1, **kwargs):
+    """True vs predicted flow and their error (the reference interface calls
+    a G.get_error_maps that does not exist anywhere in the reference tree —
+    interface.py:624 — implemented here working)."""
+    x = jnp.asarray(x)
+    if x.ndim == 4:
+        x = x[:, None]
+    if x.shape[1] == 1:
+        x = jnp.broadcast_to(x, (x.shape[0], 2, *x.shape[2:]))
+    self.set_input(x)
+    flow_true = self.predict_flow(x)
+    y = self.predict(x, mask, frame=None)
+    flow_pred = self.predict_flow(y)
+    err = jnp.sqrt(((flow_true - flow_pred) ** 2).sum(2))
+    return {'flow_true': flow_true, 'flow_pred': flow_pred,
+            'flow_error': err, 'pred': y}
+
+
+FlowGenerator.flowshow = _flowshow
+FlowGenerator.get_error_maps = _get_error_maps

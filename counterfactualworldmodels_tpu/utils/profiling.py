@@ -1,0 +1,93 @@
+"""Tracing & profiling utilities.
+
+The reference has no profiling story beyond ad-hoc time.time() deltas
+(SURVEY.md §5). This module provides: XLA profiler traces viewable in
+TensorBoard/Perfetto, per-stage wall-clock timers that force device
+completion (the axon TPU platform's block_until_ready does not actually
+block, so timers sync via a scalar fetch), and a simple metrics logger.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def device_sync(x=None) -> None:
+    """Force completion of pending device work (axon-safe)."""
+    if x is not None:
+        leaves = jax.tree_util.tree_leaves(x)
+        if leaves:
+            float(jnp.sum(jnp.abs(leaves[0].astype(jnp.float32))))
+            return
+    jnp.zeros(()).block_until_ready()
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = '/tmp/cwm_tpu_trace'):
+    """XLA profiler trace: view with TensorBoard or Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    """Accumulating per-stage wall-clock timer with device sync."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_on=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            device_sync(sync_on)
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {k: {'total_s': round(self.totals[k], 4),
+                    'count': self.counts[k],
+                    'mean_s': round(self.totals[k] / max(self.counts[k], 1), 4)}
+                for k in self.totals}
+
+    def report(self) -> str:
+        lines = ['%-32s %8s %10s %10s' % ('stage', 'count', 'total(s)',
+                                          'mean(s)')]
+        for k, v in sorted(self.summary().items(),
+                           key=lambda kv: -kv[1]['total_s']):
+            lines.append('%-32s %8d %10.3f %10.4f'
+                         % (k, v['count'], v['total_s'], v['mean_s']))
+        return '\n'.join(lines)
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log (step, wall time, values)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.history = []
+
+    def log(self, step: int, **metrics):
+        rec = {'step': int(step), 'time': time.time()}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = str(v)
+        self.history.append(rec)
+        if self.path:
+            with open(self.path, 'a') as f:
+                f.write(json.dumps(rec) + '\n')
+        return rec

@@ -1,0 +1,128 @@
+"""Checkpointing, profiling, and interface smoke tests."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import matplotlib
+
+matplotlib.use('Agg')
+
+from counterfactualworldmodels_tpu.models import vmae as jvmae
+from counterfactualworldmodels_tpu.models.raft.raft import RAFT, init_raft_params
+from counterfactualworldmodels_tpu.pipelines import FlowGenerator
+from counterfactualworldmodels_tpu.training import train as jtrain
+from counterfactualworldmodels_tpu.utils import checkpoint as ckpt
+from counterfactualworldmodels_tpu.utils.profiling import (StageTimer,
+                                                           MetricsLogger)
+
+
+def _tiny_model():
+    return jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=64,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    path = str(tmp_path / 'params')
+    ckpt.save_params(path, params)
+    restored = ckpt.load_params(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_resume(tmp_path):
+    model = _tiny_model()
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    state = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+    mask, n_vis = jtrain.make_batch_masks(jax.random.PRNGKey(1), model,
+                                          batch_size=1, mask_ratio=0.5)
+    x = jnp.zeros((1, 2, 3, 32, 32))
+    step = jax.jit(jtrain.make_train_step(model, opt, n_vis))
+    mgr = ckpt.CheckpointManager(str(tmp_path / 'run'), max_to_keep=2)
+    for i in range(3):
+        state, _ = step(state, x, mask)
+        mgr.save(int(state.step), state)
+    assert mgr.all_steps() == [2, 3]  # rolled to max_to_keep
+    template = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+    restored = mgr.restore_latest(template)
+    assert int(restored.step) == 3
+    # resumed state continues training identically
+    s1, m1 = step(state, x, mask)
+    s2, m2 = step(restored, x, mask)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-6)
+
+
+def test_stage_timer_and_metrics(tmp_path):
+    t = StageTimer()
+    with t.stage('a'):
+        jnp.zeros((8, 8)).sum()
+    with t.stage('a'):
+        pass
+    assert t.summary()['a']['count'] == 2
+    assert 'a' in t.report()
+    log = MetricsLogger(str(tmp_path / 'm.jsonl'))
+    log.log(1, loss=0.5)
+    log.log(2, loss=0.25)
+    assert len(open(log.path).readlines()) == 2
+
+
+def test_interface_events_end_to_end():
+    """Drive the matplotlib interface with synthetic events."""
+    import matplotlib.pyplot as plt
+    from counterfactualworldmodels_tpu.interface import (
+        CounterfactualPredictionInterface)
+
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+    G = FlowGenerator(predictor=model, params=params, flow_model=raft,
+                      flow_params=raft_params, raft_iters=1,
+                      imagenet_normalize_inputs=True, seed=0)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    fig, axes = plt.subplots(2, 2)
+    ui = CounterfactualPredictionInterface(
+        axes, G, x=x, size=(32, 32), max_shift=2, sample_batch_size=2,
+        show_ticks=False)
+
+    class Event:
+        def __init__(self, x, y, key=None, button=1):
+            self.xdata, self.ydata = x, y
+            self.key = key
+            self.button = button
+            self.dblclick = False
+
+    # click an active patch, then a passive patch
+    n_per = 16  # 4x4 patch grid per frame
+    ui(Event(12, 12))
+    assert int((~np.asarray(ui.active_patches))[:, n_per:].sum()) == 1
+    ui(Event(20, 20, key='meta'))
+    assert int((~np.asarray(ui.passive_patches))[:, n_per:].sum()) == 1
+    # run a single counterfactual ('f')
+    ui(Event(12, 12, key='f'))
+    assert len(ui.flow_samples_list) == 1
+    assert ui.flow.shape[-2:] == (32, 32)
+    # run a batch ('b')
+    ui(Event(12, 12, key='b'))
+    assert len(ui.flow_samples_list) == 3
+    # covariance probe ('x')
+    ui(Event(12, 12, key='x'))
+    assert ui._flow_corrs is not None
+    # error maps ('e')
+    ui(Event(12, 12, key='e'))
+    # reset ('shift')
+    ui(Event(12, 12, key='shift'))
+    assert int((~np.asarray(ui.active_patches))[:, n_per:].sum()) == 0
+    assert len(ui.flow_samples_list) == 0
+    # restore ('alt')
+    ui(Event(12, 12, key='alt'))
+    plt.close(fig)

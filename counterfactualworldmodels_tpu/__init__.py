@@ -10,4 +10,8 @@ pjit/shard_map over device meshes).
 
 __version__ = '0.1.0'
 
-from . import ops, masking  # noqa: F401
+from . import ops, masking, models, pipelines, parallel, training, utils  # noqa: F401
+from .pipelines import (PredictorBasedGenerator, FlowGenerator,  # noqa: F401
+                        MovabilityPredictor, ImuGenerator,
+                        ImuConditionedFlowGenerator, FlowSampleFilter)
+from .interface import CounterfactualPredictionInterface  # noqa: F401

@@ -90,6 +90,7 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     r = radius
     pad = r + 2
     win = 2 * r + 2
+    n, hp, wp = level_padded.shape
     # clip so the window stays inside the padded array; clipped coords have
     # fully-out-of-bounds windows whose real-data contributions get weight 0
     x = jnp.clip(x, -(r + 1.0), w + r)
@@ -101,9 +102,14 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     sy = (y0 - r + pad).astype(jnp.int32)
     sx = (x0 - r + pad).astype(jnp.int32)
 
-    patch = jax.vmap(
-        lambda lv, yy, xx: jax.lax.dynamic_slice(lv, (yy, xx), (win, win))
-    )(level_padded, sy, sx)  # [N, win, win] rows=y, cols=x
+    # one flat gather of the shared win x win patch per query (a vmapped
+    # dynamic_slice compiles pathologically on TPU here)
+    ar = jnp.arange(win, dtype=jnp.int32)
+    iy = sy[:, None, None] + ar[None, :, None]   # [N, win, 1]
+    ix = sx[:, None, None] + ar[None, None, :]   # [N, 1, win]
+    idx = (iy * wp + ix).reshape(n, win * win)
+    flat = level_padded.reshape(n, hp * wp)
+    patch = jnp.take_along_axis(flat, idx, axis=1).reshape(n, win, win)
 
     p = 2 * r + 1
     out = ((1 - wy) * (1 - wx) * patch[:, :p, :p] +

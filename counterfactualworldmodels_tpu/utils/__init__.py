@@ -1,0 +1,2 @@
+from . import torch_convert, checkpoint, profiling
+from .cache import enable_persistent_cache

@@ -1,0 +1,159 @@
+"""Packed clip shards + the native prefetching loader bindings.
+
+The reference ships no data pipeline (inference-only demos); training/ needs
+one. Clips live in a single memory-mapped binary shard (format documented in
+data/native/clip_loader.cpp); a C++ thread pool decodes uint8 -> float32 CHW
+batches with random crop / horizontal flip off the Python thread, and the
+bindings hand numpy arrays to jax.device_put. Falls back to a pure-numpy
+loader when no C++ toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+MAGIC = b'CWMSHARD'
+_HEADER = struct.Struct('<8sIIIIII')
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), 'native')
+_SRC = os.path.join(_NATIVE_DIR, 'clip_loader.cpp')
+
+
+def write_shard(path: str, clips: np.ndarray) -> None:
+    """clips: uint8 [N, T, H, W, C] -> packed shard at ``path``."""
+    clips = np.ascontiguousarray(clips)
+    assert clips.dtype == np.uint8 and clips.ndim == 5, (clips.dtype,
+                                                         clips.shape)
+    n, t, h, w, c = clips.shape
+    with open(path, 'wb') as f:
+        f.write(_HEADER.pack(MAGIC, 1, n, t, h, w, c))
+        f.write(clips.tobytes())
+
+
+def read_shard_header(path: str) -> Tuple[int, int, int, int, int]:
+    with open(path, 'rb') as f:
+        magic, version, n, t, h, w, c = _HEADER.unpack(
+            f.read(_HEADER.size))
+    assert magic == MAGIC, magic
+    return n, t, h, w, c
+
+
+def build_native(force: bool = False) -> Optional[str]:
+    """Compile the C++ loader once; returns the .so path or None."""
+    so_path = os.path.join(_NATIVE_DIR, 'clip_loader.so')
+    if os.path.exists(so_path) and not force:
+        return so_path
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
+             _SRC, '-o', so_path],
+            check=True, capture_output=True)
+        return so_path
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+class NativeClipLoader:
+    """Multithreaded prefetching loader over a packed shard.
+
+    Yields float32 [B, T, C, crop_h, crop_w] numpy batches in [0, 1].
+    """
+
+    def __init__(self, shard_path: str, batch_size: int = 8,
+                 crop_size: Optional[Tuple[int, int]] = None,
+                 num_threads: int = 2, prefetch: int = 4, seed: int = 0,
+                 hflip: bool = False, shuffle: bool = True):
+        so_path = build_native()
+        if so_path is None:
+            raise RuntimeError('native loader unavailable (no g++); '
+                               'use PythonClipLoader')
+        self._lib = ctypes.CDLL(so_path)
+        self._lib.clip_loader_create.restype = ctypes.c_void_p
+        self._lib.clip_loader_create.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_int]
+        self._lib.clip_loader_next.restype = ctypes.c_int64
+        self._lib.clip_loader_next.argtypes = [ctypes.c_void_p,
+                                               ctypes.POINTER(ctypes.c_float)]
+        self._lib.clip_loader_destroy.argtypes = [ctypes.c_void_p]
+        self._lib.clip_loader_shape.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+        self._lib.clip_loader_num_clips.restype = ctypes.c_uint32
+        self._lib.clip_loader_num_clips.argtypes = [ctypes.c_void_p]
+
+        ch, cw = crop_size if crop_size is not None else (0, 0)
+        self._handle = self._lib.clip_loader_create(
+            shard_path.encode(), batch_size, ch, cw, num_threads, prefetch,
+            seed, int(hflip), int(shuffle))
+        if not self._handle:
+            raise RuntimeError(f'failed to open shard {shard_path}')
+        shape = (ctypes.c_int * 5)()
+        self._lib.clip_loader_shape(self._handle, shape)
+        self.batch_shape = tuple(shape)  # (B, T, C, H, W)
+        self.num_clips = int(self._lib.clip_loader_num_clips(self._handle))
+
+    def next_batch(self) -> np.ndarray:
+        out = np.empty(self.batch_shape, dtype=np.float32)
+        idx = self._lib.clip_loader_next(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if idx < 0:
+            raise StopIteration
+        return out
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if getattr(self, '_handle', None):
+            self._lib.clip_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class PythonClipLoader:
+    """Fallback loader with identical semantics, pure numpy."""
+
+    def __init__(self, shard_path: str, batch_size: int = 8,
+                 crop_size: Optional[Tuple[int, int]] = None, seed: int = 0,
+                 hflip: bool = False, shuffle: bool = True, **unused):
+        n, t, h, w, c = read_shard_header(shard_path)
+        self.clips = np.memmap(shard_path, dtype=np.uint8, mode='r',
+                               offset=_HEADER.size, shape=(n, t, h, w, c))
+        self.batch_size = batch_size
+        self.crop = crop_size or (h, w)
+        self.rng = np.random.RandomState(seed)
+        self.hflip = hflip
+        self.shuffle = shuffle
+        self.num_clips = n
+        self.batch_shape = (batch_size, t, c, *self.crop)
+
+    def next_batch(self) -> np.ndarray:
+        n, t, h, w, c = (self.num_clips, *self.clips.shape[1:])
+        ch, cw = self.crop
+        out = np.empty(self.batch_shape, dtype=np.float32)
+        for i in range(self.batch_size):
+            k = (self.rng.randint(n) if self.shuffle
+                 else (i % n))
+            oy = self.rng.randint(h - ch + 1) if ch < h else 0
+            ox = self.rng.randint(w - cw + 1) if cw < w else 0
+            clip = self.clips[k, :, oy:oy + ch, ox:ox + cw]
+            if self.hflip and self.rng.randint(2):
+                clip = clip[:, :, ::-1]
+            out[i] = clip.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()

@@ -558,3 +558,61 @@ class RotatedTableMixedClumpingMaskingGenerator(MixedClumpingMaskingGenerator):
         super().__init__(*args,
                          mask_generator_func=RotatedTableUniformMaskingGenerator,
                          **kwargs)
+
+
+def three_frame_forward_backward_mask(key, input_size, mask_ratio,
+                                      independent_samples=True,
+                                      fully_visible=False,
+                                      batch_size: int = 1):
+    """3-frame masking: frame 0 masked at a random ratio q, frame 1 at the
+    configured ratio, frame 2 at (1 - q) (reference masking.py:685-756).
+
+    Exact per-row popcounts with a static-shape construction: each frame's
+    mask reveals the top-k of a keyed random score with a *traced* k.
+    """
+    t, h, w = input_size
+    assert t == 3, input_size
+    n = h * w
+    key_p, key_m = jax.random.split(key)
+    if independent_samples:
+        q = jax.random.uniform(key_p, (batch_size,))
+    else:
+        q = jnp.broadcast_to(jax.random.uniform(key_p, (1,)), (batch_size,))
+    n1 = (q * n).astype(jnp.int32)
+    n2 = jnp.full((batch_size,), int(mask_ratio * n), jnp.int32)
+    n3 = n - n1
+    if fully_visible:
+        n1 = jnp.zeros_like(n1)
+        n3 = jnp.zeros_like(n3)
+
+    keys = jax.random.split(key_m, batch_size * t).reshape(batch_size, t, 2)
+    counts = jnp.stack([n1, n2, n3], 1)  # [B, 3]
+
+    def frame(k, num_masked):
+        scores = jax.random.uniform(k, (n,))
+        rank = jnp.argsort(jnp.argsort(scores))
+        return rank < num_masked
+
+    m = jax.vmap(jax.vmap(frame))(keys, counts)  # [B, 3, n]
+    return m.reshape(batch_size, -1)
+
+
+class ThreeFrameForwardBackwardMasking(_KeyedGenerator):
+    """Class wrapper (reference masking.py:685-756)."""
+
+    def __init__(self, input_size, mask_ratio, independent_samples=True,
+                 fully_visible=False, seed=0, **unused):
+        super().__init__(seed)
+        if len(input_size) == 2:
+            input_size = (3, *input_size)
+        self.input_size = tuple(input_size)
+        self.mask_ratio = mask_ratio
+        self.independent_samples = independent_samples
+        self.fully_visible = fully_visible
+
+    def __call__(self, x=None, key=None):
+        b = 1 if x is None else int(x.shape[0])
+        key = key if key is not None else self.next_key()
+        return three_frame_forward_backward_mask(
+            key, self.input_size, self.mask_ratio,
+            self.independent_samples, self.fully_visible, b)

@@ -65,10 +65,11 @@ def bilinear_sample(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.n
 
 
 def pad_pyramid(pyramid: List[jnp.ndarray], radius: int) -> List[jnp.ndarray]:
-    """Zero-pad each level by radius+2 so window lookups never leave the
-    array. Call once per pyramid (outside the GRU scan) — padding inside the
-    refinement loop would re-materialize every iteration."""
-    pad = radius + 2
+    """Zero-pad each level by 2*radius+2 so window lookups never leave the
+    array even at the coordinate clip bounds. Call once per pyramid (outside
+    the GRU scan) — padding inside the refinement loop would re-materialize
+    every iteration."""
+    pad = 2 * radius + 2
     return [jnp.pad(lv, ((0, 0), (pad, pad), (pad, pad))) for lv in pyramid]
 
 
@@ -88,7 +89,7 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     (corr.py:43-49: first axis offsets x, second offsets y).
     """
     r = radius
-    pad = r + 2
+    pad = 2 * r + 2
     win = 2 * r + 2
     n, hp, wp = level_padded.shape
     # clip so the window stays inside the padded array; clipped coords have
@@ -135,14 +136,100 @@ def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
     p = 2 * r + 1
     if not padded:
         pyramid = pad_pyramid(pyramid, radius)
-    pad = r + 2
+    pad = 2 * r + 2
 
     x = coords[..., 0].reshape(b * h * w)
     y = coords[..., 1].reshape(b * h * w)
+    use_pallas = jax.default_backend() == 'tpu'
     out = []
     for i, level in enumerate(pyramid):
         lh = level.shape[1] - 2 * pad
         lw = level.shape[2] - 2 * pad
-        vals = _window_lookup(level, x / (2 ** i), y / (2 ** i), r, lh, lw)
+        fn = _window_lookup_tpu if use_pallas else _window_lookup
+        vals = fn(level, x / (2 ** i), y / (2 ** i), r, lh, lw)
         out.append(vals.reshape(b, h, w, p * p))
     return jnp.concatenate(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas window-lookup kernel: the XLA gather formulation above moves one
+# element per index; this kernel keeps each query's corr rows in VMEM,
+# slices the row window dynamically (sublane dim), and selects the column
+# window with a one-hot matmul (MXU) — no gathers at all.
+# ---------------------------------------------------------------------------
+
+def _window_lookup_kernel(sy_ref, sx_ref, wy_ref, wx_ref, lvl_ref, out_ref,
+                          *, win: int, rows_per_block: int):
+    import jax.experimental.pallas as pl
+
+    wp = lvl_ref.shape[-1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, win), 0)
+    off_iota = jax.lax.broadcasted_iota(jnp.int32, (wp, win), 1)
+    p = win - 1
+    base = pl.program_id(0) * rows_per_block
+
+    for r in range(rows_per_block):
+        sy = sy_ref[base + r]
+        sx = sx_ref[base + r]
+        rows = lvl_ref[r, pl.ds(sy, win), :].astype(jnp.float32)  # [win, wp]
+        onehot = (col_iota == (sx + off_iota)).astype(jnp.float32)
+        patch = jnp.dot(rows, onehot,
+                        preferred_element_type=jnp.float32)  # [win, win]
+        wy = wy_ref[base + r]
+        wx = wx_ref[base + r]
+        out = ((1 - wy) * (1 - wx) * patch[:p, :p] +
+               (1 - wy) * wx * patch[:p, 1:] +
+               wy * (1 - wx) * patch[1:, :p] +
+               wy * wx * patch[1:, 1:])
+        out_ref[r] = out.astype(out_ref.dtype)
+
+
+def _window_lookup_tpu(level_padded, x, y, radius: int, h: int, w: int,
+                       rows_per_block: int = 8, interpret: bool = False):
+    """Pallas implementation of :func:`_window_lookup` (same contract)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools as _ft
+
+    r = radius
+    pad = 2 * r + 2
+    win = 2 * r + 2
+    n, hp, wp = level_padded.shape
+    x = jnp.minimum(jnp.maximum(x, -(r + 1.0)), float(w + r))
+    y = jnp.minimum(jnp.maximum(y, -(r + 1.0)), float(h + r))
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(jnp.float32)
+    wy = (y - y0).astype(jnp.float32)
+    sy = (y0 - r + pad).astype(jnp.int32)
+    sx = (x0 - r + pad).astype(jnp.int32)
+
+    nb = rows_per_block
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        level_padded = jnp.pad(level_padded,
+                               ((0, n_pad - n), (0, 0), (0, 0)))
+        sy = jnp.pad(sy, (0, n_pad - n))
+        sx = jnp.pad(sx, (0, n_pad - n))
+        wx = jnp.pad(wx, (0, n_pad - n))
+        wy = jnp.pad(wy, (0, n_pad - n))
+
+    p = win - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_pad // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, hp, wp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, p, p), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _ft.partial(_window_lookup_kernel, win=win, rows_per_block=nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, p, p), jnp.float32),
+        interpret=interpret,
+    )(sy, sx, wy, wx, level_padded)
+    # kernel emits [row=y, col=x]; reference order is [x-offset, y-offset]
+    return jnp.swapaxes(out[:n], 1, 2)

@@ -201,3 +201,27 @@ def apply_raft_video(model: RAFT, params, video, backward: bool = False,
         else:
             flows.append(flow)
     return jnp.stack(flows, 1)
+
+
+class InputPadder:
+    """Pad images so spatial dims divide by 8 (reference raft/utils.py:9-29)."""
+
+    def __init__(self, dims, mode='sintel'):
+        self.ht, self.wd = dims[-2:]
+        pad_ht = (((self.ht // 8) + 1) * 8 - self.ht) % 8
+        pad_wd = (((self.wd // 8) + 1) * 8 - self.wd) % 8
+        if mode == 'sintel':
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2,
+                         pad_ht // 2, pad_ht - pad_ht // 2]
+        else:
+            self._pad = [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht]
+
+    def pad(self, *inputs):
+        l, r, t, b = self._pad
+        return [jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(t, b), (l, r)],
+                        mode='edge') for x in inputs]
+
+    def unpad(self, x):
+        l, r, t, b = self._pad
+        ht, wd = x.shape[-2:]
+        return x[..., t:ht - b, l:wd - r]

@@ -236,3 +236,157 @@ def random_shift(key, max_shift_fraction: float, image_size, patch_size,
         d = jnp.asarray([d[0] // ph, d[1] // pw])
     bump = jnp.asarray([0, 1], dtype=d.dtype)
     return jnp.where((d == 0).all(), d + bump, d)
+
+
+def shift_patches(x: jnp.ndarray, mask: jnp.ndarray, shift_patches_vec,
+                  patch_size, frame: int = 1):
+    """Shift only the visible patches' content, keep the mask unchanged
+    (reference ShiftPatches, perturbation.py:291-327).
+
+    x: [B, T, C, H, W]; mask bool [B, N]. Returns (x_out, mask).
+    """
+    _, ph, pw = canonical_patch_size(patch_size)
+    b, t, c, h, w = x.shape
+    gh, gw = h // ph, w // pw
+    m_f = mask.reshape(b, -1, gh, gw)[:, frame % t]
+    shift = jnp.asarray(shift_patches_vec)
+
+    def per_example(xe, me):
+        x_f = xe[frame]
+        x_shifted = translate2d(x_f, (shift[0] * ph, shift[1] * pw), fill=0.0)
+        m_pix = upsample_masks(me, (h, w)).astype(x_f.dtype)[None]
+        merged = x_shifted * (1.0 - m_pix) + x_f * m_pix
+        return xe.at[frame].set(merged)
+
+    return jax.vmap(per_example)(x, m_f), mask
+
+
+def shuffle_visible(key, x: jnp.ndarray, mask: jnp.ndarray, patch_size,
+                    frame: int = -1):
+    """Shuffle the visible patches among themselves in the target frame
+    (reference ShuffleVisible, perturbation.py:478-509). Keyed permutation of
+    visible positions; masked patches stay in place.
+    """
+    from ..ops.patches import patchify, unpatchify
+    _, ph, pw = canonical_patch_size(patch_size)
+    b, t, c, h, w = x.shape
+    gh, gw = h // ph, w // pw
+    n = gh * gw
+    f = frame % t
+    m_f = mask.reshape(b, -1, n)[:, f]  # [B, n]
+
+    patches = patchify(x, patch_size, temporal_dim=1)  # [B, T*n, D]
+    frame_patches = patches[:, f * n:(f + 1) * n]
+
+    def per_row(k, pr, mr):
+        # random ranks; visible entries permute among visible slots
+        noise = jax.random.uniform(k, (n,))
+        score = jnp.where(mr, 2.0 + noise, noise)
+        order = jnp.argsort(score)          # visible positions first, shuffled
+        vis_sorted = jnp.argsort(jnp.where(mr, 2.0, 0.0)
+                                 + jnp.arange(n) * 1e-6)  # stable visible list
+        # map: i-th visible slot (in stable order) <- i-th shuffled visible
+        src = jnp.where(mr[order], order, order)  # placeholder, refined below
+        out = pr
+        nv = (~mr).sum()
+        # scatter shuffled visible patches into stable visible positions
+        stable_vis = jnp.argsort(mr.astype(jnp.uint8), stable=True)
+        shuffled_vis = order
+        out = out.at[stable_vis].set(
+            jnp.where((jnp.arange(n) < nv)[:, None],
+                      pr[shuffled_vis], pr[stable_vis]))
+        return out
+
+    keys = jax.random.split(key, b)
+    shuffled = jax.vmap(per_row)(keys, frame_patches, m_f)
+    patches = patches.at[:, f * n:(f + 1) * n].set(shuffled)
+    return unpatchify(patches, patch_size, x.shape, temporal_dim=1), mask
+
+
+def shuffle_all(key, x: jnp.ndarray, mask: jnp.ndarray, patch_size,
+                frame: int = -1):
+    """Replace visible patches with patches drawn from a full-frame shuffle
+    (reference ShuffleAll, perturbation.py:511-549): masked patches keep
+    their content, visible ones get shuffled content."""
+    from ..ops.patches import patchify, unpatchify
+    b, t = x.shape[:2]
+    _, ph, pw = canonical_patch_size(patch_size)
+    n = (x.shape[-2] // ph) * (x.shape[-1] // pw)
+    f = frame % t
+    m_f = mask.reshape(b, -1, n)[:, f]
+    patches = patchify(x, patch_size, temporal_dim=1)
+    frame_patches = patches[:, f * n:(f + 1) * n]
+    keys = jax.random.split(key, b)
+    perm = jax.vmap(lambda k: jax.random.permutation(k, n))(keys)
+    shuffled = jnp.take_along_axis(frame_patches, perm[..., None], axis=1)
+    out = jnp.where(m_f[..., None], frame_patches, shuffled)
+    patches = patches.at[:, f * n:(f + 1) * n].set(out)
+    return unpatchify(patches, patch_size, x.shape, temporal_dim=1), mask
+
+
+def shuffle_invisible(key, x: jnp.ndarray, mask: jnp.ndarray, patch_size,
+                      frame: int = -1):
+    """Swap visible patches with randomly chosen invisible ones
+    (reference ShuffleInvisible, perturbation.py:551-591)."""
+    from ..ops.patches import patchify, unpatchify
+    b, t = x.shape[:2]
+    _, ph, pw = canonical_patch_size(patch_size)
+    n = (x.shape[-2] // ph) * (x.shape[-1] // pw)
+    f = frame % t
+    m_f = mask.reshape(b, -1, n)[:, f]
+    patches = patchify(x, patch_size, temporal_dim=1)
+    frame_patches = patches[:, f * n:(f + 1) * n]
+
+    def per_row(k, pr, mr):
+        noise = jax.random.uniform(k, (n,))
+        # rank invisible patches randomly; visible slots draw from them
+        inv_score = jnp.where(mr, noise, 2.0 + noise)
+        inv_order = jnp.argsort(inv_score)      # invisible first, shuffled
+        draw = pr[inv_order]                     # candidate replacements
+        # positions of visible entries (stable)
+        vis_order = jnp.argsort(jnp.where(mr, 1.0, 0.0) + noise * 0)
+        out = jnp.where(mr[:, None], pr, draw[jnp.arange(n) % n])
+        # simple assignment: visible slot i takes i-th shuffled invisible
+        idx = jnp.cumsum(~mr) - 1
+        repl = draw[jnp.clip(idx, 0, n - 1)]
+        return jnp.where(mr[:, None], pr, repl)
+
+    keys = jax.random.split(key, b)
+    out = jax.vmap(per_row)(keys, frame_patches, m_f)
+    patches = patches.at[:, f * n:(f + 1) * n].set(out)
+    return unpatchify(patches, patch_size, x.shape, temporal_dim=1), mask
+
+
+def add_markers(x: jnp.ndarray, patch_idx_list, patch_size,
+                marker_color=(1.0, 0.0, 0.0), shape: str = 'full',
+                frame: int = 0):
+    """Paint markers onto the given patches and reveal them
+    (reference AddMarkers, perturbation.py:356-476, host-side utility).
+
+    patch_idx_list: list of (b, t, i, j) patch indices. Returns
+    (x_marked, mask) where mask is visible exactly at the marked patches.
+    """
+    _, ph, pw = canonical_patch_size(patch_size)
+    b, t, c, h, w = x.shape
+    gh, gw = h // ph, w // pw
+    x_np = np.array(x)
+    mask = np.ones((b, t * gh * gw), dtype=bool)
+    col = np.asarray(marker_color, np.float32)
+
+    if shape == 'full':
+        stamp = np.ones((ph, pw), np.float32)
+    elif shape == 'cross':
+        stamp = np.zeros((ph, pw), np.float32)
+        stamp[ph // 2 - (1 - ph % 2):ph // 2 + 1] = 1
+        stamp[:, pw // 2 - (1 - pw % 2):pw // 2 + 1] = 1
+    else:
+        raise ValueError(shape)
+
+    for p in patch_idx_list:
+        bi, ti, i, j = (p if len(p) == 4 else (0, frame, *p))
+        ys, xs = slice(i * ph, (i + 1) * ph), slice(j * pw, (j + 1) * pw)
+        region = x_np[bi, ti, :, ys, xs]
+        x_np[bi, ti, :, ys, xs] = (stamp[None] * col[:, None, None] +
+                                   (1 - stamp[None]) * region)
+        mask[bi, (ti % t) * gh * gw + i * gw + j] = False
+    return jnp.asarray(x_np), jnp.asarray(mask)

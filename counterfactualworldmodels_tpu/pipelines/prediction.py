@@ -513,3 +513,38 @@ PredictorBasedGenerator.get_masked_pred_patches = _masked_pred_patches
 PredictorBasedGenerator.unmask_one_patch = staticmethod(_unmask_one_patch)
 PredictorBasedGenerator.generate_mask_from_patch_idx_list = \
     _mask_from_patch_idx_list
+
+
+class MaeWrapper(PredictorBasedGenerator):
+    """Wrapper for original single-image MAE models
+    (reference prediction.py:838-907).
+
+    ``predictor`` is any callable with the timm-MAE signature
+    ``predictor(params, x, mask_ratio=..., mask=...) ->
+    (loss, pred_patches, mask)`` plus an ``unpatchify(pred) -> image``;
+    this wrapper handles frame select and imagenet (un)normalization.
+    """
+
+    def __init__(self, *args, unpatchify=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._unpatchify = unpatchify
+
+    def predict(self, x=None, mask=None, frame=0, mask_ratio=0.9, **kwargs):
+        if x is None:
+            x = self.x  # (the reference has `x = x` here — a latent no-op bug)
+        x = jnp.asarray(x)
+        is_video = x.ndim == 5
+        if is_video:
+            x = x[:, frame]
+        if self.imagenet_normalize_inputs:
+            x = imagenet_normalize(x[:, None], temporal_dim=1)[:, 0]
+        _, y, mask_out = self.predictor(self.params, x,
+                                        mask_ratio=mask_ratio, mask=mask)
+        self.mask = mask_out
+        if self._unpatchify is not None:
+            y = self._unpatchify(y)
+        if self.imagenet_normalize_inputs:
+            y = imagenet_unnormalize(y[:, None], temporal_dim=1)[:, 0]
+        if is_video:
+            y = y[:, None]
+        return y

@@ -144,3 +144,17 @@ def test_raft_multiframe_video_matches_reference():
     mine_b = np.asarray(apply_raft_video(jmodel, params, jnp.asarray(video),
                                          True, 3, True))
     np.testing.assert_allclose(mine_b, ref_b, atol=5e-3)
+
+
+def test_pallas_window_lookup_matches_gather():
+    """The Pallas TPU lookup kernel (interpret mode) vs the XLA gather path."""
+    from counterfactualworldmodels_tpu.models.raft import corr as jcorr
+    rng = np.random.RandomState(5)
+    n, h, w, r = 64, 28, 28, 4
+    level = jnp.asarray(rng.randn(n, h, w).astype(np.float32))
+    lp = jcorr.pad_pyramid([level], r)[0]
+    x = jnp.asarray((rng.rand(n) * 40 - 6).astype(np.float32))
+    y = jnp.asarray((rng.rand(n) * 40 - 6).astype(np.float32))
+    ref = jcorr._window_lookup(lp, x, y, r, h, w)
+    out = jcorr._window_lookup_tpu(lp, x, y, r, h, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

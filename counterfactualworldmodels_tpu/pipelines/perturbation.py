@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -343,13 +344,13 @@ def shuffle_invisible(key, x: jnp.ndarray, mask: jnp.ndarray, patch_size,
         inv_score = jnp.where(mr, noise, 2.0 + noise)
         inv_order = jnp.argsort(inv_score)      # invisible first, shuffled
         draw = pr[inv_order]                     # candidate replacements
-        # positions of visible entries (stable)
-        vis_order = jnp.argsort(jnp.where(mr, 1.0, 0.0) + noise * 0)
-        out = jnp.where(mr[:, None], pr, draw[jnp.arange(n) % n])
-        # simple assignment: visible slot i takes i-th shuffled invisible
+        n_inv = mr.sum()
+        # visible slot i takes the (i mod n_inv)-th shuffled invisible patch
+        # (the reference tiles the invisible set, perturbation.py:577-583)
         idx = jnp.cumsum(~mr) - 1
-        repl = draw[jnp.clip(idx, 0, n - 1)]
-        return jnp.where(mr[:, None], pr, repl)
+        idx = jnp.where(n_inv > 0, idx % jnp.maximum(n_inv, 1), 0)
+        repl = draw[idx]
+        return jnp.where(mr[:, None] | (n_inv == 0), pr, repl)
 
     keys = jax.random.split(key, b)
     out = jax.vmap(per_row)(keys, frame_patches, m_f)

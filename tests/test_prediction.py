@@ -197,3 +197,74 @@ def test_predict_ragged_masks_equalized():
     y = mine.predict(jnp.asarray(x), jnp.asarray(mask), frame=-1)
     assert y.shape == (2, 1, 3, 16, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_shift_patches_content_only_matches_reference():
+    from cwm.models.perturbation import ShiftPatches
+    x = _video(1, 2, 3, 16, seed=11)
+    mask = np.ones((1, 32), dtype=bool)
+    mask[0, 16 + 5] = False
+    mask[0, 16 + 9] = False
+    ref_op = ShiftPatches(patch_size=PS, padding_mode='constant')
+    ref_op.set_shapes(torch.tensor(x), torch.tensor(mask))
+    x_ref, m_ref = ref_op.perturb(torch.tensor(x), torch.tensor(mask),
+                                  mask_shift=(1, 1), frame=-1)
+    x_mine, m_mine = jperturb.shift_patches(jnp.asarray(x), jnp.asarray(mask),
+                                            (1, 1), PS, frame=1)
+    np.testing.assert_allclose(np.asarray(x_mine), x_ref.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_mine), m_ref.numpy())
+
+
+def test_shuffle_perturbations_invariants():
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(2, 2, 3, 16, 16).astype(np.float32))
+    mask = jnp.asarray(rng.rand(2, 32) > 0.5)
+    key = jax.random.PRNGKey(0)
+
+    # shuffle_visible: multiset of frame-1 patches preserved; masked patches
+    # keep their exact content
+    y, m = jperturb.shuffle_visible(key, x, mask, PS, frame=-1)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(mask))
+    from counterfactualworldmodels_tpu.ops.patches import patchify
+    p_in = np.asarray(patchify(x, PS, temporal_dim=1))[:, 16:]
+    p_out = np.asarray(patchify(y, PS, temporal_dim=1))[:, 16:]
+    for b in range(2):
+        np.testing.assert_allclose(np.sort(p_out[b].ravel()),
+                                   np.sort(p_in[b].ravel()), atol=1e-6)
+        mk = np.asarray(mask).reshape(2, 2, 16)[b, 1]
+        np.testing.assert_allclose(p_out[b][mk], p_in[b][mk], atol=1e-6)
+
+    # shuffle_all: masked keep content, visible may change but values come
+    # from the frame's own patches
+    y2, _ = jperturb.shuffle_all(key, x, mask, PS, frame=-1)
+    p_out2 = np.asarray(patchify(y2, PS, temporal_dim=1))[:, 16:]
+    for b in range(2):
+        mk = np.asarray(mask).reshape(2, 2, 16)[b, 1]
+        np.testing.assert_allclose(p_out2[b][mk], p_in[b][mk], atol=1e-6)
+        in_set = {tuple(np.round(v, 5)) for v in p_in[b]}
+        for v in p_out2[b]:
+            assert tuple(np.round(v, 5)) in in_set
+
+    # shuffle_invisible: visible patches replaced by invisible content
+    y3, _ = jperturb.shuffle_invisible(key, x, mask, PS, frame=-1)
+    p_out3 = np.asarray(patchify(y3, PS, temporal_dim=1))[:, 16:]
+    for b in range(2):
+        mk = np.asarray(mask).reshape(2, 2, 16)[b, 1]
+        np.testing.assert_allclose(p_out3[b][mk], p_in[b][mk], atol=1e-6)
+        invis_set = {tuple(np.round(v, 5)) for v in p_in[b][mk]}
+        for v in p_out3[b][~mk]:
+            assert tuple(np.round(v, 5)) in invis_set
+
+
+def test_add_markers():
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.rand(1, 2, 3, 16, 16).astype(np.float32))
+    y, mask = jperturb.add_markers(x, [(0, 1, 1, 2)], PS,
+                                   marker_color=(1, 0, 0))
+    y = np.asarray(y)
+    np.testing.assert_allclose(y[0, 1, 0, 4:8, 8:12], 1.0)
+    np.testing.assert_allclose(y[0, 1, 1, 4:8, 8:12], 0.0)
+    assert not np.asarray(mask)[0, 16 + 1 * 4 + 2]
+    # everything else untouched
+    y_rest = y.copy(); y_rest[0, 1, :, 4:8, 8:12] = np.asarray(x)[0, 1, :, 4:8, 8:12]
+    np.testing.assert_allclose(y_rest, np.asarray(x), atol=1e-6)

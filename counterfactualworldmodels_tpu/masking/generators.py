@@ -23,7 +23,6 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import boltzmann
 from .mask_ops import upsample_masks
 
 __all__ = [

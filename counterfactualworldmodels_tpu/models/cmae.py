@@ -13,8 +13,7 @@ label/loss/predict_image helpers.
 """
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax

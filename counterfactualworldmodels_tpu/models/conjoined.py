@@ -23,7 +23,7 @@ reference forward() (conjoined_vmae.py:852-887).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -12,7 +12,7 @@ TPU-native re-design of reference cwm/models/VideoMAE/utils.py:37-245:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,8 @@ layout); IMU inputs are [B, C=6, L].
 """
 from __future__ import annotations
 
-import copy
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 

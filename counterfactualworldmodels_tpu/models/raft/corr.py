@@ -9,7 +9,7 @@ offset axis is added to x and the second to y (corr.py:43-49).
 """
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ it is implemented here as FrozenBatchNorm with converted running stats.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

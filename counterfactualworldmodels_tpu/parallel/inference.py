@@ -9,10 +9,7 @@ map / covariance).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipelines.segmentation import counterfactual_videos_and_flows

@@ -17,8 +17,6 @@ axis (reference segmentation.py:199-245 tiling).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ ImuConditionedFlowGenerator; here it works over any FlowGenerator-style base
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from .segmentation import FlowGenerator

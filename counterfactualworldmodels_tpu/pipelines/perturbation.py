@@ -19,7 +19,7 @@ the reference's RectangularizeMasks('min') pass (prediction.py:421).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

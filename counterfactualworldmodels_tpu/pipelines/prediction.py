@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..masking import mask_ops, generators
+from ..masking import mask_ops
 from ..models.vmae import mask_order, take_tokens
 from ..ops import patches as patch_ops
 from ..ops.normalization import imagenet_normalize, imagenet_unnormalize

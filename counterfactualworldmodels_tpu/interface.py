@@ -502,21 +502,21 @@ class CounterfactualPredictionInterface:
             self.text.set_text('no patch selector configured')
             return
         self.text.set_text('running patch selector...')
-        x2 = jnp.broadcast_to(self._x[:, -1:],
-                              (self._x.shape[0], 2, *self._x.shape[2:]))
+        x = self._x if self._x.ndim == 5 else self._x[:, None]
+        x2 = jnp.broadcast_to(x[:, -1:], (x.shape[0], 2, *x.shape[2:]))
         fs, actives, passives = self.patch_selector(
             x2, init_actives=self.active_patches,
             init_passives=self.passive_patches)
         self.flow_samples_list.extend(
             [fs[..., k][:, None] for k in range(fs.shape[-1])])
         affs = self._get_flow_mag(fs.mean(-1), True)
-        img = self.G.get_masked_pred_patches(self._x, actives.min(-1),
+        img = self.G.get_masked_pred_patches(x2, actives.min(-1),
                                              fill_value=[0, 1, 1])
-        img = self.G.get_masked_pred_patches(img, passives[..., 0],
+        img = self.G.get_masked_pred_patches(img, passives.min(-1),
                                              fill_value=[1, 0, 1])
         self.imshow(img=img[:, -1], ax=self.corr_ax)
         self.imshow(img=affs, ax=self.flow_ax, cmap='RdBu_r', vmin=0, vmax=1)
-        self.imshow(img=self._x[:, -1] * affs[:, None], ax=self.seg_ax)
+        self.imshow(img=x2[:, -1] * affs[:, None], ax=self.seg_ax)
 
     # ------------------------------------------------------------------
     def sample_random_patches(self, num_samples=10, num_visible=1):

@@ -4,4 +4,5 @@ from .filters import FlowSampleFilter, flow_sample_filter
 from .movability import (MovabilityPredictor, ImuConditionedMovabilityPredictor,
                          make_imu_conditioned_movability_predictor)
 from .imu import ImuGenerator, ImuConditionedFlowGenerator
+from .patch_selector import IterativePatchSelector
 from . import perturbation

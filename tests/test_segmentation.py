@@ -182,3 +182,37 @@ def test_movability_predictor_runs():
     assert total.shape == (1, 1, 128, 128)
     mini = m.get_minimum_movability()
     assert mini.shape == (1, 1, 128, 128)
+
+
+def test_iterative_patch_selector_grows_masks():
+    from counterfactualworldmodels_tpu.pipelines import IterativePatchSelector
+    _, mine = _paired_generators()
+    rng = np.random.RandomState(6)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+
+    n_per = 16 * 16
+    init_active = np.zeros((1, 2 * n_per), dtype=bool)
+    init_active[0, n_per:] = True
+    init_active[0, n_per + 5 * 16 + 5] = False  # one seed active patch
+
+    sel = IterativePatchSelector(mine, num_iters=2, samples_per_iter=2,
+                                 sample_batch_size=2)
+    fs, actives, passives = sel(jnp.asarray(x), init_actives=init_active)
+    assert fs.shape == (1, 2, 128, 128, 4)
+    assert actives.shape == (1, 2 * n_per, 3)
+    assert passives.shape == (1, 2 * n_per, 3)
+    a = np.asarray(actives)
+    p = np.asarray(passives)
+    for k in range(actives.shape[-1]):
+        # each iteration adds exactly one active + one passive patch
+        assert (~a[0, n_per:, k]).sum() == 1 + k
+        assert (~p[0, n_per:, k]).sum() == k
+        if k:
+            # monotone growth: earlier selections stay selected
+            assert ((~a[0, :, k - 1]) <= (~a[0, :, k])).all()
+            assert ((~p[0, :, k - 1]) <= (~p[0, :, k])).all()
+        # active and passive sets stay disjoint (frame-1 selections)
+        assert not ((~a[0, n_per:, k]) & (~p[0, n_per:, k])).any()
+    # the combined-mask view the interface uses (active in ANY iteration)
+    assert (~a.min(-1)[0, n_per:]).sum() == actives.shape[-1]
+    assert np.isfinite(np.asarray(fs)).all()

@@ -125,4 +125,14 @@ def test_interface_events_end_to_end():
     assert len(ui.flow_samples_list) == 0
     # restore ('alt')
     ui(Event(12, 12, key='alt'))
+    # patch selector ('T'): unconfigured -> no-op, then the real selector
+    ui(Event(12, 12, key='T'))
+    from counterfactualworldmodels_tpu.pipelines import IterativePatchSelector
+    ui.patch_selector = IterativePatchSelector(
+        G, num_iters=1, samples_per_iter=2, sample_batch_size=2)
+    ui(Event(12, 12))  # seed an active patch
+    n_flows = len(ui.flow_samples_list)
+    ui(Event(12, 12, key='T'))
+    assert len(ui.flow_samples_list) == n_flows + 2
+    assert int((~np.asarray(ui.patch_selector.filter_masks)).sum()) >= 0
     plt.close(fig)

@@ -268,3 +268,48 @@ def test_add_markers():
     # everything else untouched
     y_rest = y.copy(); y_rest[0, 1, :, 4:8, 8:12] = np.asarray(x)[0, 1, :, 4:8, 8:12]
     np.testing.assert_allclose(y_rest, np.asarray(x), atol=1e-6)
+
+
+def test_multi_shift_matches_reference():
+    """Sequential per-group pixel shifts (reference MultiShiftPatchesAndMask,
+    perturbation.py:644-779)."""
+    from cwm.models.perturbation import MultiShiftPatchesAndMask
+    x = _video(1, 2, 3, 16, seed=4)
+    n = 32
+    # two shift groups, each moving one frame-1 patch
+    pp = np.ones((1, n, 2), dtype=bool)
+    pp[0, 16 + 5, 0] = False
+    pp[0, 16 + 10, 1] = False
+    base = np.ones((1, n), dtype=bool)
+    base[0, :16] = False
+    masks = np.tile(base[..., None], (1, 1, 2))
+    shifts_px = np.asarray([[4, 4], [-4, 8]])  # pixel units (patch = 4)
+
+    class _FixedMultiShift(MultiShiftPatchesAndMask):
+        # reference bug: _check_shapes (perturbation.py:666-682) assigns to
+        # the read-only property num_shifts and crashes with an explicit
+        # mask_sequence; route through set_num_shifts instead
+        def _check_shapes(self, x, mask_sequence):
+            if mask_sequence is None:
+                return self.set_num_shifts(1)
+            if isinstance(mask_sequence, (list, tuple)):
+                mask_sequence = torch.stack(mask_sequence, -1)
+            if mask_sequence.dim() == 2:
+                self.inp_mask_shape = mask_sequence.shape
+                self.set_num_shifts(1)
+            else:
+                self.inp_mask_shape = mask_sequence.shape[:-1]
+                self.set_num_shifts(mask_sequence.size(-1))
+
+    ref_op = _FixedMultiShift(patch_size=PS, padding_mode='constant',
+                              allow_fractional_shifts=True)
+    x_ref, m_ref = ref_op(
+        torch.tensor(x), mask_sequence=torch.tensor(masks),
+        perturbation_points_sequence=torch.tensor(pp),
+        shift_sequence=[list(s) for s in shifts_px], frame=1)
+
+    x_mine, m_mine = jperturb.multi_shift_patches_and_mask(
+        jnp.asarray(x), jnp.asarray(masks), jnp.asarray(pp),
+        jnp.asarray(shifts_px), PS, frame=1)
+    np.testing.assert_allclose(np.asarray(x_mine), x_ref.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_mine), m_ref.numpy())

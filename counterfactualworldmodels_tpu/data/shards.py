@@ -30,6 +30,8 @@ def write_shard(path: str, clips: np.ndarray) -> None:
     assert clips.dtype == np.uint8 and clips.ndim == 5, (clips.dtype,
                                                          clips.shape)
     n, t, h, w, c = clips.shape
+    assert c <= 4, (f'clips must be [N, T, H, W, C] (channels last), got '
+                    f'C={c}; transpose [N, T, C, H, W] input first')
     with open(path, 'wb') as f:
         f.write(_HEADER.pack(MAGIC, 1, n, t, h, w, c))
         f.write(clips.tobytes())

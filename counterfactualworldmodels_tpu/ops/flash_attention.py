@@ -25,7 +25,9 @@ DEFAULT_BLOCK_K = 512
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
-    q = q_ref[0].astype(jnp.float32)           # [BQ, D]
+    # matmuls run in the input dtype (bf16 inputs hit the MXU at bf16 rate)
+    # with f32 accumulation; softmax statistics stay f32 throughout
+    q = q_ref[0]                               # [BQ, D]
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
     bq, d = q.shape
@@ -36,8 +38,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
@@ -47,7 +49,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + p.sum(-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v,
+        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v,
                                         preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 

@@ -59,22 +59,27 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(2), b * s).reshape(b, s, 2)
     n_vis = npf + 32 + 1
 
-    def run():
+    def dispatch():
         y, flows, masks = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, 24, True)
-        # reduce to a scalar and fetch: axon's block_until_ready does not
-        # actually block, so force completion with a host transfer
-        return float(jnp.sum(jnp.abs(flows)))
+        return jnp.sum(jnp.abs(flows))
 
-    run()  # compile + warm
-    run()
+    # axon's block_until_ready does not actually block; force completion
+    # with a scalar host transfer
+    float(dispatch())  # compile + warm
+    float(dispatch())
 
+    # steady-state throughput: pipeline dispatches, sync once per round
+    iters = 4 if on_tpu else 1
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            acc = acc + dispatch()
+        float(acc)
+        times.append((time.perf_counter() - t0) / iters)
     dt = min(times)
     sims_per_sec = (b * s) / dt
 

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Convert the reference's released torch checkpoints to orbax.
+
+Reads the .pth files fetched by scripts/download_checkpoints.sh, maps them
+through utils/torch_convert.py (pure name/transpose mapping, golden-tested),
+and writes orbax checkpoints that load directly via
+utils.checkpoint.load_params — no torch needed at inference time after this.
+
+Usage:
+    python scripts/convert_checkpoints.py --ckpt-dir ./checkpoints \
+        [--out-dir ./checkpoints/flax]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+CONVERSIONS = [
+    # (torch file, converter, output name)
+    ('cwm_baseVMAE_224px_8x8patches_2frames.pth', 'vmae', 'vmae_base_8x8'),
+    ('cwm_largeVMAE_224px_4x4patches_2frames.pth', 'vmae', 'vmae_large_4x4'),
+    ('cwm_IMUcond_conjVMAE_224px_4x4patches_2frames.pth', 'conjoined',
+     'conj_imu_base_4x4'),
+    ('flow2imu_conjVMAE_224px.pth', 'conjoined', 'flow2imu'),
+    ('raft_checkpoints/raft-large.pth', 'raft', 'raft_large'),
+    ('raft_checkpoints/raft-small.pth', 'raft_small', 'raft_small'),
+    ('raft_consolidated_keypoint_predictor.pth', 'raft', 'raft_keypoints'),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ckpt-dir', required=True)
+    ap.add_argument('--out-dir', default=None)
+    ap.add_argument('--only', default=None,
+                    help='comma-separated output names to convert')
+    args = ap.parse_args()
+    out_dir = args.out_dir or os.path.join(args.ckpt_dir, 'flax')
+    os.makedirs(out_dir, exist_ok=True)
+    only = set(args.only.split(',')) if args.only else None
+
+    import torch
+    from counterfactualworldmodels_tpu.utils import torch_convert as tc
+    from counterfactualworldmodels_tpu.utils.checkpoint import save_params
+
+    converters = {
+        'vmae': tc.convert_vmae,
+        'conjoined': tc.convert_conjoined,
+        'raft': tc.convert_raft,
+        'raft_small': lambda sd: tc.convert_raft(sd, small=True),
+    }
+
+    for fname, conv, out_name in CONVERSIONS:
+        if only and out_name not in only:
+            continue
+        path = os.path.join(args.ckpt_dir, fname)
+        if not os.path.exists(path):
+            print(f'skip {out_name}: {path} not found')
+            continue
+        sd = torch.load(path, map_location='cpu', weights_only=False)
+        if isinstance(sd, dict) and 'model' in sd:
+            sd = sd['model']
+        elif isinstance(sd, dict) and 'state_dict' in sd:
+            sd = sd['state_dict']
+        # strip DataParallel prefixes
+        sd = {k[len('module.'):] if k.startswith('module.') else k: v
+              for k, v in sd.items()}
+        params = converters[conv](sd)
+        out_path = os.path.abspath(os.path.join(out_dir, out_name))
+        save_params(out_path, params)
+        n = sum(p.size for p in __import__('jax').tree_util.tree_leaves(params))
+        print(f'{out_name}: {n / 1e6:.1f}M params -> {out_path}')
+
+
+if __name__ == '__main__':
+    main()

@@ -13,3 +13,8 @@ from .misc import (spatial_moments_from_local_dist, get_distribution_centroid,
                    masked_per_pixel_loss, masked_bce_loss, weighted_softmax,
                    masked_kl_div_loss, masked_sequence_loss,
                    confidence_thresh_samples)
+from .misc import (get_local_neighbors, get_patches,
+                   spatial_moments_to_circular_target,
+                   circular_target_to_spatial_moment,
+                   estimate_boundary_orientations, compute_local_effects,
+                   local_average, get_mask_boundaries)

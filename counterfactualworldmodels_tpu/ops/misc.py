@@ -197,3 +197,138 @@ def confidence_thresh_samples(x, value_thresh=0.0, confidence_thresh=0.5,
     else:
         x = x.astype(jnp.float32)
     return x.mean(axis=dim) >= confidence_thresh
+
+
+# ---------------------------------------------------------------------------
+# local neighborhoods / boundaries (reference utils.py:280-433)
+# ---------------------------------------------------------------------------
+def get_local_neighbors(im, size=None, radius=3, invalid=-1.0,
+                        to_image=False):
+    """All (2r+1)^2 local values at every pixel (reference utils.py:280-307).
+
+    im: [B,N] / [B,C,N] (with ``size``=(H,W)) or [B,C,H,W].
+    Returns [B,C,K,H,W] if ``to_image`` else [B,C,K,H*W], K=(2r+1)^2.
+    """
+    if im.ndim == 2:
+        h, w = size
+        im = im.reshape(im.shape[0], 1, h, w)
+    elif im.ndim == 3:
+        h, w = size
+        im = im.reshape(im.shape[0], im.shape[1], h, w)
+    b, c, h, w = im.shape
+    k = 2 * radius + 1
+    padded = jnp.pad(im.astype(jnp.float32),
+                     ((0, 0), (0, 0), (radius, radius), (radius, radius)),
+                     constant_values=invalid)
+    patches = jax.lax.conv_general_dilated_patches(
+        padded, (k, k), (1, 1), 'VALID')          # [B, C*K, H, W]
+    patches = patches.reshape(b, c, k * k, h, w).astype(im.dtype)
+    return patches if to_image else patches.reshape(b, c, k * k, h * w)
+
+
+def get_patches(x, radius=1):
+    """Zero-padded local patches as channels (reference utils.py:309-321).
+
+    x: [B,C,H,W] (or [B,T,C,H,W]) -> [B, C*(2r+1)^2, H, W]."""
+    if radius == 0:
+        return x
+    shape = x.shape
+    if x.ndim == 5:
+        x = x.reshape(shape[0] * shape[1], *shape[2:])
+    b, c, h, w = x.shape
+    k = 2 * radius + 1
+    padded = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (radius, radius)))
+    out = jax.lax.conv_general_dilated_patches(padded, (k, k), (1, 1),
+                                               'VALID')
+    if len(shape) == 5:
+        out = out.reshape(shape[0], shape[1], *out.shape[1:])
+    return out
+
+
+def _unit(x, dim=1, eps=1e-12):
+    return x / jnp.clip(jnp.linalg.norm(x, axis=dim, keepdims=True), min=eps)
+
+
+def _to_circular(vecs, beta):
+    """Project [B,2,H,W] orientation vectors onto the 9 grid directions
+    (reference utils.py:323-334)."""
+    circle = coordinate_ims(1, 0, (3, 3), normalize=True)  # [1,3,3,2]
+    circle = jnp.moveaxis(circle, -1, 1).reshape(1, 2, 9, 1, 1)
+    dots = (_unit(vecs[:, :, None]) * _unit(circle)).sum(1)  # [B,9,H,W]
+    if beta is None:
+        return jax.nn.one_hot(dots.argmax(1), 9, axis=1,
+                              dtype=jnp.float32)
+    return jax.nn.softmax(dots * beta, axis=1)
+
+
+def spatial_moments_to_circular_target(moments, beta=10.0):
+    return _to_circular(moments, beta)
+
+
+def circular_target_to_spatial_moment(target):
+    """(reference utils.py:336-344)."""
+    assert target.shape[1] == 8, target.shape
+    clock = jnp.asarray([[-1, -1], [0, -1], [0, 1], [0, -1], [0, 1],
+                         [1, -1], [1, 0], [1, 1]], jnp.float32)
+    clock = clock.reshape(1, 8, 2, 1, 1)
+    return (target[:, :, None] * clock).sum(1)
+
+
+def estimate_boundary_orientations(boundaries, energy, radius=3,
+                                   to_circle=False, beta=10.0, eps=1e-3):
+    """Orientation of each boundary pixel from the local energy centroid
+    (reference utils.py:346-376). boundaries/energy: [B,1,H,W]."""
+    b, _, h, w = boundaries.shape
+    local = get_local_neighbors(energy * (1 - boundaries), size=(h, w),
+                                radius=radius, invalid=0.0,
+                                to_image=True)[:, 0]          # [B,K,H,W]
+    num_px = local.sum(1, keepdims=True)
+    k = 2 * radius + 1
+    grid = coordinate_ims(1, 0, (k, k), normalize=True)       # [1,k,k,2]
+    grid = jnp.moveaxis(grid, -1, 1).reshape(1, 2, k * k, 1, 1)
+    orientations = (local[:, None] * grid).sum(2)             # [B,2,H,W]
+    orientations = orientations / jnp.clip(num_px, min=eps)
+    if not to_circle:
+        return orientations
+    return _to_circular(orientations, beta)
+
+
+def compute_local_effects(source, adj_local):
+    """Splat each source pixel into its local window weighted by affinity
+    (reference utils.py:378-412; the inverse 'fold' of get_local_neighbors).
+
+    source: [B,D,H,W]; adj_local: [B,K,H,W] -> [B,D,H,W]."""
+    b, d, h, w = source.shape
+    kk = adj_local.shape[-3]
+    k = int(np.sqrt(kk))
+    assert k * k == kk, kk
+    r = (k - 1) // 2
+    eff = source[:, :, None] * adj_local[:, None]   # [B,D,K,H,W]
+    out = jnp.zeros((b, d, h + 2 * r, w + 2 * r), source.dtype)
+    for i in range(k):
+        for j in range(k):
+            out = out.at[:, :, i:i + h, j:j + w].add(
+                eff[:, :, i * k + j])
+    return out[:, :, r:r + h, r:r + w]
+
+
+def local_average(values, excluded, radius=1):
+    """Mean over non-excluded local neighbors (reference utils.py:414-421)."""
+    neighbors = get_local_neighbors(values * (1 - excluded), radius=radius,
+                                    invalid=0.0, to_image=True)
+    norm = get_local_neighbors(1 - excluded, radius=radius, invalid=0.0,
+                               to_image=True).sum(-3)
+    return neighbors.sum(-3) / jnp.clip(norm, min=1)
+
+
+def get_mask_boundaries(masks):
+    """Pixels of a mask whose 3x3 neighborhood leaves the mask
+    (reference utils.py:423-433, without the ConvLocalShifts module).
+    masks: [B,K,H,W] -> boundaries [B,K,H,W] float."""
+    m = (masks > 0.5).astype(jnp.float32)
+    b, kch, h, w = m.shape
+    neigh = get_local_neighbors(m, radius=1, invalid=0.0,
+                                to_image=True)      # [B,K,9,H,W]
+    center = neigh[:, :, 4:5]
+    boundaries = (neigh != center).any(2).astype(jnp.float32)
+    return boundaries * m

@@ -154,3 +154,81 @@ def test_masked_sequence_loss_and_confidence():
     ref_c = ref_utils.confidence_thresh_samples(torch.tensor(x)).numpy()
     mine_c = np.asarray(misc.confidence_thresh_samples(jnp.asarray(x)))
     np.testing.assert_array_equal(mine_c, ref_c)
+
+
+def test_get_local_neighbors_and_patches():
+    rng = np.random.RandomState(8)
+    im = rng.randn(2, 3, 6, 7).astype(np.float32)
+    for r, inv in ((1, -1.0), (2, 0.0)):
+        ref = ref_utils.get_local_neighbors(torch.tensor(im), radius=r,
+                                            invalid=inv,
+                                            to_image=True).numpy()
+        mine = np.asarray(misc.get_local_neighbors(jnp.asarray(im), radius=r,
+                                                   invalid=inv,
+                                                   to_image=True))
+        np.testing.assert_allclose(mine, ref, atol=1e-6)
+    # flat input forms
+    flat = im[:, 0].reshape(2, 42)
+    ref = ref_utils.get_local_neighbors(torch.tensor(flat), size=[6, 7],
+                                        radius=1).numpy()
+    mine = np.asarray(misc.get_local_neighbors(jnp.asarray(flat),
+                                               size=(6, 7), radius=1))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+    ref_p = ref_utils.get_patches(torch.tensor(im), radius=1).numpy()
+    mine_p = np.asarray(misc.get_patches(jnp.asarray(im), radius=1))
+    np.testing.assert_allclose(mine_p, ref_p, atol=1e-6)
+
+
+def test_circular_targets():
+    rng = np.random.RandomState(9)
+    m = rng.randn(2, 2, 4, 4).astype(np.float32)
+    for beta in (10.0, None):
+        ref = ref_utils.spatial_moments_to_circular_target(
+            torch.tensor(m), beta=beta).numpy()
+        mine = np.asarray(misc.spatial_moments_to_circular_target(
+            jnp.asarray(m), beta=beta))
+        np.testing.assert_allclose(mine, ref, atol=1e-5)
+    t = rng.rand(2, 8, 4, 4).astype(np.float32)
+    ref = ref_utils.circular_target_to_spatial_moment(torch.tensor(t)).numpy()
+    mine = np.asarray(misc.circular_target_to_spatial_moment(jnp.asarray(t)))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_boundary_orientations_and_local_effects():
+    rng = np.random.RandomState(10)
+    bounds = (rng.rand(1, 1, 8, 8) > 0.7).astype(np.float32)
+    energy = rng.rand(1, 1, 8, 8).astype(np.float32)
+    for to_circle in (False, True):
+        ref = ref_utils.estimate_boundary_orientations(
+            torch.tensor(bounds), torch.tensor(energy), radius=2,
+            to_circle=to_circle).numpy()
+        mine = np.asarray(misc.estimate_boundary_orientations(
+            jnp.asarray(bounds), jnp.asarray(energy), radius=2,
+            to_circle=to_circle))
+        np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+    src = rng.randn(2, 3, 6, 6).astype(np.float32)
+    adj = rng.rand(2, 9, 6, 6).astype(np.float32)
+    ref = ref_utils.compute_local_effects(torch.tensor(src),
+                                          torch.tensor(adj)).numpy()
+    mine = np.asarray(misc.compute_local_effects(jnp.asarray(src),
+                                                 jnp.asarray(adj)))
+    assert mine.shape == ref.shape
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_local_average_and_mask_boundaries():
+    rng = np.random.RandomState(11)
+    vals = rng.randn(1, 2, 6, 6).astype(np.float32)
+    excl = (rng.rand(1, 1, 6, 6) > 0.6).astype(np.float32)
+    ref = ref_utils.local_average(torch.tensor(vals), torch.tensor(excl),
+                                  radius=1).numpy()
+    mine = np.asarray(misc.local_average(jnp.asarray(vals),
+                                         jnp.asarray(excl), radius=1))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+    masks = (rng.rand(1, 2, 8, 8) > 0.5).astype(np.float32)
+    ref_b, _ = ref_utils.get_mask_boundaries(torch.tensor(masks))
+    mine_b = np.asarray(misc.get_mask_boundaries(jnp.asarray(masks)))
+    np.testing.assert_allclose(mine_b, ref_b.numpy(), atol=1e-6)

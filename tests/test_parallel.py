@@ -123,3 +123,49 @@ def test_train_loss_decreases():
         state, m = step(state, x, mask)
         losses.append(float(m['loss']))
     assert losses[-1] < losses[0], losses
+
+
+def test_pipelined_blocks_match_sequential():
+    """pp over 4 stages x microbatches == sequential block stack."""
+    from counterfactualworldmodels_tpu.parallel.pipeline import (
+        stack_block_params, unstack_block_params, make_pp_encoder_forward)
+    from counterfactualworldmodels_tpu.parallel import make_mesh
+    from counterfactualworldmodels_tpu.models import vmae as jvmae
+    from counterfactualworldmodels_tpu.models.layers import Block
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=48,
+        encoder_depth=8, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, mlp_ratio=2.0, qkv_bias=True,
+        num_frames=2, tubelet_size=1)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    enc = params['encoder']
+
+    mesh = make_mesh({'pp': 4})
+    fwd, shard_params = make_pp_encoder_forward(model, mesh,
+                                                num_microbatches=2)
+    stacked = shard_params(enc)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 17, 48).astype(np.float32))
+    out = fwd(stacked, x)
+
+    block = Block(dim=48, num_heads=4, mlp_ratio=2.0, qkv_bias=True,
+                  qk_scale=None, init_values=0.0)
+    ref = x
+    for i in range(8):
+        ref = block.apply({'params': enc[f'blocks_{i}']}, ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # stack/unstack round-trip
+    rt = unstack_block_params(stack_block_params(enc, 8), 8)
+    for i in range(8):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            rt[f'blocks_{i}'], enc[f'blocks_{i}'])
+
+    # microbatch count that doesn't divide the fill exactly
+    fwd3, _ = make_pp_encoder_forward(model, mesh, num_microbatches=4)
+    out4 = fwd3(stacked, x)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref), atol=1e-5)

@@ -4,3 +4,4 @@ from .mesh import (make_mesh, sample_parallel_mesh, param_shardings,
 from .inference import shard_counterfactual_batch, sharded_counterfactuals
 from .pipeline import (stack_block_params, unstack_block_params,
                        pipelined_blocks, make_pp_encoder_forward)
+from .sequence import sequence_parallel_blocks, make_sp_encoder_forward

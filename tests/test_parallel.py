@@ -169,3 +169,33 @@ def test_pipelined_blocks_match_sequential():
     fwd3, _ = make_pp_encoder_forward(model, mesh, num_microbatches=4)
     out4 = fwd3(stacked, x)
     np.testing.assert_allclose(np.asarray(out4), np.asarray(ref), atol=1e-5)
+
+
+def test_sequence_parallel_blocks_match_sequential():
+    """sp over 4 devices == sequential block stack."""
+    from counterfactualworldmodels_tpu.parallel import (
+        make_mesh, make_sp_encoder_forward)
+    from counterfactualworldmodels_tpu.models.layers import Block
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=48,
+        encoder_depth=3, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, mlp_ratio=2.0, qkv_bias=True,
+        num_frames=2, tubelet_size=1)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    enc = params['encoder']
+
+    mesh = make_mesh({'sp': 4})
+    fwd, shard_params = make_sp_encoder_forward(model, mesh)
+    stacked = shard_params(enc)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 48).astype(np.float32))
+    out = fwd(stacked, x)
+
+    block = Block(dim=48, num_heads=4, mlp_ratio=2.0, qkv_bias=True,
+                  qk_scale=None, init_values=0.0)
+    ref = x
+    for i in range(3):
+        ref = block.apply({'params': enc[f'blocks_{i}']}, ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -11,7 +11,6 @@ gives on a pod slice.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

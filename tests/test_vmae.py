@@ -126,3 +126,29 @@ def test_mask_order_matches_boolean_gather():
                                        jnp.asarray(order[:, 8:])))
     ref_msk = torch.tensor(tokens)[torch.tensor(mask)].reshape(3, -1, 5).numpy()
     np.testing.assert_array_equal(msk, ref_msk)
+
+
+def test_masked_targets_match_reference():
+    """Training target extraction == reference get_masked_targets
+    (vmae.py:483-513): same patch vectorization and masked-token order."""
+    from counterfactualworldmodels_tpu.ops.patches import patchify
+    from counterfactualworldmodels_tpu.models.vmae import (mask_order,
+                                                           take_tokens)
+    tmodel, jmodel, params = _make_pair()
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 2, 32, 32).astype(np.float32)  # [B,C,T,H,W]
+    n = jmodel.num_patches
+    mask = np.ones((2, n), dtype=bool)
+    mask[:, :n // 2] = False
+    for b in range(2):
+        mask[b, n // 2 + rng.choice(n // 2, 3, replace=False)] = False
+    n_vis = n // 2 + 3
+
+    ref = tmodel.get_masked_targets(torch.tensor(x),
+                                    torch.tensor(mask)).numpy()
+
+    xt = jnp.swapaxes(jnp.asarray(x), 1, 2)  # [B,T,C,H,W]
+    target = patchify(xt, jmodel.full_patch_size, temporal_dim=1)
+    order = mask_order(jnp.asarray(mask))
+    mine = np.asarray(take_tokens(target, order[:, n_vis:]))
+    np.testing.assert_allclose(mine, ref, atol=1e-6)

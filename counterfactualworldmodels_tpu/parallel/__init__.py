@@ -5,3 +5,4 @@ from .inference import shard_counterfactual_batch, sharded_counterfactuals
 from .pipeline import (stack_block_params, unstack_block_params,
                        pipelined_blocks, make_pp_encoder_forward)
 from .sequence import sequence_parallel_blocks, make_sp_encoder_forward
+from .covariance import sharded_flow_corrs

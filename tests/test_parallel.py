@@ -8,7 +8,7 @@ from counterfactualworldmodels_tpu import parallel
 from counterfactualworldmodels_tpu.models import vmae as jvmae
 from counterfactualworldmodels_tpu.models.raft.raft import RAFT, init_raft_params
 from counterfactualworldmodels_tpu.pipelines.segmentation import (
-    FlowGenerator, counterfactual_videos_and_flows)
+    FlowGenerator, counterfactual_videos_and_flows, compute_flow_corrs)
 from counterfactualworldmodels_tpu.training import train as jtrain
 
 
@@ -199,3 +199,18 @@ def test_sequence_parallel_blocks_match_sequential():
     for i in range(3):
         ref = block.apply({'params': enc[f'blocks_{i}']}, ref)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize('use_covariance', [True, False])
+def test_sharded_flow_corrs_match(use_covariance):
+    """Row-sharded covariance == single-device compute_flow_corrs."""
+    from counterfactualworldmodels_tpu.parallel import (make_mesh,
+                                                        sharded_flow_corrs)
+    rng = np.random.RandomState(0)
+    flows = jnp.asarray(rng.randn(2, 2, 8, 8, 5).astype(np.float32))
+    ref = compute_flow_corrs(flows, downsample=2,
+                             use_covariance=use_covariance)
+    mesh = make_mesh({'rows': 8})
+    mine = sharded_flow_corrs(mesh, flows, downsample=2,
+                              use_covariance=use_covariance)
+    np.testing.assert_allclose(np.asarray(mine), np.asarray(ref), atol=1e-4)

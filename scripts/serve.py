@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""HTTP serving for counterfactual world models.
+
+A small stdlib-only server exposing the CWM inference surface:
+
+    GET  /health                 -> {"status": "ok", "backend": "tpu"}
+    POST /predict                -> factual prediction
+    POST /counterfactual         -> counterfactual simulation + flow + segment
+
+Request JSON (both POSTs):
+    {"image": [[...]] float [H, W, 3] in [0, 1] (or nested list [3, H, W]),
+     "active": [[row, col], ...]   frame-1 patch-grid coordinates,
+     "passive": [[row, col], ...]  optional static patches,
+     "shift": [dy, dx]             patch-unit shift (counterfactual only),
+     "num_samples": int            optional, counterfactual only}
+
+Responses return base64 PNGs ("prediction", and for counterfactuals
+"flow_rgb" + "segment") plus the raw segment as a nested list.
+
+One model owner thread serializes device work (requests queue behind a
+lock); prediction programs are jit-cached after the first call per shape.
+
+Usage:
+    python scripts/serve.py --model tiny --img-size 64 --port 8731
+    curl -s localhost:8731/health
+"""
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def build_generator(args):
+    import jax
+    import jax.numpy as jnp
+    from counterfactualworldmodels_tpu.models import vmae
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines import FlowGenerator
+    from counterfactualworldmodels_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+
+    on_tpu = jax.default_backend() == 'tpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    attn = 'flash' if on_tpu else 'dense'
+    if args.model == 'tiny':
+        model = vmae.PretrainVisionTransformer(
+            img_size=(args.img_size, args.img_size), patch_size=(8, 8),
+            encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=2,
+            decoder_embed_dim=64, decoder_depth=1, decoder_num_heads=2,
+            mlp_ratio=2.0, qkv_bias=True, num_frames=2, tubelet_size=1,
+            dtype=dtype)
+    elif args.model == 'base':
+        model = vmae.base_8x8patch_2frames_1tube(dtype=dtype, attn_impl=attn)
+    else:
+        model = vmae.large_4x4patch_2frames_1tube(dtype=dtype, attn_impl=attn)
+
+    if args.params:
+        from counterfactualworldmodels_tpu.utils.checkpoint import load_params
+        params = load_params(os.path.abspath(args.params))
+    else:
+        params = vmae.init_params(model, jax.random.PRNGKey(0))
+    raft = RAFT(iters=args.raft_iters, dtype=dtype)
+    if args.raft_params:
+        from counterfactualworldmodels_tpu.utils.checkpoint import load_params
+        raft_params = load_params(os.path.abspath(args.raft_params))
+    else:
+        raft_params = init_raft_params(raft, jax.random.PRNGKey(1),
+                                       hw=max(64, args.img_size))
+    return FlowGenerator(predictor=model, params=params, flow_model=raft,
+                         flow_params=raft_params, raft_iters=args.raft_iters,
+                         imagenet_normalize_inputs=True, seed=args.seed)
+
+
+def _png_b64(arr):
+    """[H, W, 3] or [H, W] float array in [0, 1] -> base64 PNG."""
+    import numpy as np
+    from PIL import Image
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, -1)
+    img = Image.fromarray((np.clip(a, 0, 1) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, 'PNG')
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class CwmService:
+    def __init__(self, G, img_size):
+        self.G = G
+        self.img_size = img_size
+        self.lock = threading.Lock()
+
+    def _parse_image(self, req):
+        import numpy as np
+        import jax.numpy as jnp
+        img = np.asarray(req['image'], np.float32)
+        if img.ndim != 3:
+            raise ValueError(f'image must be rank 3, got {img.shape}')
+        if img.shape[-1] == 3:                     # HWC -> CHW
+            img = img.transpose(2, 0, 1)
+        if img.shape[-2:] != (self.img_size, self.img_size):
+            import jax
+            img = np.asarray(jax.image.resize(
+                jnp.asarray(img), (3, self.img_size, self.img_size),
+                'bilinear'))
+        return jnp.asarray(img)[None]              # [1, 3, H, W]
+
+    def _patch_mask(self, coords, grid, n):
+        import numpy as np
+        mask = np.ones((1, n), dtype=bool)
+        mask[0, :n // 2] = False
+        for r, c_ in (coords or []):
+            mask[0, n // 2 + (int(r) % grid) * grid + (int(c_) % grid)] = \
+                False
+        return mask
+
+    def predict(self, req):
+        import numpy as np
+        import jax.numpy as jnp
+        x = self._parse_image(req)
+        G = self.G
+        n = G.predictor.num_patches
+        grid = G.mask_shape[-1]
+        mask = self._patch_mask(req.get('active'), grid, n)
+        with self.lock:
+            video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
+            pred = G.predict(video, jnp.asarray(mask), frame=1)
+            pred = np.asarray(pred[0, 0]).transpose(1, 2, 0)
+        return {'prediction': _png_b64(pred)}
+
+    def counterfactual(self, req):
+        import numpy as np
+        import jax.numpy as jnp
+        x = self._parse_image(req)
+        G = self.G
+        n = G.predictor.num_patches
+        grid = G.mask_shape[-1]
+        active = self._patch_mask(req.get('active'), grid, n)
+        if not req.get('active'):
+            raise ValueError('counterfactual requires "active" patches')
+        passive = None
+        if req.get('passive'):
+            passive = jnp.asarray(
+                self._patch_mask(req['passive'], grid, n))
+        shift = req.get('shift', [0, 2])
+        s = int(req.get('num_samples', 1))
+        with self.lock:
+            ys, flows = G.predict_counterfactual_videos_and_flows(
+                x, active_patches=jnp.asarray(active),
+                passive_patches=passive,
+                shifts=[tuple(shift)] * s, num_samples=s,
+                sample_batch_size=s)
+            seg = np.asarray(
+                G.compute_mean_motion_map(G._batch_to_samples(flows))[0, 0])
+            sim = np.asarray(ys[0, 1]).transpose(1, 2, 0)
+            from counterfactualworldmodels_tpu.ops.flow_viz import flow_to_rgb
+            rgb = np.asarray(flow_to_rgb(
+                flows[0, 0], max_speed=max(float(jnp.abs(flows).max()),
+                                           1e-3))).transpose(1, 2, 0)
+        return {'simulation': _png_b64(sim), 'flow_rgb': _png_b64(rgb),
+                'segment': _png_b64(seg),
+                'segment_raw': np.round(seg, 4).tolist()}
+
+
+def make_handler(service, backend):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):
+            print('%s - %s' % (self.address_string(), fmt % a))
+
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header('Content-Type', 'application/json')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/health':
+                self._send(200, {'status': 'ok', 'backend': backend})
+            else:
+                self._send(404, {'error': f'unknown path {self.path}'})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get('Content-Length', 0))
+                req = json.loads(self.rfile.read(length) or b'{}')
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {'error': f'bad JSON: {e}'})
+            try:
+                if self.path == '/predict':
+                    self._send(200, service.predict(req))
+                elif self.path == '/counterfactual':
+                    self._send(200, service.counterfactual(req))
+                else:
+                    self._send(404, {'error': f'unknown path {self.path}'})
+            except (ValueError, KeyError) as e:
+                self._send(400, {'error': str(e)})
+            except Exception as e:  # noqa: BLE001 - surface to the client
+                self._send(500, {'error': f'{type(e).__name__}: {e}'})
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='base',
+                    choices=['tiny', 'base', 'large'])
+    ap.add_argument('--img-size', type=int, default=224)
+    ap.add_argument('--params', default=None, help='orbax checkpoint dir')
+    ap.add_argument('--raft-params', default=None)
+    ap.add_argument('--raft-iters', type=int, default=24)
+    ap.add_argument('--port', type=int, default=8731)
+    ap.add_argument('--host', default='127.0.0.1')
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    G = build_generator(args)
+    service = CwmService(G, args.img_size)
+    backend = jax.default_backend()
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service, backend))
+    print(f'serving {args.model} @ {args.img_size}px on '
+          f'http://{args.host}:{args.port} (backend={backend})', flush=True)
+    server.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

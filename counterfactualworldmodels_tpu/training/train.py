@@ -128,3 +128,84 @@ def make_batch_masks(key, model: PretrainVisionTransformer, batch_size: int,
     n_vis = (t - 1) * n_per_frame + (n_per_frame -
                                      int(mask_ratio * n_per_frame))
     return mask, n_vis
+
+
+def make_cmae_train_step(model, optimizer, n_vis: int,
+                         group_masked_counts, remat: bool = True):
+    """Train step for ChannelMae (masked channel-group reconstruction,
+    reference cmae.py:526-547 objective). Returns
+    train_step(state, x, mask) -> (state, metrics)."""
+    from ..models.cmae import channel_mae_train_loss
+
+    def loss_fn(params, x, mask):
+        return channel_mae_train_loss(model, params, x, mask, n_vis,
+                                      group_masked_counts)
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
+
+    def train_step(state: TrainState, x, mask):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x, mask))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state),
+                {'loss': loss, 'grad_norm': optax.global_norm(grads)})
+
+    return train_step
+
+
+def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
+                          group_masked_counts) -> TrainState:
+    """Initialize ChannelMae params + optimizer state."""
+    x0 = jnp.zeros(x_shape, jnp.float32)
+    params = model.init(key, x0, mask, n_vis, group_masked_counts,
+                        method=model.forward_groups)['params']
+    return TrainState(jnp.zeros((), jnp.int32), params,
+                      optimizer.init(params))
+
+
+def conjoined_prediction_loss(model, params, x, mask, x_context,
+                              mask_context, n_vis: int, n_vis_context: int,
+                              normalize_targets: bool = True,
+                              eps: float = 1e-6):
+    """Masked-prediction MSE on the main (RGB) stream of a conjoined VMAE
+    with context (e.g. IMU) conditioning. Inputs are preprocessed streams
+    (the layout ConjoinedVMAE.__call__ takes); the reference ships no
+    conjoined training code — this is the objective its IMU-conditioned
+    checkpoints imply."""
+    pred = model.apply({'params': params}, x, mask, x_context, mask_context,
+                       n_vis, n_vis_context)
+    ps = (model.main.tubelet_size,) + tuple(model.main.patch_size)
+    target = patchify(jnp.swapaxes(x, 1, 2), ps, temporal_dim=1)
+    if normalize_targets:
+        mean = target.mean(-1, keepdims=True)
+        var = target.var(-1, keepdims=True)
+        target = (target - mean) / jnp.sqrt(var + eps)
+    order = mask_order(mask)
+    target_masked = take_tokens(target, order[:, n_vis:])
+    n_real = target_masked.shape[1]
+    return ((pred[:, :n_real] - target_masked) ** 2).mean()
+
+
+def make_conjoined_train_step(model, optimizer, n_vis: int,
+                              n_vis_context: int, remat: bool = True,
+                              **loss_kwargs):
+    """Train step for ConjoinedVMAE: step(state, x, mask, x_context,
+    mask_context) -> (state, metrics)."""
+    def loss_fn(params, x, mask, xc, mc):
+        return conjoined_prediction_loss(model, params, x, mask, xc, mc,
+                                         n_vis, n_vis_context, **loss_kwargs)
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
+
+    def train_step(state: TrainState, x, mask, xc, mc):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(p, x, mask, xc, mc))(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(state.step + 1, params, opt_state),
+                {'loss': loss, 'grad_norm': optax.global_norm(grads)})
+
+    return train_step

@@ -139,3 +139,33 @@ def test_soft_channel_mae_differentiable():
     g = jax.grad(loss)(soft)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0  # gradients flow through the mask
+
+
+def test_cmae_train_step_decreases_loss():
+    """End-to-end ChannelMae training step: loss finite and decreasing on a
+    fixed batch."""
+    from counterfactualworldmodels_tpu.models.cmae import group_uniform_mask
+    from counterfactualworldmodels_tpu.training.train import (
+        make_cmae_train_step, init_cmae_train_state, make_optimizer)
+
+    _, model = _pair(partition=(1, 2))
+    key = jax.random.PRNGKey(0)
+    b = 2
+    g = len(model.partition)
+    h = model.image_size[0] // model.patch_size[0]
+    mask, counts = group_uniform_mask(
+        jax.random.PRNGKey(1), (g, h, h), mask_ratio=0.5, batch_size=b)
+    n_vis = mask.shape[1] - sum(counts)
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        b, model.in_channels, *model.image_size).astype(np.float32))
+
+    opt = make_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=50)
+    state = init_cmae_train_state(model, opt, key, x.shape, mask, n_vis,
+                                  counts)
+    step = jax.jit(make_cmae_train_step(model, opt, n_vis, counts))
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, x, mask)
+        losses.append(float(metrics['loss']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

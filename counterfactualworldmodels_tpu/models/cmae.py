@@ -411,42 +411,111 @@ class SoftChannelMae(nn.Module):
             attn_impl=self.attn_impl)
         self.encoder_to_decoder = nn.Dense(self.decoder_embed_dim,
                                            use_bias=False, dtype=self.dtype)
-        self.mask_token_enc = self.param('mask_token_enc',
-                                         nn.initializers.normal(0.02),
-                                         (1, 1, self.encoder_embed_dim),
-                                         jnp.float32)
-        self.mask_token_dec = self.param('mask_token_dec',
-                                         nn.initializers.normal(0.02),
-                                         (1, 1, self.decoder_embed_dim),
-                                         jnp.float32)
+        # one soft mask token at encoder dim (reference cmae.py:740-743)
+        self.mask_token = self.param('mask_token',
+                                     nn.initializers.normal(0.02),
+                                     (1, 1, self.encoder_embed_dim),
+                                     jnp.float32)
         self.channel_heads = [
             nn.Dense(self.patch_dim * g, dtype=self.dtype)
             for g in self.partition]
 
-    def __call__(self, x, soft_mask):
-        """x [B, C, H, W]; soft_mask float [B, N] in [0, 1]
-        (1 = fully masked). Returns per-group predictions over ALL tokens
-        [B, n_per_group, patch_dim * c_g], differentiable in soft_mask.
-        """
+    def _encode(self, x, soft_mask):
+        """Soft-masked encode (reference cmae.py:828-848, decode_mask-free
+        path: the demo/training path with num_decode_tokens=None)."""
         tokens = self.encoder.tokenize(x)
         tokens = interpolate_with_mask_token(
-            tokens, soft_mask, self.mask_token_enc.astype(tokens.dtype),
+            tokens, soft_mask, self.mask_token.astype(tokens.dtype),
             invert=True)
         for blk in self.encoder.blocks:
             tokens = blk(tokens)
-        tokens = self.encoder.norm(tokens)
+        return self.encoder.norm(tokens)
 
-        z = self.encoder_to_decoder(tokens)
+    def _decode(self, z, soft_mask):
+        """Add decoder-dim positions and decode all tokens. The reference's
+        SoftChannelMae._decode (cmae.py:850-859) raises NameError on an
+        undefined `mask` kwarg; this is that method with the bug removed
+        (the kwarg was unused: filter_to_masked=False)."""
         pos = sinusoid_encoding_table(self.num_patches,
                                       self.decoder_embed_dim)
         z = z + jnp.asarray(pos, z.dtype)
-        z = interpolate_with_mask_token(
-            z, soft_mask, self.mask_token_dec.astype(z.dtype), invert=True)
-        # re-add positions to the masked component like the reference's
-        # decode-token construction (cmae.py:832-861)
-        y = self.decoder(z, return_token_num=-1)
+        return self.decoder(z, return_token_num=-1)
+
+    def __call__(self, x, soft_mask):
+        """x [B, C, H, W]; soft_mask float [B, N] in [0, 1]
+        (1 = fully masked). Returns per-group predictions over ALL tokens
+        [B, n_per_group, patch_dim * c_g], differentiable in soft_mask
+        (reference forward, cmae.py:862-891, num_decode_tokens=None)."""
+        tokens = self._encode(x, soft_mask)
+        z = self.encoder_to_decoder(tokens)
+        y = self._decode(z, soft_mask)
         outs = []
         n_per = self.patches_per_group
         for g, head in enumerate(self.channel_heads):
             outs.append(head(y[:, g * n_per:(g + 1) * n_per]))
         return outs
+
+    def compute_labels(self, x):
+        """Ground-truth patches for every token per group
+        (reference cmae.py:905-937, decode_mask=None)."""
+        inds = [0] + list(np.cumsum(self.partition))
+        outs = []
+        for g, cg in enumerate(self.partition):
+            group = x[:, inds[g]:inds[g + 1]]
+            outs.append(patchify(group[:, :, None],
+                                 (1,) + tuple(self.patch_size),
+                                 temporal_dim=2))
+        return outs
+
+
+class SoftInputChannelMae(SoftChannelMae):
+    """Soft tokens route the inputs differentiably, but the decoded tokens
+    are a fresh set of hard mask tokens appended to the sequence — the
+    decoder reads off predictions for every position from them (reference
+    SoftInputChannelMae, cmae.py:1004-1059)."""
+
+    def setup(self):
+        super().setup()
+        self.decoder_mask_token = self.param('decoder_mask_token',
+                                             nn.initializers.normal(0.02),
+                                             (1, 1, self.decoder_embed_dim),
+                                             jnp.float32)
+
+    def _decode(self, z, soft_mask):
+        """Concat decoder mask tokens w/ positions, decode, return the last
+        N (the mask tokens' outputs) — reference cmae.py:1033-1051."""
+        b = z.shape[0]
+        pos = jnp.asarray(sinusoid_encoding_table(
+            self.num_patches, self.decoder_embed_dim), z.dtype)
+        mask_tok = self.decoder_mask_token.astype(z.dtype) + pos
+        z = z + pos
+        z = jnp.concatenate(
+            [z, jnp.broadcast_to(mask_tok, (b,) + mask_tok.shape[1:])], 1)
+        return self.decoder(z, return_token_num=self.num_patches)
+
+
+def soft_channel_mae_recombine(model: SoftChannelMae, ys):
+    """Stack per-group head outputs back into [B, n_per, patch_dim, C]
+    (reference _recombine_channel_head_outputs, cmae.py:763-780)."""
+    b = ys[0].shape[0]
+    n_per = model.patches_per_group
+    pd = model.patch_dim
+    ys = [y.reshape(b, n_per, pd, cg)
+          for y, cg in zip(ys, model.partition)]
+    return jnp.concatenate(ys, -1)
+
+
+def soft_channel_mae_train_loss(model: SoftChannelMae, params, x, soft_mask):
+    """Mask-weighted per-group MSE (reference compute_train_loss,
+    cmae.py:960-984): fully revealed patches contribute no loss."""
+    preds = model.apply({'params': params}, x, soft_mask)
+    labels = model.apply({'params': params}, x,
+                         method=SoftChannelMae.compute_labels)
+    n_per = model.patches_per_group
+    loss = 0.0
+    for g, (p, l) in enumerate(zip(preds, labels)):
+        m = soft_mask[:, g * n_per:(g + 1) * n_per].astype(p.dtype)
+        per_tok = ((p - l) ** 2).mean(-1) * m
+        num_masked = jnp.clip(m.sum(1, keepdims=True), min=1.0)
+        loss = loss + (per_tok.sum(1, keepdims=True) / num_masked).mean()
+    return loss

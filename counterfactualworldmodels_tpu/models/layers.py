@@ -65,17 +65,20 @@ class Attention(nn.Module):
         all_head_dim = head_dim * self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
+        # qkv kernel is stored [D, 3, A] (not the reference's fused [3A, D])
+        # so tensor parallelism can shard the head axis A without crossing
+        # the q/k/v boundary (head-aligned whenever tp divides num_heads).
         qkv_kernel = self.param(
             'qkv_kernel', nn.initializers.xavier_uniform(),
-            (self.dim, all_head_dim * 3), jnp.float32)
-        qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
-                      preferred_element_type=jnp.float32).astype(self.dtype)
+            (self.dim, 3, all_head_dim), jnp.float32)
+        qkv = jnp.einsum('bnd,dta->bnta', x, qkv_kernel.astype(self.dtype),
+                         preferred_element_type=jnp.float32).astype(self.dtype)
         if self.qkv_bias:
             q_bias = self.param('q_bias', nn.initializers.zeros,
                                 (all_head_dim,), jnp.float32)
             v_bias = self.param('v_bias', nn.initializers.zeros,
                                 (all_head_dim,), jnp.float32)
-            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            bias = jnp.stack([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
 
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)

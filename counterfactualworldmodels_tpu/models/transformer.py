@@ -58,16 +58,18 @@ class CrossSelfAttention(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
         inner = head_dim * self.num_heads
 
+        # [D, 3, A] layout for head-aligned tensor parallelism (see
+        # models/layers.py Attention)
         qkv_kernel = self.param('qkv_kernel', nn.initializers.xavier_uniform(),
-                                (self.in_dim, inner * 3), jnp.float32)
-        qkv = jnp.dot(x, qkv_kernel.astype(self.dtype),
-                      preferred_element_type=jnp.float32).astype(self.dtype)
+                                (self.in_dim, 3, inner), jnp.float32)
+        qkv = jnp.einsum('bnd,dta->bnta', x, qkv_kernel.astype(self.dtype),
+                         preferred_element_type=jnp.float32).astype(self.dtype)
         if self.qkv_bias:
             q_bias = self.param('q_bias', nn.initializers.zeros, (inner,),
                                 jnp.float32)
             v_bias = self.param('v_bias', nn.initializers.zeros, (inner,),
                                 jnp.float32)
-            qkv = qkv + jnp.concatenate(
+            qkv = qkv + jnp.stack(
                 [q_bias, jnp.zeros_like(q_bias), v_bias]).astype(self.dtype)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q = jnp.swapaxes(qkv[:, :, 0], 1, 2) * scale

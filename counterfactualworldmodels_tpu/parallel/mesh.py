@@ -37,12 +37,14 @@ def sample_parallel_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 # ---------------------------------------------------------------------------
 # Parameter partitioning for the VMAE family: tensor-parallel over heads/MLP.
-# Dense kernels are [in, out]; attention qkv_kernel is [D, 3*A].
+# Dense kernels are [in, out]; attention qkv_kernel is [D, 3, A].
 # ---------------------------------------------------------------------------
 
 VMAE_PARTITION_RULES: Sequence[Tuple[str, P]] = (
-    # attention: shard the head dim (columns of qkv, rows of out-proj)
-    (r'.*attn/qkv_kernel$', P(None, 'tp')),
+    # attention: qkv kernels are stored [D, 3, A] (models/layers.py) so the
+    # 'tp' shards of the A axis are head-aligned whenever tp | num_heads and
+    # never cross the q/k/v boundary
+    (r'.*attn/qkv_kernel$', P(None, None, 'tp')),
     (r'.*attn/(q_bias|v_bias)$', P('tp')),
     (r'.*attn/proj/kernel$', P('tp', None)),
     (r'.*attn/proj/bias$', P()),
@@ -87,6 +89,12 @@ def param_shardings(params, mesh: Mesh, rules=VMAE_PARTITION_RULES):
         for dim, axis in enumerate(spec):
             if axis == 'tp':
                 if dim >= leaf.ndim or leaf.shape[dim] % max(tp_size, 1):
+                    if tp_size > 1:
+                        import warnings
+                        warnings.warn(
+                            f'tp={tp_size} does not divide dim {dim} of '
+                            f'{path} {leaf.shape}; replicating this param '
+                            f'(no tensor parallelism for it)', stacklevel=2)
                     return P()
         return spec
 
@@ -115,3 +123,25 @@ def shard_params(params, mesh: Mesh, rules=VMAE_PARTITION_RULES):
     shardings = param_shardings(params, mesh, rules)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, shardings)
+
+
+def opt_state_shardings(opt_state, p_shardings, mesh: Mesh):
+    """Shardings for an optax state tree: param-shaped subtrees (adam
+    mu/nu and any other per-param moments mirror the param tree) get the
+    param shardings; scalar leaves (step counts) are replicated.
+
+    Matching is by tree structure: any dict node whose treedef equals the
+    param tree's gets ``p_shardings`` wholesale.
+    """
+    repl = NamedSharding(mesh, P())
+    pdef = jax.tree_util.tree_structure(p_shardings)
+
+    def node(x):
+        if isinstance(x, dict):
+            if jax.tree_util.tree_structure(x) == pdef:
+                return p_shardings
+            return jax.tree_util.tree_map(lambda _: repl, x)
+        return repl
+
+    return jax.tree_util.tree_map(node, opt_state,
+                                  is_leaf=lambda x: isinstance(x, dict))

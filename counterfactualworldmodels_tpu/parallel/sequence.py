@@ -34,12 +34,11 @@ def _block_sp(p, x_local, axis: str, num_heads: int):
 
     # --- attention: local queries, gathered keys/values
     h = _layernorm(x_local, p['norm1']['scale'], p['norm1']['bias'])
-    qkv = jnp.dot(h, p['attn']['qkv_kernel'])
+    qkv = jnp.einsum('bnd,dta->bnta', h, p['attn']['qkv_kernel'])
     if 'q_bias' in p['attn']:
         q_bias = p['attn']['q_bias']
-        bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias),
-                                p['attn']['v_bias']])
-        qkv = qkv + bias
+        qkv = qkv + jnp.stack([q_bias, jnp.zeros_like(q_bias),
+                               p['attn']['v_bias']])
     qkv = qkv.reshape(b, n_loc, 3, num_heads, d // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [B, N/sp, H, Dh]
     head_dim = d // num_heads

@@ -106,11 +106,11 @@ def make_sharded_train_step(model: PretrainVisionTransformer, optimizer,
     def shard_state(state: TrainState) -> TrainState:
         p_sh = parallel.param_shardings(state.params, mesh)
         params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
-        opt_state = jax.device_put(state.opt_state, repl)
-        # adam moments follow the param shardings
-        opt_state = jax.tree_util.tree_map(
-            lambda x: x,
-            opt_state)
+        # adam moments mirror the param tree and take the param shardings;
+        # counts/scalars replicate
+        o_sh = parallel.opt_state_shardings(state.opt_state, p_sh, mesh)
+        opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state,
+                                           o_sh)
         return TrainState(jax.device_put(state.step, repl), params, opt_state)
 
     jitted = jax.jit(step_fn, donate_argnums=(0,))

@@ -50,8 +50,9 @@ def _layernorm(tree, flax_path, sd, torch_prefix):
 def _block(tree, flax_path, sd, torch_prefix):
     _layernorm(tree, flax_path + '/norm1', sd, torch_prefix + '.norm1')
     _layernorm(tree, flax_path + '/norm2', sd, torch_prefix + '.norm2')
+    w = _np(sd[torch_prefix + '.attn.qkv.weight']).T  # [D, 3A]
     _set(tree, flax_path + '/attn/qkv_kernel',
-         _np(sd[torch_prefix + '.attn.qkv.weight']).T)
+         w.reshape(w.shape[0], 3, w.shape[1] // 3))
     for b in ('q_bias', 'v_bias'):
         k = f'{torch_prefix}.attn.{b}'
         if k in sd:
@@ -350,6 +351,8 @@ def convert_channel_mae(sd: Dict) -> Dict:
     _linear(tree, 'encoder_to_decoder', sd, 'encoder_to_decoder', bias=False)
     if 'mask_token' in sd:
         _set(tree, 'mask_token', _np(sd['mask_token']))
+    if 'decoder_mask_token' in sd:  # SoftInputChannelMae
+        _set(tree, 'decoder_mask_token', _np(sd['decoder_mask_token']))
     heads = sorted({int(k.split('.')[1]) for k in sd
                     if k.startswith('channel_heads.')})
     for g in heads:

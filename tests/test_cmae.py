@@ -169,3 +169,85 @@ def test_cmae_train_step_decreases_loss():
         losses.append(float(metrics['loss']))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def _soft_pair(cls_name, img=32, patch=8, partition=(1, 2)):
+    import cwm.models.VideoMAE.cmae as tcmae
+    torch.manual_seed(0)
+    enc = dict(image_size=img, patch_size=(patch, patch),
+               in_channels=sum(partition), channel_partition=partition,
+               embed_dim=48, depth=2, num_heads=4, mlp_ratio=2.0,
+               qkv_bias=True)
+    dec = dict(embed_dim=32, depth=1, num_heads=4, mlp_ratio=2.0,
+               qkv_bias=True)
+    tmodel = getattr(tcmae, cls_name)(encoder_params=enc,
+                                      decoder_params=dec).eval()
+    jcls = getattr(jcmae, cls_name)
+    jmodel = jcls(
+        image_size=(img, img), patch_size=(patch, patch),
+        in_channels=sum(partition), channel_partition=partition,
+        encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=4,
+        mlp_ratio=2.0, qkv_bias=True)
+    return tmodel, jmodel
+
+
+def test_soft_input_channel_mae_matches_reference():
+    """Golden: SoftInputChannelMae forward, recombine, and train loss
+    (reference cmae.py:1004-1059).
+
+    B=1 only: the reference's _decode torch.cat's a [1,N,C] mask-token
+    tensor against [B,N,C] inputs and breaks for B>1 (cmae.py:1043); the
+    rebuild broadcasts."""
+    tmodel, jmodel = _soft_pair('SoftInputChannelMae')
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(4)
+    x = rng.rand(1, 3, 32, 32).astype(np.float32)
+    soft = rng.rand(1, jmodel.num_patches).astype(np.float32)
+
+    with torch.no_grad():
+        ys_ref = tmodel(torch.tensor(x), torch.tensor(soft),
+                        recombine_channel_groups=False)
+        yr_ref = tmodel(torch.tensor(x), torch.tensor(soft),
+                        recombine_channel_groups=True)
+        loss_ref = tmodel.compute_train_loss(torch.tensor(x),
+                                             torch.tensor(soft))
+    ys = jmodel.apply({'params': params}, jnp.asarray(x), jnp.asarray(soft))
+    assert len(ys) == len(ys_ref)
+    for y, y_ref in zip(ys, ys_ref):
+        assert y.shape == tuple(y_ref.shape)
+        np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+    yr = jcmae.soft_channel_mae_recombine(jmodel, ys)
+    np.testing.assert_allclose(np.asarray(yr), yr_ref.numpy(), atol=5e-4)
+    loss = jcmae.soft_channel_mae_train_loss(jmodel, params, jnp.asarray(x),
+                                             jnp.asarray(soft))
+    np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-4)
+
+
+def test_soft_channel_mae_matches_reference_fixed_decode():
+    """Golden: SoftChannelMae. The reference's _decode raises NameError on
+    an undefined `mask` (cmae.py:858); patch in the minimal fix (the kwarg
+    was unused under filter_to_masked=False) and compare."""
+    tmodel, jmodel = _soft_pair('SoftChannelMae')
+
+    def fixed_decode(self, x):
+        dec_pos_embed = self.pos_embed.type_as(x).to(x.device).detach()
+        if self.decode_mask is not None:
+            dec_pos_embed = dec_pos_embed.expand(
+                x.size(0), -1, -1)[self.decode_mask].reshape(*x.shape)
+        return self.decoder(x + dec_pos_embed, mask=None,
+                            filter_to_masked=False)
+
+    import types
+    tmodel._decode = types.MethodType(fixed_decode, tmodel)
+
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(5)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    soft = rng.rand(2, jmodel.num_patches).astype(np.float32)
+    with torch.no_grad():
+        ys_ref = tmodel(torch.tensor(x), torch.tensor(soft),
+                        recombine_channel_groups=False)
+    ys = jmodel.apply({'params': params}, jnp.asarray(x), jnp.asarray(soft))
+    for y, y_ref in zip(ys, ys_ref):
+        np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)

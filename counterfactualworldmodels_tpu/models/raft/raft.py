@@ -126,8 +126,17 @@ class RAFT(nn.Module):
             fnet = BasicEncoder(256, 'instance', self.dtype, name='fnet')
             cnet = BasicEncoder(hdim + cdim, 'batch', self.dtype, name='cnet')
 
-        fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
-        fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
+        if x1.shape[0] == x2.shape[0]:
+            fmaps = fnet(jnp.concatenate([x1, x2], axis=0))
+            fmap1, fmap2 = jnp.split(fmaps.astype(jnp.float32), 2, axis=0)
+        else:
+            # shared-frame0 counterfactual batch: image1 [1,...] is the same
+            # scene for every image2 [S,...]; encode it once and broadcast
+            # (all norms are frozen/per-sample so batch-1 == batch-S rows)
+            assert x1.shape[0] == 1, (x1.shape, x2.shape)
+            fmap1 = fnet(x1).astype(jnp.float32)
+            fmap2 = fnet(x2).astype(jnp.float32)
+            fmap1 = jnp.broadcast_to(fmap1, fmap2.shape)
         pyramid = pad_pyramid(
             build_pyramid(all_pairs_correlation(fmap1, fmap2),
                           self.corr_levels), self.corr_radius)
@@ -135,6 +144,9 @@ class RAFT(nn.Module):
         c = cnet(x1)
         net = jnp.tanh(c[..., :hdim])
         inp = nn.relu(c[..., hdim:])
+        if net.shape[0] != x2.shape[0]:
+            net = jnp.broadcast_to(net, (x2.shape[0],) + net.shape[1:])
+            inp = jnp.broadcast_to(inp, (x2.shape[0],) + inp.shape[1:])
 
         b, h8, w8, _ = net.shape
         coords0 = coords_grid(b, h8, w8)
@@ -225,3 +237,17 @@ class InputPadder:
         l, r, t, b = self._pad
         ht, wd = x.shape[-2:]
         return x[..., t:ht - b, l:wd - r]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def apply_raft_shared0(model: RAFT, params, video,
+                       iters: Optional[int] = None,
+                       scale_inputs: bool = True):
+    """Counterfactual-batch flow probe: ``video`` [S, 2, C, H, W] where
+    frame 0 is the SAME scene in every sample (the fix_passive
+    construction). fnet/cnet run once on frame 0 instead of S times;
+    numerics are identical to apply_raft_video because every norm in the
+    encoders is frozen or per-sample. Returns flows [S, 1, 2, H, W]."""
+    x = video * 255.0 if scale_inputs else video
+    flow = model.apply({'params': params}, x[0:1, 0], x[:, 1], iters)[1]
+    return flow[:, None]

@@ -61,15 +61,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
                                              'interpret'))
 def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     bh, n, d = q.shape
+    nk = k.shape[1]
     n_pad_q = -(-n // block_q) * block_q
-    n_pad_k = -(-n // block_k) * block_k
+    n_pad_k = -(-nk // block_k) * block_k
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - n), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - nk), (0, 0)))
 
     grid = (bh, n_pad_q // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, n_valid=n),
+        functools.partial(_flash_kernel, block_k=block_k, n_valid=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -94,7 +95,8 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
 def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = None) -> jnp.ndarray:
-    """Online-softmax attention. q, k, v: [B, H, N, D], q pre-scaled.
+    """Online-softmax attention. q [B, H, Nq, D] pre-scaled; k, v
+    [B, H, Nk, D] (cross-attention shapes allowed: Nq != Nk).
 
     On non-TPU backends the kernel runs in interpreter mode (slow; tests
     only) unless ``interpret`` is forced.
@@ -102,8 +104,9 @@ def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     b, h, n, d = q.shape
+    nk = k.shape[2]
     q3 = q.reshape(b * h, n, d)
-    k3 = k.reshape(b * h, n, d)
-    v3 = v.reshape(b * h, n, d)
+    k3 = k.reshape(b * h, nk, d)
+    v3 = v.reshape(b * h, nk, d)
     out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret)
     return out.reshape(b, h, n, d)

@@ -525,3 +525,42 @@ def _get_error_maps(self, x, mask, frame=1, **kwargs):
 
 FlowGenerator.flowshow = _flowshow
 FlowGenerator.get_error_maps = _get_error_maps
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12, 13))
+def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
+                                         raft_params, x, passive, active,
+                                         shifts, keys, n_vis: int,
+                                         normalize: bool, raft_iters: int,
+                                         fix_passive: bool, use_flash: bool):
+    """Shared-prefix fast path of counterfactual_videos_and_flows for the
+    production workload shape: B=1, frame 0 fully visible and identical
+    across samples (fix_passive). The ViT runs via the prefix-isolated
+    engine (models/fast_vmae.py: frame-0 encode/decode once per batch,
+    per-sample work only on the frame-1 tokens) and RAFT shares the frame-0
+    feature/context encoders across samples. Per-sim FLOPs drop ~5x at
+    S=16; fidelity vs the exact path is quantified in
+    tests/test_fast_vmae.py and scripts/fidelity_report.py.
+
+    fast_params: stack_vmae_params(vmae_model, params). Other args/returns
+    as counterfactual_videos_and_flows with B=1.
+    """
+    from ..models.fast_vmae import predict_videos_shared_prefix
+    from ..models.raft.raft import apply_raft_shared0
+
+    b, t, c, h, w = x.shape
+    assert b == 1, 'fast path is per-scene; vmap/shard the scene axis'
+    s = passive.shape[-1]
+
+    def one(xb, p, a, shift, key):
+        return perturb.make_motion_counterfactual(
+            xb, p, a, shift, key, vmae_model.full_patch_size,
+            n_vis_target=n_vis, fix_passive=fix_passive)
+
+    f = jax.vmap(one, in_axes=(None, 1, 1, 0, 0))
+    x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
+
+    y = predict_videos_shared_prefix(vmae_model, fast_params, use_flash,
+                                     n_vis, normalize, x_mocos, mask_mocos)
+    flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
+    return y, flows, mask_mocos

@@ -185,7 +185,7 @@ def _window_lookup_kernel(sy_ref, sx_ref, wy_ref, wx_ref, lvl_ref, out_ref,
 
 
 def _window_lookup_tpu(level_padded, x, y, radius: int, h: int, w: int,
-                       rows_per_block: int = 8, interpret: bool = False):
+                       rows_per_block: int = 32, interpret: bool = False):
     """Pallas implementation of :func:`_window_lookup` (same contract)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -15,3 +15,12 @@ os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '') +
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# persistent compile cache: the suite is compile-bound (dozens of multi-device
+# CPU programs); reruns after the first are several times faster
+from counterfactualworldmodels_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_cache)
+
+enable_persistent_cache(os.environ.get('CWM_TEST_CACHE_DIR',
+                                       '/root/.cache/cwm_tpu_xla_tests'),
+                        min_compile_secs=0.5)

@@ -118,6 +118,7 @@ def test_group_uniform_mask():
     assert counts == (12, 12, 12)
 
 
+@pytest.mark.slow
 def test_soft_channel_mae_differentiable():
     model = jcmae.SoftChannelMae(
         image_size=(32, 32), patch_size=(8, 8), in_channels=3,
@@ -141,6 +142,7 @@ def test_soft_channel_mae_differentiable():
     assert float(jnp.abs(g).max()) > 0  # gradients flow through the mask
 
 
+@pytest.mark.slow
 def test_cmae_train_step_decreases_loss():
     """End-to-end ChannelMae training step: loss finite and decreasing on a
     fixed batch."""

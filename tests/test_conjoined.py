@@ -96,6 +96,7 @@ def _inputs(rng, b=2, vis_per_row=None):
     return x, imu, mask, mask_c
 
 
+@pytest.mark.slow
 def test_conjoined_imu_forward_matches_reference():
     ref = _ref_conjoined(padded=False)
     mine = _my_conjoined(padded=False)
@@ -118,6 +119,7 @@ def test_conjoined_imu_forward_matches_reference():
     np.testing.assert_allclose(np.asarray(y_c), yc_ref.numpy(), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_conjoined_imu_missing_context():
     """IMU=None path: fully-masked context with only the dummy visible."""
     ref = _ref_conjoined(padded=False)
@@ -171,6 +173,7 @@ def test_factories_build_and_run_tiny():
     assert m2.context.concat_dummy_token
 
 
+@pytest.mark.slow
 def test_conjoined_train_step_decreases_loss():
     """IMU-conditioned masked-prediction training: loss finite and
     decreasing on a fixed batch (no reference training code exists)."""

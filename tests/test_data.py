@@ -75,6 +75,7 @@ def test_flow_rgb_inverse():
     np.testing.assert_allclose(np.asarray(back), np.asarray(flow), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_loader_feeds_training_step(tmp_path):
     """Integration: packed shard -> (native or fallback) loader -> masked
     pretraining step; loss finite and decreasing over a few steps."""

@@ -151,6 +151,7 @@ def _dense_prefix_isolated(model, params, x_mocos, mask, n_vis):
     return np.concatenate([np.asarray(x_mocos[:, 0:1]), frame1], 1)
 
 
+@pytest.mark.slow
 def test_engine_matches_dense_prefix_isolated():
     model = _model()
     params = jvmae.init_params(model, jax.random.PRNGKey(0))
@@ -233,6 +234,7 @@ def test_prefix_cache_reuse():
     assert not np.allclose(np.asarray(ya), np.asarray(yb_full))
 
 
+@pytest.mark.slow
 def test_raft_shared0_matches_per_sample():
     """Shared frame-0 fnet/cnet == per-pair RAFT, bitwise-level tolerance."""
     from counterfactualworldmodels_tpu.models.raft.raft import (
@@ -250,6 +252,7 @@ def test_raft_shared0_matches_per_sample():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_fast_pipeline_runs_and_pastes_match_exact():
     from counterfactualworldmodels_tpu.models.raft.raft import (
         RAFT, init_raft_params)

@@ -186,6 +186,7 @@ def pipelines():
     return ref, mine
 
 
+@pytest.mark.slow
 def test_predict_imu_from_video_matches_reference(pipelines):
     ref, mine = pipelines
     rng = np.random.RandomState(0)
@@ -209,6 +210,7 @@ def test_static_imu_matches_reference(pipelines):
     np.testing.assert_allclose(np.asarray(h), h_ref.numpy(), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_imu_conditioned_counterfactuals_match_reference(pipelines):
     ref, mine = pipelines
     rng = np.random.RandomState(2)
@@ -231,6 +233,7 @@ def test_imu_conditioned_counterfactuals_match_reference(pipelines):
     np.testing.assert_allclose(np.asarray(f), f_ref.numpy(), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_imu_movability_runs(pipelines):
     _, mine = pipelines
     from counterfactualworldmodels_tpu.pipelines.movability import (

@@ -46,6 +46,7 @@ def test_sharded_params_match_unsharded_forward():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_counterfactuals_match_single_device():
     mesh = parallel.sample_parallel_mesh(8)
     model = _tiny_model()
@@ -76,6 +77,7 @@ def test_sharded_counterfactuals_match_single_device():
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches():
     mesh = parallel.make_mesh({'dp': 2, 'tp': 2})
     model = _tiny_model()
@@ -108,6 +110,7 @@ def test_sharded_train_step_runs_and_matches():
     np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_loss_decreases():
     model = _tiny_model()
     opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
@@ -125,6 +128,7 @@ def test_train_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_pipelined_blocks_match_sequential():
     """pp over 4 stages x microbatches == sequential block stack."""
     from counterfactualworldmodels_tpu.parallel.pipeline import (
@@ -253,6 +257,7 @@ def test_opt_state_sharding_follows_params():
     assert found_moments >= 2, found_moments  # mu and nu
 
 
+@pytest.mark.slow
 def test_tensor_parallel_blocks_match_sequential():
     """tp=4 head-parallel shard_map == sequential block stack."""
     from counterfactualworldmodels_tpu.parallel import (

@@ -116,6 +116,7 @@ def test_raft_keypoint_head_matches_reference():
     np.testing.assert_allclose(np.asarray(up), ref.numpy(), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_raft_multiframe_video_matches_reference():
     from cwm.models.raft.raft_model import RAFT as TorchRAFT, get_args
     args = get_args('')

@@ -149,6 +149,7 @@ def test_counterfactual_videos_and_flows_match_reference():
     np.testing.assert_allclose(np.asarray(f), f_ref.numpy(), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_sample_counterfactual_motion_map_shapes():
     _, mine = _paired_generators()
     rng = np.random.RandomState(4)

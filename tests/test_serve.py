@@ -38,6 +38,7 @@ def _post(base, path, payload, timeout=600):
         return r.status, json.loads(r.read())
 
 
+@pytest.mark.slow
 def test_serve_end_to_end(server):
     with urllib.request.urlopen(server + '/health', timeout=30) as r:
         assert json.loads(r.read())['status'] == 'ok'

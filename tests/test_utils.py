@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import matplotlib
@@ -35,6 +36,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_checkpoint_manager_resume(tmp_path):
     model = _tiny_model()
     opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
@@ -73,6 +75,7 @@ def test_stage_timer_and_metrics(tmp_path):
     assert len(open(log.path).readlines()) == 2
 
 
+@pytest.mark.slow
 def test_interface_events_end_to_end():
     """Drive the matplotlib interface with synthetic events."""
     import matplotlib.pyplot as plt

@@ -6,13 +6,60 @@ ViT-L/4x4 masked predictor on the visible tokens, and probe the predicted
 cwm/models/segmentation.py:49). This is the demo workload of the reference
 (movability / Spelke segmentation sampling loops).
 
+The predictor runs through the shared-prefix engine (models/fast_vmae.py):
+frame 0 is identical across the S prompts of a scene (the fix_passive
+construction), so its encoder/decoder passes run once per scene and each
+simulation pays only for its own frame-1 tokens. Fidelity vs the exact
+per-sample path is quantified in FIDELITY_r02.json / tests/test_fast_vmae.py.
+
 Prints ONE JSON line. vs_baseline is measured against the driver target of
 100 sims/sec/chip (BASELINE.md — the reference publishes no numbers).
+Extra keys: per-stage ms, analytic model FLOPs, and MFU vs the v5e bf16
+peak (197 TF/s).
+
+Env knobs: CWM_BENCH_S (sample batch per scene, default 16).
 """
 import json
+import os
 import time
 
 import numpy as np
+
+V5E_PEAK_FLOPS = 197e12
+
+
+def vit_flops(model, s, n_sfx):
+    """Analytic MAC*2 count of one shared-prefix dispatch (S sims)."""
+    n0 = model.num_patches_per_frame
+    n1 = model.num_patches - n0
+    de, dd = model.encoder_embed_dim, model.decoder_embed_dim
+    Le, Ld = model.encoder_depth, model.decoder_depth
+
+    def block(nq, nk, d, mlp=4):
+        mm = 2 * nq * d * d * (3 + 1 + 2 * mlp)        # qkv + proj + mlp
+        attn = 4 * nq * nk * d
+        return mm + attn
+
+    pt, ph, pw = model.full_patch_size
+    patch_dim = pt * ph * pw * 3
+    prefix = Le * block(n0, n0, de) + Ld * block(n0, n0, dd)
+    prefix += 2 * n0 * de * dd                          # encoder_to_decoder
+    suffix = s * (Le * block(n_sfx, n0 + n_sfx, de) +
+                  Ld * block(n1, n0 + n1, dd))
+    embed = (n0 + s * n_sfx) * 2 * patch_dim * de
+    head = s * n1 * 2 * dd * model.out_dim
+    return prefix + suffix + embed + head
+
+
+def raft_flops(s, hw=224, iters=24):
+    """Rough analytic count: fnet/cnet ~5.4 GF per 224px frame, one shared
+    frame-0 pass + S frame-1 passes; ~60 GF per refinement iteration at
+    S=16 scale (update block convs dominate)."""
+    enc = 5.4e9 * (s + 2)
+    per_iter = 3.75e9 * s
+    corr = 2 * s * 784 * 784 * 256
+    upsample = s * 784 * 9 * 64 * 2 * 2
+    return enc + iters * per_iter + corr + upsample
 
 
 def main():
@@ -21,10 +68,13 @@ def main():
     from counterfactualworldmodels_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from counterfactualworldmodels_tpu.models import vmae
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        stack_vmae_params, encode_prefix, predict_frame1_from_prefix)
     from counterfactualworldmodels_tpu.models.raft.raft import (
-        RAFT, init_raft_params)
+        RAFT, init_raft_params, apply_raft_shared0)
+    from counterfactualworldmodels_tpu.ops.normalization import imagenet_normalize
     from counterfactualworldmodels_tpu.pipelines.segmentation import (
-        counterfactual_videos_and_flows)
+        counterfactual_videos_and_flows_fast)
 
     on_tpu = jax.default_backend() == 'tpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -32,11 +82,13 @@ def main():
     model = vmae.large_4x4patch_2frames_1tube(
         dtype=dtype, attn_impl='flash' if on_tpu else 'dense')
     params = vmae.init_params(model, jax.random.PRNGKey(0))
+    fp = stack_vmae_params(model, params)
     raft = RAFT(iters=24, dtype=dtype)
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
-    b, s = 1, 16 if on_tpu else 2
-    hw = 224 if on_tpu else 224
+    b = 1
+    s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    hw = 224
     n = model.num_patches
     npf = n // 2
 
@@ -60,10 +112,10 @@ def main():
     n_vis = npf + 32 + 1
 
     def dispatch():
-        y, flows, masks = counterfactual_videos_and_flows(
-            model, params, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, 24, True)
-        return jnp.sum(jnp.abs(flows))
+        y, flows, masks = counterfactual_videos_and_flows_fast(
+            model, fp, raft, raft_params, x, passive, active, shifts,
+            keys, n_vis, True, 24, True, on_tpu)
+        return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     # axon's block_until_ready does not actually block; force completion
     # with a scalar host transfer
@@ -71,7 +123,7 @@ def main():
     float(dispatch())
 
     # steady-state throughput: pipeline dispatches, sync once per round
-    iters = 4 if on_tpu else 1
+    iters = 8 if on_tpu else 1
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -83,11 +135,44 @@ def main():
     dt = min(times)
     sims_per_sec = (b * s) / dt
 
+    # per-stage breakdown (separate dispatches; small overhead each)
+    stages = {}
+    if on_tpu:
+        xm = imagenet_normalize(jnp.broadcast_to(x, (s,) + x.shape[1:]),
+                                temporal_dim=1)
+        vis1 = jnp.asarray(np.stack([
+            rng.choice(npf, 33, replace=False) for _ in range(s)]), jnp.int32)
+        cache = encode_prefix(model, fp, True, xm[0:1, 0])
+        yv = jnp.asarray(rng.rand(s, 2, 3, hw, hw).astype(np.float32))
+
+        def t_of(fn, iters=6):
+            float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(fn())[0]).astype(jnp.float32)))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                accs = [fn() for _ in range(iters)]
+                float(sum(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(a)[0]).astype(jnp.float32))
+                          for a in accs))
+                best = min(best, (time.perf_counter() - t0) / iters)
+            return round(best * 1e3, 2)
+
+        stages['prefix_ms'] = t_of(lambda: encode_prefix(model, fp, True, xm[0:1, 0]))
+        stages['suffix_ms'] = t_of(lambda: predict_frame1_from_prefix(
+            model, fp, True, 33, cache, xm[:, 1], vis1))
+        stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
+            raft, raft_params, yv, 24, True))
+
+    flops = vit_flops(model, s, 33) + raft_flops(s)
     print(json.dumps({
         'metric': 'counterfactual sims/sec/chip (ViT-L 4x4, 224px, RAFT-24)',
         'value': round(sims_per_sec, 3),
         'unit': 'sims/sec/chip',
         'vs_baseline': round(sims_per_sec / 100.0, 4),
+        'config': {'b': b, 's': s, 'hw': hw, 'n_vis_f1': 33,
+                   'engine': 'shared-prefix', 'raft_iters': 24},
+        'stages': stages,
+        'model_tflops_per_dispatch': round(flops / 1e12, 3),
+        'mfu_vs_v5e_peak': round((flops / dt) / V5E_PEAK_FLOPS, 4),
     }))
 
 

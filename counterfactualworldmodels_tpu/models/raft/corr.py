@@ -121,6 +121,32 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2)
 
 
+def build_pyramid_lanes(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarray]:
+    """Query-on-lanes pyramid layout for the TPU lookup kernel: each level
+    is [h2, w2, N] (N = B*H1*W1 queries on the minor/lane axis)."""
+    return [jnp.transpose(lv, (1, 2, 0))
+            for lv in build_pyramid(corr, num_levels)]
+
+
+def lookup_pyramid_lanes(pyramid_t: List[jnp.ndarray], coords: jnp.ndarray,
+                         radius: int) -> jnp.ndarray:
+    """lookup_pyramid for the lanes layout (build_pyramid_lanes). Same
+    returned ordering as lookup_pyramid; runs the vectorized one-hot kernel
+    (no gathers, no per-query loops)."""
+    b, h, w, _ = coords.shape
+    r = radius
+    p = 2 * r + 1
+    x = coords[..., 0].reshape(b * h * w)
+    y = coords[..., 1].reshape(b * h * w)
+    interpret = jax.default_backend() != 'tpu'
+    out = []
+    for i, level in enumerate(pyramid_t):
+        vals = _window_lookup_lanes(level, x / (2 ** i), y / (2 ** i), r,
+                                    interpret=interpret)
+        out.append(vals.reshape(b, h, w, p * p))
+    return jnp.concatenate(out, axis=-1)
+
+
 def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
                    radius: int, padded: bool = False) -> jnp.ndarray:
     """Index the correlation pyramid around current flow coords.
@@ -233,3 +259,102 @@ def _window_lookup_tpu(level_padded, x, y, radius: int, h: int, w: int,
     )(sy, sx, wy, wx, level_padded)
     # kernel emits [row=y, col=x]; reference order is [x-offset, y-offset]
     return jnp.swapaxes(out[:n], 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Lane-parallel window lookup: queries ride the 128-wide lane axis, the
+# window select+bilinear is a small static fma loop over one-hot weights —
+# no gathers, no per-query dynamic slices, no MXU. This is the TPU-shaped
+# answer to torch.grid_sample on the corr pyramid (reference corr.py:43-56):
+# the whole per-iteration lookup costs ~VPU-bandwidth over the level arrays.
+# ---------------------------------------------------------------------------
+
+def _window_lookup_lanes_kernel(y0_ref, x0_ref, wy_ref, wx_ref, lvl_ref,
+                                out_ref, *, radius: int, hp: int, wp: int):
+    r = radius
+    p = 2 * r + 1
+    y0 = y0_ref[0]            # [nb] int32 (floor(y))
+    x0 = x0_ref[0]
+    wy = wy_ref[0]            # [nb] f32
+    wx = wx_ref[0]
+    nb = y0.shape[0]
+
+    # Window offset rides the sublane axis: weight tiles are [p, nb] where
+    # weight[o, n] is the bilinear contribution of level row/col `i` to the
+    # query-n window at offset o. Only i == coord0 - r + o gets (1-frac) and
+    # i == coord0 - r + o + 1 gets frac; out-of-range rows never match, so
+    # grid_sample's zero padding falls out for free.
+    off = jax.lax.broadcasted_iota(jnp.int32, (p, nb), 0)
+
+    def weights(i, c0, frac):
+        d = i - off + r           # [p, nb]
+        c0b = c0[None, :]
+        return (jnp.where(c0b == d, 1.0 - frac[None, :], 0.0) +
+                jnp.where(c0b == d - 1, frac[None, :], 0.0))
+
+    # rows first: T[a] [wp, nb] = sum_i roww[a, i] * level[i]
+    T = [jnp.zeros((wp, nb), jnp.float32) for _ in range(p)]
+    for i in range(hp):
+        roww = weights(i, y0, wy)           # [p, nb]
+        li = lvl_ref[i]                     # [wp, nb]
+        for a in range(p):
+            T[a] = T[a] + roww[a][None, :] * li
+    # columns second: OUT[a] [p(b), nb] = sum_j colw[j] * T[a][j]
+    colws = [weights(j, x0, wx) for j in range(wp)]   # each [p(b), nb]
+    for a in range(p):
+        acc = jnp.zeros((p, nb), jnp.float32)
+        for j in range(wp):
+            acc = acc + colws[j] * T[a][j][None, :]
+        for b in range(p):
+            out_ref[b * p + a] = acc[b]
+
+
+def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
+                         y: jnp.ndarray, radius: int, nb: int = 512,
+                         interpret: bool = False) -> jnp.ndarray:
+    """level_t: [h, w, N] (queries on lanes); x, y: [N] pixel coords.
+    Returns [N, 2r+1, 2r+1] ordered [x-offset, y-offset] like
+    _window_lookup."""
+    import functools as _ft
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = radius
+    p = 2 * r + 1
+    h, w, n = level_t.shape
+    # same safety clip as the gather path; values beyond it contribute zero
+    # either way, the clip just keeps floor() in int32 range
+    x = jnp.clip(x, -(r + 1.0), w + r)
+    y = jnp.clip(y, -(r + 1.0), h + r)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = (x - x0f).astype(jnp.float32)
+    wy = (y - y0f).astype(jnp.float32)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        level_t = jnp.pad(level_t, ((0, 0), (0, 0), (0, n_pad - n)))
+        x0 = jnp.pad(x0, (0, n_pad - n))
+        y0 = jnp.pad(y0, (0, n_pad - n))
+        wx = jnp.pad(wx, (0, n_pad - n))
+        wy = jnp.pad(wy, (0, n_pad - n))
+
+    out = pl.pallas_call(
+        _ft.partial(_window_lookup_lanes_kernel, radius=r, hp=h, wp=w),
+        grid=(n_pad // nb,),
+        in_specs=[
+            pl.BlockSpec((1, nb), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w, nb), lambda g: (0, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((p * p, nb), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p * p, n_pad), jnp.float32),
+        interpret=interpret,
+    )(y0[None], x0[None], wy[None], wx[None], level_t)
+    return jnp.transpose(out[:, :n], (1, 0)).reshape(n, p, p)

@@ -152,29 +152,58 @@ class FlowHead(nn.Module):
         return conv(self.out_dim, 3, 1, 1, 'conv2', self.dtype)(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact tree ({kernel, bias}); lets a
+    caller run several same-input convolutions as ONE fused conv without
+    changing the checkpoint layout."""
+    features: int
+    kernel: tuple
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (kh, kw, self.in_features, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class SepConvGRU(nn.Module):
-    """Separable ConvGRU (reference update.py:33-61). NHWC."""
+    """Separable ConvGRU (reference update.py:33-61). NHWC.
+
+    The z and r gates read the same [h, x] input, so their convolutions run
+    as one fused conv with stacked output channels (identical per-channel
+    math to the reference's separate convz/convr; params stay separate)."""
     hidden_dim: int = 128
     dtype: jnp.dtype = jnp.float32
+
+    def _zr(self, hx, kernel, namez, namer, pad):
+        hd = self.hidden_dim
+        in_f = hx.shape[-1]
+        kz, bz = _ConvParams(hd, kernel, in_f, name=namez)()
+        kr, br = _ConvParams(hd, kernel, in_f, name=namer)()
+        k = jnp.concatenate([kz, kr], axis=-1).astype(self.dtype)
+        b = jnp.concatenate([bz, br]).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            hx.astype(self.dtype), k, (1, 1), pad,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+        zr = jax.nn.sigmoid(out)
+        return zr[..., :hd], zr[..., hd:]
 
     @nn.compact
     def __call__(self, h, x):
         hd = self.hidden_dim
         # horizontal pass (1x5 kernels)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(conv(hd, (1, 5), 1, ((0, 0), (2, 2)), 'convz1',
-                                self.dtype)(hx))
-        r = jax.nn.sigmoid(conv(hd, (1, 5), 1, ((0, 0), (2, 2)), 'convr1',
-                                self.dtype)(hx))
+        z, r = self._zr(hx, (1, 5), 'convz1', 'convr1', ((0, 0), (2, 2)))
         q = jnp.tanh(conv(hd, (1, 5), 1, ((0, 0), (2, 2)), 'convq1',
                           self.dtype)(jnp.concatenate([r * h, x], -1)))
         h = (1 - z) * h + z * q
         # vertical pass (5x1 kernels)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(conv(hd, (5, 1), 1, ((2, 2), (0, 0)), 'convz2',
-                                self.dtype)(hx))
-        r = jax.nn.sigmoid(conv(hd, (5, 1), 1, ((2, 2), (0, 0)), 'convr2',
-                                self.dtype)(hx))
+        z, r = self._zr(hx, (5, 1), 'convz2', 'convr2', ((2, 2), (0, 0)))
         q = jnp.tanh(conv(hd, (5, 1), 1, ((2, 2), (0, 0)), 'convq2',
                           self.dtype)(jnp.concatenate([r * h, x], -1)))
         return (1 - z) * h + z * q

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .corr import (all_pairs_correlation, build_pyramid, lookup_pyramid,
-                   pad_pyramid)
+from .corr import (all_pairs_correlation, build_pyramid,
+                   build_pyramid_lanes, lookup_pyramid,
+                   lookup_pyramid_lanes, pad_pyramid)
 from .layers import (BasicEncoder, BasicUpdateBlock, SmallEncoder,
                      SmallUpdateBlock, conv)
 
@@ -65,12 +66,16 @@ class _UpdateStep(nn.Module):
     corr_radius: int
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    lanes: bool = False  # pyramid in the query-on-lanes layout (TPU kernel)
 
     @nn.compact
     def __call__(self, carry, inp, coords0, pyramid):
         net, coords1, _prev_mask = carry
-        corr = lookup_pyramid(pyramid, coords1, self.corr_radius,
-                              padded=True)
+        if self.lanes:
+            corr = lookup_pyramid_lanes(pyramid, coords1, self.corr_radius)
+        else:
+            corr = lookup_pyramid(pyramid, coords1, self.corr_radius,
+                                  padded=True)
         flow = coords1 - coords0
         if self.small:
             block = SmallUpdateBlock(self.corr_levels, self.corr_radius,
@@ -137,9 +142,13 @@ class RAFT(nn.Module):
             fmap1 = fnet(x1).astype(jnp.float32)
             fmap2 = fnet(x2).astype(jnp.float32)
             fmap1 = jnp.broadcast_to(fmap1, fmap2.shape)
-        pyramid = pad_pyramid(
-            build_pyramid(all_pairs_correlation(fmap1, fmap2),
-                          self.corr_levels), self.corr_radius)
+        corr = all_pairs_correlation(fmap1, fmap2)
+        lanes = jax.default_backend() == 'tpu'
+        if lanes:
+            pyramid = build_pyramid_lanes(corr, self.corr_levels)
+        else:
+            pyramid = pad_pyramid(build_pyramid(corr, self.corr_levels),
+                                  self.corr_radius)
 
         c = cnet(x1)
         net = jnp.tanh(c[..., :hdim])
@@ -159,7 +168,7 @@ class RAFT(nn.Module):
                        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                        length=iters)
         step = scan(self.small, self.corr_levels, self.corr_radius,
-                    self.hidden_dim, self.dtype, name='update_step')
+                    self.hidden_dim, self.dtype, lanes, name='update_step')
         (net, coords1, up_mask), _ = step((net, coords1, mask0),
                                           inp, coords0, pyramid)
 

@@ -23,6 +23,40 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
+# f32 score-tile budget per program; [block_q, block_k] must fit in VMEM
+# alongside the full per-(batch, head) K/V panels the BlockSpec pins there
+_SCORE_TILE_BYTES = 5 * 1024 * 1024
+
+
+def _pick_blocks(n: int, nk: int):
+    """Choose (block_q, block_k) minimizing padding + loop overhead.
+
+    Measured on TPU v5e at the counterfactual workload shapes (S=16 ViT-L
+    4x4 suffix decode: q 1568, kv 4704): exact-divisor q blocks plus a
+    single k block beat the padded 256/512 default by ~30% — the kernel is
+    MXU-bound at head_dim 64, so eliminating pad flops and the inner-loop
+    carry dependency is worth more than tile reuse.
+    """
+    block_q = None
+    for d in range(min(448, n), 127, -8):
+        if n % d == 0:
+            block_q = d
+            break
+    if block_q is None:
+        block_q = min(DEFAULT_BLOCK_Q, -(-n // 8) * 8)
+    nk8 = -(-nk // 8) * 8
+    if block_q * nk8 * 4 <= _SCORE_TILE_BYTES:
+        block_k = nk8
+    else:
+        block_k = None
+        cap = _SCORE_TILE_BYTES // (4 * block_q)
+        for d in range(min(cap - cap % 8, nk8), 255, -8):
+            if nk8 % d == 0:
+                block_k = d
+                break
+        block_k = block_k or DEFAULT_BLOCK_K
+    return block_q, block_k
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
     # matmuls run in the input dtype (bf16 inputs hit the MXU at bf16 rate)
@@ -92,11 +126,11 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     return out[:, :n]
 
 
-def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
                     interpret: bool = None) -> jnp.ndarray:
     """Online-softmax attention. q [B, H, Nq, D] pre-scaled; k, v
-    [B, H, Nk, D] (cross-attention shapes allowed: Nq != Nk).
+    [B, H, Nk, D] (cross-attention shapes allowed: Nq != Nk). Block sizes
+    are auto-tuned to the sequence lengths unless given.
 
     On non-TPU backends the kernel runs in interpreter mode (slow; tests
     only) unless ``interpret`` is forced.
@@ -105,6 +139,10 @@ def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
         interpret = jax.default_backend() != 'tpu'
     b, h, n, d = q.shape
     nk = k.shape[2]
+    if block_q is None or block_k is None:
+        auto_q, auto_k = _pick_blocks(n, nk)
+        block_q = block_q or auto_q
+        block_k = block_k or auto_k
     q3 = q.reshape(b * h, n, d)
     k3 = k.reshape(b * h, nk, d)
     v3 = v.reshape(b * h, nk, d)

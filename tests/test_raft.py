@@ -159,3 +159,30 @@ def test_pallas_window_lookup_matches_gather():
     ref = jcorr._window_lookup(lp, x, y, r, h, w)
     out = jcorr._window_lookup_tpu(lp, x, y, r, h, w, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_lanes_window_lookup_matches_gather():
+    """The lane-parallel one-hot lookup kernel (interpret mode) vs the XLA
+    gather path, including out-of-bounds windows (grid_sample zero pad)."""
+    from counterfactualworldmodels_tpu.models.raft import corr as jcorr
+    rng = np.random.RandomState(6)
+    n, h, w, r = 96, 28, 28, 4
+    level = jnp.asarray(rng.randn(n, h, w).astype(np.float32))
+    lp = jcorr.pad_pyramid([level], r)[0]
+    x = jnp.asarray((rng.rand(n) * 44 - 8).astype(np.float32))
+    y = jnp.asarray((rng.rand(n) * 44 - 8).astype(np.float32))
+    ref = jcorr._window_lookup(lp, x, y, r, h, w)
+    out = jcorr._window_lookup_lanes(jnp.transpose(level, (1, 2, 0)), x, y,
+                                     r, nb=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_lanes_pyramid_matches_standard():
+    from counterfactualworldmodels_tpu.models.raft import corr as jcorr
+    rng = np.random.RandomState(7)
+    corr5 = jnp.asarray(rng.randn(2, 4, 4, 7, 9).astype(np.float32))
+    coords = jnp.asarray((rng.rand(2, 4, 4, 2) * 10 - 2).astype(np.float32))
+    a = jcorr.lookup_pyramid(jcorr.build_pyramid(corr5, 3), coords, 3)
+    b = jcorr.lookup_pyramid_lanes(jcorr.build_pyramid_lanes(corr5, 3),
+                                   coords, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

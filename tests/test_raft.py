@@ -78,7 +78,8 @@ def test_convex_upsample_matches_reference():
     np.testing.assert_allclose(mine.transpose(0, 3, 1, 2), ref, atol=1e-4)
 
 
-@pytest.mark.parametrize('iters', [2, 8])
+@pytest.mark.parametrize(
+    'iters', [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_raft_forward_matches_reference(iters):
     tmodel = _torch_raft()
     jmodel = RAFT(iters=iters)
@@ -177,7 +178,8 @@ def test_lanes_window_lookup_matches_gather():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_lanes_pyramid_matches_standard():
+@pytest.mark.slow  # composition check; the kernel itself is covered by
+def test_lanes_pyramid_matches_standard():  # test_lanes_window_lookup_…
     from counterfactualworldmodels_tpu.models.raft import corr as jcorr
     rng = np.random.RandomState(7)
     corr5 = jnp.asarray(rng.randn(2, 4, 4, 7, 9).astype(np.float32))

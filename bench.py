@@ -93,7 +93,17 @@ def main():
     npf = n // 2
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(b, 2, 3, hw, hw).astype(np.float32))
+    # real demo image when the reference mount is present (static 2-frame
+    # movie, the counterfactual construction); random fallback keeps the
+    # bench self-contained
+    img_path = '/root/reference/demo/images/apple_0.png'
+    if os.path.exists(img_path):
+        from PIL import Image
+        im = Image.open(img_path).convert('RGB').resize((hw, hw))
+        frame = np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0
+        x = jnp.asarray(np.broadcast_to(frame, (b, 2, 3, hw, hw)).copy())
+    else:
+        x = jnp.asarray(rng.rand(b, 2, 3, hw, hw).astype(np.float32))
     # demo mask policy: frame 0 visible; 32 visible patches (clumped) +
     # 1 active patch per sample in frame 1
     passive = np.ones((b, n, s), dtype=bool)

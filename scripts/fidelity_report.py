@@ -28,6 +28,9 @@ def main():
     ap.add_argument('--max-images', type=int, default=3)
     ap.add_argument('--out', default='FIDELITY_r02.json')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--model', default='large', choices=['large', 'base'],
+                    help='base is light enough for CPU smoke runs')
+    ap.add_argument('--raft-iters', type=int, default=24)
     args = ap.parse_args()
 
     import jax
@@ -44,11 +47,12 @@ def main():
 
     on_tpu = jax.default_backend() == 'tpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = vmae.large_4x4patch_2frames_1tube(
-        dtype=dtype, attn_impl='flash' if on_tpu else 'dense')
+    factory = (vmae.large_4x4patch_2frames_1tube if args.model == 'large'
+               else vmae.base_8x8patch_2frames_1tube)
+    model = factory(dtype=dtype, attn_impl='flash' if on_tpu else 'dense')
     params = vmae.init_params(model, jax.random.PRNGKey(0))
     fp = stack_vmae_params(model, params)
-    raft = RAFT(iters=24, dtype=dtype)
+    raft = RAFT(iters=args.raft_iters, dtype=dtype)
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
     n = model.num_patches
@@ -79,10 +83,10 @@ def main():
 
         y_e, f_e, _ = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, 24, True)
+            keys, n_vis, True, args.raft_iters, True)
         y_f, f_f, _ = counterfactual_videos_and_flows_fast(
             model, fp, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, 24, True, on_tpu)
+            keys, n_vis, True, args.raft_iters, True, on_tpu)
 
         ye = np.asarray(y_e.reshape(s, -1), np.float32)
         yf = np.asarray(y_f.reshape(s, -1), np.float32)
@@ -101,7 +105,8 @@ def main():
         'weights': 'random-init (no released checkpoints reachable — '
                    'see PARITY_CHECKPOINTS.md)',
         'samples_per_image': s,
-        'raft_iters': 24,
+        'model': args.model,
+        'raft_iters': args.raft_iters,
         'backend': jax.default_backend(),
         'per_image': per_image,
         'min_flow_corr': min(r['flow_corr'] for r in per_image),

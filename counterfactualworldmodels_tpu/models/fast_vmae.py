@@ -282,11 +282,22 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
             + fp.head_bias)
 
 
+def make_prefix_cache(model: PretrainVisionTransformer, fp: FastParams,
+                      use_flash: bool, normalize: bool, x0) -> PrefixCache:
+    """Build the reusable frame-0 cache for a scene. x0: [1, C, H, W] raw
+    frame 0 (same normalization flag as the later prediction calls). Serving
+    layers key this by image hash to skip prefix work on repeat requests."""
+    if normalize:
+        x0 = imagenet_normalize(x0[:, None], temporal_dim=1)[:, 0]
+    return encode_prefix(model, fp, use_flash, x0)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  fp: FastParams, use_flash: bool,
                                  n_vis: int, normalize: bool,
-                                 x_mocos, mask_mocos):
+                                 x_mocos, mask_mocos,
+                                 cache: Optional[PrefixCache] = None):
     """Drop-in fast path for pipelines.prediction.predict_video on the
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
@@ -295,6 +306,9 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     Returns [S, T, C, H, W] reconstructed videos: input patches at visible
     positions, predictions at masked ones — exactly the layout of
     prediction.scatter_pred_patches.
+
+    cache: optional precomputed make_prefix_cache(...) for this scene's
+    frame 0; when given, the prefix passes are skipped entirely.
     """
     s, t, c, h, w = x_mocos.shape
     n0 = model.num_patches_per_frame
@@ -304,7 +318,8 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
 
     xm = imagenet_normalize(x_mocos, temporal_dim=1) if normalize else x_mocos
 
-    cache = encode_prefix(model, fp, use_flash, xm[0:1, 0])
+    if cache is None:
+        cache = encode_prefix(model, fp, use_flash, xm[0:1, 0])
 
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]

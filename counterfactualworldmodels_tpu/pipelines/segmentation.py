@@ -532,7 +532,8 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
                                          shifts, keys, n_vis: int,
                                          normalize: bool, raft_iters: int,
-                                         fix_passive: bool, use_flash: bool):
+                                         fix_passive: bool, use_flash: bool,
+                                         prefix_cache=None):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
     across samples (fix_passive). The ViT runs via the prefix-isolated
@@ -543,7 +544,9 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     tests/test_fast_vmae.py and scripts/fidelity_report.py.
 
     fast_params: stack_vmae_params(vmae_model, params). Other args/returns
-    as counterfactual_videos_and_flows with B=1.
+    as counterfactual_videos_and_flows with B=1. prefix_cache: optional
+    fast_vmae.make_prefix_cache(...) of this scene's frame 0 (serving layers
+    key it by image hash; skips the per-scene prefix passes entirely).
     """
     from ..models.fast_vmae import predict_videos_shared_prefix
     from ..models.raft.raft import apply_raft_shared0
@@ -561,6 +564,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
 
     y = predict_videos_shared_prefix(vmae_model, fast_params, use_flash,
-                                     n_vis, normalize, x_mocos, mask_mocos)
+                                     n_vis, normalize, x_mocos, mask_mocos,
+                                     prefix_cache)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos

@@ -93,10 +93,48 @@ def _png_b64(arr):
 
 
 class CwmService:
-    def __init__(self, G, img_size):
+    def __init__(self, G, img_size, engine='fast', prefix_cache_size=8,
+                 seed=0):
         self.G = G
         self.img_size = img_size
+        self.engine = engine
         self.lock = threading.Lock()
+        self.seed = seed
+        self._req_counter = 0
+        # LRU of fast_vmae.PrefixCache keyed by image hash: repeat requests
+        # on the same image (the interactive probing workload) skip the
+        # whole frame-0 encoder/decoder prefix pass
+        self._fp = None
+        self._prefix_lru = {}
+        self._prefix_order = []
+        self.prefix_cache_size = prefix_cache_size
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+
+    def _prefix_for(self, x):
+        """x: [1, C, H, W] in [0, 1]. Returns (cache, hit: bool)."""
+        import hashlib
+        import numpy as np
+        from counterfactualworldmodels_tpu.models.fast_vmae import (
+            stack_vmae_params, make_prefix_cache)
+        if self._fp is None:
+            self._fp = stack_vmae_params(self.G.predictor, self.G.params)
+        key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
+        if key in self._prefix_lru:
+            self._prefix_order.remove(key)
+            self._prefix_order.append(key)
+            self.prefix_hits += 1
+            return self._prefix_lru[key], True
+        import jax
+        use_flash = jax.default_backend() == 'tpu'
+        cache = make_prefix_cache(self.G.predictor, self._fp, use_flash,
+                                  self.G.imagenet_normalize_inputs, x)
+        self._prefix_lru[key] = cache
+        self._prefix_order.append(key)
+        if len(self._prefix_order) > self.prefix_cache_size:
+            del self._prefix_lru[self._prefix_order.pop(0)]
+        self.prefix_misses += 1
+        return cache, False
 
     def _parse_image(self, req):
         import numpy as np
@@ -136,9 +174,62 @@ class CwmService:
             pred = np.asarray(pred[0, 0]).transpose(1, 2, 0)
         return {'prediction': _png_b64(pred)}
 
+    def _counterfactual_fast(self, req):
+        """Shared-prefix engine route: per-image PrefixCache LRU + the
+        fused fast pipeline (segmentation.counterfactual_videos_and_flows
+        _fast). Same request/response schema as the exact route."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.ops.flow_viz import flow_to_rgb
+        from counterfactualworldmodels_tpu.pipelines.segmentation import (
+            counterfactual_videos_and_flows_fast)
+        x = self._parse_image(req)
+        if not req.get('active'):
+            raise ValueError('counterfactual requires "active" patches')
+        G = self.G
+        n = G.predictor.num_patches
+        npf = n // 2
+        grid = G.mask_shape[-1]
+        s = int(req.get('num_samples', 1))
+        active = self._patch_mask(req.get('active'), grid, n)[..., None]
+        passive = self._patch_mask(req.get('passive'), grid, n)[..., None]
+        active = jnp.asarray(np.repeat(active, s, axis=-1))
+        passive = jnp.asarray(np.repeat(passive, s, axis=-1))
+        n_vis = int((~np.asarray(active[..., 0])).sum()
+                    + (~np.asarray(passive[..., 0])).sum()) - npf
+        shift = req.get('shift', [0, 2])
+        shifts = jnp.asarray(np.tile(np.asarray(shift, np.int32)[None, None],
+                                     (1, s, 1)))
+        with self.lock:
+            self._req_counter += 1
+            keys = jax.random.split(
+                jax.random.PRNGKey(self.seed + self._req_counter),
+                s).reshape(1, s, 2)
+            cache, hit = self._prefix_for(x)
+            video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
+            use_flash = jax.default_backend() == 'tpu'
+            ys, flows, _ = counterfactual_videos_and_flows_fast(
+                G.predictor, self._fp, G.flow_model, G.flow_params, video,
+                passive, active, shifts, keys, n_vis,
+                G.imagenet_normalize_inputs, G.raft_iters, True, use_flash,
+                prefix_cache=cache)
+            flows_s = jnp.moveaxis(flows[:, 0], 0, -1)[None]  # [1,2,H,W,S]
+            seg = np.asarray(G.compute_mean_motion_map(flows_s)[0, 0])
+            sim = np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0)
+            rgb = np.asarray(flow_to_rgb(
+                flows[0, 0], max_speed=max(float(jnp.abs(flows).max()),
+                                           1e-3))).transpose(1, 2, 0)
+        return {'simulation': _png_b64(sim), 'flow_rgb': _png_b64(rgb),
+                'segment': _png_b64(seg),
+                'segment_raw': np.round(seg, 4).tolist(),
+                'prefix_cache_hit': hit}
+
     def counterfactual(self, req):
         import numpy as np
         import jax.numpy as jnp
+        if self.engine == 'fast':
+            return self._counterfactual_fast(req)
         x = self._parse_image(req)
         G = self.G
         n = G.predictor.num_patches
@@ -220,11 +311,16 @@ def main():
     ap.add_argument('--port', type=int, default=8731)
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--engine', default='fast',
+                    choices=['fast', 'exact'],
+                    help='fast = shared-prefix engine with '
+                         'a per-image PrefixCache LRU')
     args = ap.parse_args()
 
     import jax
     G = build_generator(args)
-    service = CwmService(G, args.img_size)
+    service = CwmService(G, args.img_size, engine=args.engine,
+                     seed=args.seed)
     backend = jax.default_backend()
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, backend))

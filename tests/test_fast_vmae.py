@@ -234,6 +234,25 @@ def test_prefix_cache_reuse():
     assert not np.allclose(np.asarray(ya), np.asarray(yb_full))
 
 
+def test_injected_prefix_cache_matches_implicit():
+    """predict_videos_shared_prefix(cache=make_prefix_cache(...)) == the
+    cache-less call (the serving LRU path, scripts/serve.py)."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    x, m, n_vis = _workload(model, seed=4)
+
+    y_implicit = fv.predict_videos_shared_prefix(model, fp, False, n_vis,
+                                                 True, x, m)
+    cache = fv.make_prefix_cache(model, fp, False, True, x[0:1, 0])
+    y_injected = fv.predict_videos_shared_prefix(model, fp, False, n_vis,
+                                                 True, x, m, cache)
+    # the two compiled programs fuse the normalize+embed differently;
+    # fp32 reassociation gives ~1e-6-level per-element deviations
+    np.testing.assert_allclose(np.asarray(y_injected),
+                               np.asarray(y_implicit), atol=1e-5)
+
+
 @pytest.mark.slow
 def test_raft_shared0_matches_per_sample():
     """Shared frame-0 fnet/cnet == per-pair RAFT, bitwise-level tolerance."""

@@ -12,8 +12,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'scripts'))
 
 
-@pytest.fixture(scope='module')
-def server():
+@pytest.fixture(scope='module', params=['exact', 'fast'])
+def server(request):
     import serve
     from http.server import ThreadingHTTPServer
 
@@ -21,13 +21,13 @@ def server():
         model='tiny', img_size=32, params=None, raft_params=None,
         raft_iters=1, port=0, host='127.0.0.1', seed=0)
     G = serve.build_generator(args)
-    service = serve.CwmService(G, args.img_size)
+    service = serve.CwmService(G, args.img_size, engine=request.param)
     httpd = ThreadingHTTPServer(('127.0.0.1', 0),
                                 serve.make_handler(service, 'cpu'))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f'http://127.0.0.1:{port}'
+    yield f'http://127.0.0.1:{port}', request.param, service
     httpd.shutdown()
 
 
@@ -40,30 +40,49 @@ def _post(base, path, payload, timeout=600):
 
 @pytest.mark.slow
 def test_serve_end_to_end(server):
-    with urllib.request.urlopen(server + '/health', timeout=30) as r:
+    base, engine, service = server
+    with urllib.request.urlopen(base + '/health', timeout=30) as r:
         assert json.loads(r.read())['status'] == 'ok'
 
     rng = np.random.RandomState(0)
     img = rng.rand(32, 32, 3).round(3).tolist()
 
-    code, out = _post(server, '/predict', {'image': img})
+    code, out = _post(base, '/predict', {'image': img})
     assert code == 200 and 'prediction' in out
 
-    code, out = _post(server, '/counterfactual',
+    code, out = _post(base, '/counterfactual',
                       {'image': img, 'active': [[2, 2]], 'shift': [0, 1],
                        'num_samples': 1})
     assert code == 200
-    assert set(out) == {'simulation', 'flow_rgb', 'segment', 'segment_raw'}
+    expect = {'simulation', 'flow_rgb', 'segment', 'segment_raw'}
+    if engine == 'fast':
+        expect.add('prefix_cache_hit')
+        assert out['prefix_cache_hit'] is False
+    assert set(out) == expect
     seg = np.asarray(out['segment_raw'])
     assert seg.shape == (32, 32) and np.isfinite(seg).all()
 
+    if engine == 'fast':
+        # repeat request on the same image must hit the PrefixCache LRU
+        code, out2 = _post(base, '/counterfactual',
+                           {'image': img, 'active': [[2, 2]],
+                            'shift': [0, 1], 'num_samples': 1})
+        assert code == 200 and out2['prefix_cache_hit'] is True
+        assert service.prefix_hits == 1 and service.prefix_misses == 1
+        # different image -> miss
+        img2 = rng.rand(32, 32, 3).round(3).tolist()
+        code, out3 = _post(base, '/counterfactual',
+                           {'image': img2, 'active': [[2, 2]],
+                            'shift': [0, 1], 'num_samples': 1})
+        assert code == 200 and out3['prefix_cache_hit'] is False
+
     # error paths
     with pytest.raises(urllib.error.HTTPError) as e:
-        _post(server, '/counterfactual', {'image': img})
+        _post(base, '/counterfactual', {'image': img})
     assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
-        _post(server, '/predict', {'image': [[0.1]]})
+        _post(base, '/predict', {'image': [[0.1]]})
     assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
-        _post(server, '/nope', {})
+        _post(base, '/nope', {})
     assert e.value.code == 404

@@ -31,7 +31,9 @@ params are stacked [L, ...] once (stack_vmae_params) so each pass is one
 """
 from __future__ import annotations
 
+import collections
 import functools
+import hashlib
 from typing import Any, NamedTuple, Optional
 
 import numpy as np
@@ -290,6 +292,40 @@ def make_prefix_cache(model: PretrainVisionTransformer, fp: FastParams,
     if normalize:
         x0 = imagenet_normalize(x0[:, None], temporal_dim=1)[:, 0]
     return encode_prefix(model, fp, use_flash, x0)
+
+
+class PrefixLru:
+    """sha1-keyed LRU of PrefixCache entries.
+
+    Serving and interactive layers probe the SAME image with many
+    counterfactual prompts (the reference interface's whole event loop —
+    reference cwm/interface.py:497-678 — operates on one loaded image);
+    caching the frame-0 prefix across those requests removes the per-request
+    prefix encoder/decoder pass entirely."""
+
+    def __init__(self, model: PretrainVisionTransformer, fp: FastParams,
+                 use_flash: bool, normalize: bool, size: int = 4):
+        self.model, self.fp = model, fp
+        self.use_flash, self.normalize = use_flash, normalize
+        self.size = size
+        self._entries = collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, x0):
+        """x0: [1, C, H, W] raw frame 0 -> (PrefixCache, hit: bool)."""
+        key = hashlib.sha1(np.asarray(x0).tobytes()).hexdigest()
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return self._entries[key], True
+        cache = make_prefix_cache(self.model, self.fp, self.use_flash,
+                                  self.normalize, x0)
+        self._entries[key] = cache
+        if len(self._entries) > self.size:
+            self._entries.popitem(last=False)
+        self.misses += 1
+        return cache, False
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))

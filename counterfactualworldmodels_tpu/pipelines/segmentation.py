@@ -142,8 +142,14 @@ class FlowGenerator(PredictorBasedGenerator):
                  raft_iters: int = 24,
                  patch_sampling_func=generators.RotatedTableEnergyMaskingGenerator,
                  patch_sampling_kwargs={},
+                 engine: str = 'exact',
+                 prefix_cache_size: int = 4,
                  **kwargs):
         super().__init__(*args, **kwargs)
+        assert engine in ('exact', 'fast'), engine
+        self.engine = engine
+        self.prefix_cache_size = prefix_cache_size
+        self._prefix_lru = None  # built lazily on first fast chunk
         if flow_model is None:
             flow_model = RAFT(iters=raft_iters, **flow_model_kwargs)
         self.flow_model = flow_model
@@ -373,7 +379,27 @@ class FlowGenerator(PredictorBasedGenerator):
     def _counterfactual_chunk(self, x, passive, active, shifts, keys,
                               n_vis, iters, fix_passive):
         """One fused jitted chunk; overridden by context-conditioned
-        generators (pipelines/imu.py)."""
+        generators (pipelines/imu.py). With ``engine='fast'`` (and the
+        workload shape the engine supports: one scene, fix_passive) this
+        routes through the shared-prefix engine with a per-image
+        PrefixCache LRU — repeat prompts on the same image (the interactive
+        interface workload) skip the whole frame-0 pass."""
+        if self.engine == 'fast' and x.shape[0] == 1 and fix_passive:
+            from ..models import fast_vmae
+            if self._prefix_lru is None:
+                self._fast_params = fast_vmae.stack_vmae_params(
+                    self.predictor, self.params)
+                self._use_flash = jax.default_backend() == 'tpu'
+                self._prefix_lru = fast_vmae.PrefixLru(
+                    self.predictor, self._fast_params, self._use_flash,
+                    self.imagenet_normalize_inputs,
+                    size=self.prefix_cache_size)
+            cache, _ = self._prefix_lru.get(x[0:1, 0])
+            return counterfactual_videos_and_flows_fast(
+                self.predictor, self._fast_params, self.flow_model,
+                self.flow_params, x, passive, active, shifts, keys, n_vis,
+                self.imagenet_normalize_inputs, iters, True,
+                self._use_flash, prefix_cache=cache)
         return counterfactual_videos_and_flows(
             self.predictor, self.params, self.flow_model, self.flow_params,
             x, passive, active, shifts, keys, n_vis,

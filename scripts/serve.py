@@ -101,40 +101,32 @@ class CwmService:
         self.lock = threading.Lock()
         self.seed = seed
         self._req_counter = 0
-        # LRU of fast_vmae.PrefixCache keyed by image hash: repeat requests
-        # on the same image (the interactive probing workload) skip the
-        # whole frame-0 encoder/decoder prefix pass
+        # fast_vmae.PrefixLru: repeat requests on the same image (the
+        # interactive probing workload) skip the frame-0 prefix pass
         self._fp = None
-        self._prefix_lru = {}
-        self._prefix_order = []
+        self._lru = None
         self.prefix_cache_size = prefix_cache_size
-        self.prefix_hits = 0
-        self.prefix_misses = 0
+
+    @property
+    def prefix_hits(self):
+        return self._lru.hits if self._lru else 0
+
+    @property
+    def prefix_misses(self):
+        return self._lru.misses if self._lru else 0
 
     def _prefix_for(self, x):
         """x: [1, C, H, W] in [0, 1]. Returns (cache, hit: bool)."""
-        import hashlib
-        import numpy as np
         from counterfactualworldmodels_tpu.models.fast_vmae import (
-            stack_vmae_params, make_prefix_cache)
-        if self._fp is None:
+            stack_vmae_params, PrefixLru)
+        if self._lru is None:
+            import jax
             self._fp = stack_vmae_params(self.G.predictor, self.G.params)
-        key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
-        if key in self._prefix_lru:
-            self._prefix_order.remove(key)
-            self._prefix_order.append(key)
-            self.prefix_hits += 1
-            return self._prefix_lru[key], True
-        import jax
-        use_flash = jax.default_backend() == 'tpu'
-        cache = make_prefix_cache(self.G.predictor, self._fp, use_flash,
-                                  self.G.imagenet_normalize_inputs, x)
-        self._prefix_lru[key] = cache
-        self._prefix_order.append(key)
-        if len(self._prefix_order) > self.prefix_cache_size:
-            del self._prefix_lru[self._prefix_order.pop(0)]
-        self.prefix_misses += 1
-        return cache, False
+            self._lru = PrefixLru(self.G.predictor, self._fp,
+                                  jax.default_backend() == 'tpu',
+                                  self.G.imagenet_normalize_inputs,
+                                  size=self.prefix_cache_size)
+        return self._lru.get(x)
 
     def _parse_image(self, req):
         import numpy as np

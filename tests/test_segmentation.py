@@ -217,3 +217,35 @@ def test_iterative_patch_selector_grows_masks():
     # the combined-mask view the interface uses (active in ANY iteration)
     assert (~a.min(-1)[0, n_per:]).sum() == actives.shape[-1]
     assert np.isfinite(np.asarray(fs)).all()
+
+
+def test_generator_fast_engine_matches_exact():
+    """FlowGenerator(engine='fast') routes the central API through the
+    shared-prefix engine + PrefixCache LRU and stays close to the exact
+    path; a repeat call on the same image hits the cache."""
+    _, exact = _paired_generators()
+    fast = FlowGenerator(predictor=exact.predictor, params=exact.params,
+                         flow_model=exact.flow_model,
+                         flow_params=exact.flow_params, raft_iters=2,
+                         imagenet_normalize_inputs=True, seed=0,
+                         engine='fast')
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+    n = exact.predictor.num_patches
+    active = np.ones((1, n), dtype=bool)
+    active[0, n // 2 + rng.randint(n // 2)] = False
+    active = jnp.asarray(active)
+
+    kw = dict(active_patches=active, shifts=[(0, 1), (1, 0)], num_samples=2,
+              sample_batch_size=2)
+    y_e, f_e = exact.predict_counterfactual_videos_and_flows(x, **kw)
+    y_f, f_f = fast.predict_counterfactual_videos_and_flows(x, **kw)
+    assert y_f.shape == y_e.shape and f_f.shape == f_e.shape
+    assert fast._prefix_lru is not None and fast._prefix_lru.misses == 1
+    corr = np.corrcoef(np.asarray(y_f).ravel(), np.asarray(y_e).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # same image again -> prefix cache hit
+    y_f2, _ = fast.predict_counterfactual_videos_and_flows(x, **kw)
+    assert fast._prefix_lru.hits >= 1
+    assert y_f2.shape == y_f.shape

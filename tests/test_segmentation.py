@@ -249,3 +249,24 @@ def test_generator_fast_engine_matches_exact():
     y_f2, _ = fast.predict_counterfactual_videos_and_flows(x, **kw)
     assert fast._prefix_lru.hits >= 1
     assert y_f2.shape == y_f.shape
+
+
+def test_movability_predictor_fast_engine():
+    """Movability's iterative sampling loop probes ONE scene repeatedly —
+    with engine='fast' every round after the first hits the PrefixLru."""
+    _, base = _paired_generators()
+    m = MovabilityPredictor(
+        predictor=base.predictor, params=base.params,
+        flow_model=base.flow_model, flow_params=base.flow_params,
+        raft_iters=2, imagenet_normalize_inputs=True, seed=0,
+        initialize_from_keypoints=False, num_initial_samples=2,
+        num_samples_per_iteration=2, num_iters=1, sample_batch_size=2,
+        engine='fast')
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    out = m(jnp.asarray(x))
+    assert out.shape == (1, 1, 128, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    assert m._prefix_lru is not None
+    assert m._prefix_lru.misses == 1  # one scene -> one prefix build
+    assert m._prefix_lru.hits >= 1    # later rounds reuse it

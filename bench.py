@@ -121,6 +121,8 @@ def main():
     keys = jax.random.split(jax.random.PRNGKey(2), b * s).reshape(b, s, 2)
     n_vis = npf + 32 + 1
 
+    engine = 'shared-prefix'
+
     def dispatch():
         y, flows, masks = counterfactual_videos_and_flows_fast(
             model, fp, raft, raft_params, x, passive, active, shifts,
@@ -129,7 +131,27 @@ def main():
 
     # axon's block_until_ready does not actually block; force completion
     # with a scalar host transfer
-    float(dispatch())  # compile + warm
+    try:
+        float(dispatch())  # compile + warm
+    except Exception:
+        # never leave the driver without a number: fall back to the exact
+        # per-sample path if the fast engine fails on this backend
+        import traceback
+        traceback.print_exc()
+        import sys
+        print('fast engine failed; falling back to exact path',
+              file=sys.stderr)
+        engine = 'exact-fallback'
+        from counterfactualworldmodels_tpu.pipelines.segmentation import (
+            counterfactual_videos_and_flows)
+
+        def dispatch():
+            y, flows, masks = counterfactual_videos_and_flows(
+                model, params, raft, raft_params, x, passive, active,
+                shifts, keys, n_vis, True, 24, True)
+            return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+
+        float(dispatch())
     float(dispatch())
 
     # steady-state throughput: pipeline dispatches, sync once per round
@@ -147,7 +169,7 @@ def main():
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}
-    if on_tpu:
+    if on_tpu and engine == 'shared-prefix':
         xm = imagenet_normalize(jnp.broadcast_to(x, (s,) + x.shape[1:]),
                                 temporal_dim=1)
         vis1 = jnp.asarray(np.stack([
@@ -168,22 +190,24 @@ def main():
 
         stages['prefix_ms'] = t_of(lambda: encode_prefix(model, fp, True, xm[0:1, 0]))
         stages['suffix_ms'] = t_of(lambda: predict_frame1_from_prefix(
-            model, fp, True, 33, cache, xm[:, 1], vis1))
+            model, fp, True, cache, xm[:, 1], vis1))
         stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
             raft, raft_params, yv, 24, True))
 
-    flops = vit_flops(model, s, 33) + raft_flops(s)
-    print(json.dumps({
+    rec = {
         'metric': 'counterfactual sims/sec/chip (ViT-L 4x4, 224px, RAFT-24)',
         'value': round(sims_per_sec, 3),
         'unit': 'sims/sec/chip',
         'vs_baseline': round(sims_per_sec / 100.0, 4),
         'config': {'b': b, 's': s, 'hw': hw, 'n_vis_f1': 33,
-                   'engine': 'shared-prefix', 'raft_iters': 24},
+                   'engine': engine, 'raft_iters': 24},
         'stages': stages,
-        'model_tflops_per_dispatch': round(flops / 1e12, 3),
-        'mfu_vs_v5e_peak': round((flops / dt) / V5E_PEAK_FLOPS, 4),
-    }))
+    }
+    if engine == 'shared-prefix':  # the analytic flop model is engine-shaped
+        flops = vit_flops(model, s, 33) + raft_flops(s)
+        rec['model_tflops_per_dispatch'] = round(flops / 1e12, 3)
+        rec['mfu_vs_v5e_peak'] = round((flops / dt) / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == '__main__':

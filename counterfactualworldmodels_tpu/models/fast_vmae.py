@@ -198,7 +198,6 @@ class PrefixCache(NamedTuple):
     number of counterfactual prompts on the same image."""
     enc_kvs: Any     # [L, ...] per-layer prefix (k, v) of the encoder
     dec_kvs: Any     # [L, ...] per-layer prefix (k, v) of the decoder
-    x0_patches: Any  # [1, N0, pd*c] raw frame-0 patches (for reconstruction)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -229,14 +228,13 @@ def encode_prefix(model: PretrainVisionTransformer, fp: FastParams,
     z0 = z0 + pos_dec[:, :n0]
     _, dec_kvs = _prefix_blocks(fp.dec_blocks, z0,
                                 model.decoder_num_heads, use_flash)
-    return PrefixCache(enc_kvs=enc_kvs, dec_kvs=dec_kvs, x0_patches=None)
+    return PrefixCache(enc_kvs=enc_kvs, dec_kvs=dec_kvs)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def predict_frame1_from_prefix(model: PretrainVisionTransformer,
                                fp: FastParams, use_flash: bool,
-                               n_sfx: int, cache: PrefixCache,
-                               x1n, vis1_idx):
+                               cache: PrefixCache, x1n, vis1_idx):
     """Per-sample pass: encode the visible frame-1 tokens against the
     cached prefix, decode every frame-1 position.
 
@@ -350,7 +348,13 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     n_sfx = n_vis - n0
-    assert n_sfx >= 0
+    if n_sfx < 0:
+        raise ValueError(
+            f'n_vis={n_vis} < num_patches_per_frame={n0}: the shared-prefix '
+            'engine requires frame 0 fully visible in every prompt (the '
+            'fix_passive construction); masks touching frame 0 must use the '
+            'exact path (pipelines.segmentation.counterfactual_videos_and_'
+            'flows)')
 
     xm = imagenet_normalize(x_mocos, temporal_dim=1) if normalize else x_mocos
 
@@ -359,7 +363,7 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
 
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]
-    y1 = predict_frame1_from_prefix(model, fp, use_flash, n_sfx, cache,
+    y1 = predict_frame1_from_prefix(model, fp, use_flash, cache,
                                     xm[:, 1], vis1_idx)
 
     # --- reconstruct: frame 0 = input; frame 1 = input at visible patches,

@@ -384,7 +384,15 @@ class FlowGenerator(PredictorBasedGenerator):
         routes through the shared-prefix engine with a per-image
         PrefixCache LRU — repeat prompts on the same image (the interactive
         interface workload) skip the whole frame-0 pass."""
-        if self.engine == 'fast' and x.shape[0] == 1 and fix_passive:
+        n0 = self.predictor.num_patches_per_frame
+        # the prefix factorization requires frame 0 fully visible in every
+        # sample's prompt: the combined mask is (passive & active) per
+        # make_motion_counterfactual, so any frame-0 token masked in BOTH
+        # prompt sets breaks the assumption -> fall back to the exact path
+        fast_ok = (self.engine == 'fast' and x.shape[0] == 1 and fix_passive
+                   and not bool(np.asarray(
+                       passive[:, :n0] & active[:, :n0]).any()))
+        if fast_ok:
             from ..models import fast_vmae
             if self._prefix_lru is None:
                 self._fast_params = fast_vmae.stack_vmae_params(

@@ -93,7 +93,7 @@ def _png_b64(arr):
 
 
 class CwmService:
-    def __init__(self, G, img_size, engine='fast', prefix_cache_size=8,
+    def __init__(self, G, img_size, engine='fast', prefix_cache_size=4,
                  seed=0):
         self.G = G
         self.img_size = img_size
@@ -181,15 +181,16 @@ class CwmService:
             raise ValueError('counterfactual requires "active" patches')
         G = self.G
         n = G.predictor.num_patches
-        npf = n // 2
         grid = G.mask_shape[-1]
         s = int(req.get('num_samples', 1))
-        active = self._patch_mask(req.get('active'), grid, n)[..., None]
-        passive = self._patch_mask(req.get('passive'), grid, n)[..., None]
-        active = jnp.asarray(np.repeat(active, s, axis=-1))
-        passive = jnp.asarray(np.repeat(passive, s, axis=-1))
-        n_vis = int((~np.asarray(active[..., 0])).sum()
-                    + (~np.asarray(passive[..., 0])).sum()) - npf
+        active_np = self._patch_mask(req.get('active'), grid, n)
+        passive_np = self._patch_mask(req.get('passive'), grid, n)
+        # visible = union of the two prompt sets (matches the exact route's
+        # _n_vis_target; a sum would double-count patches listed in both and
+        # make the rectangularizer leak extra ground-truth patches)
+        n_vis = int((~(active_np & passive_np)).sum())
+        active = jnp.asarray(np.repeat(active_np[..., None], s, axis=-1))
+        passive = jnp.asarray(np.repeat(passive_np[..., None], s, axis=-1))
         shift = req.get('shift', [0, 2])
         shifts = jnp.asarray(np.tile(np.asarray(shift, np.int32)[None, None],
                                      (1, s, 1)))
@@ -215,7 +216,7 @@ class CwmService:
         return {'simulation': _png_b64(sim), 'flow_rgb': _png_b64(rgb),
                 'segment': _png_b64(seg),
                 'segment_raw': np.round(seg, 4).tolist(),
-                'prefix_cache_hit': hit}
+                'prefix_cache_hit': hit, 'engine': 'fast'}
 
     def counterfactual(self, req):
         import numpy as np
@@ -303,6 +304,9 @@ def main():
     ap.add_argument('--port', type=int, default=8731)
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--prefix-cache-size', type=int, default=4,
+                    help='PrefixCache LRU entries (each pins the per-layer '
+                         'prefix KV of one image in device memory)')
     ap.add_argument('--engine', default='fast',
                     choices=['fast', 'exact'],
                     help='fast = shared-prefix engine with '
@@ -312,6 +316,7 @@ def main():
     import jax
     G = build_generator(args)
     service = CwmService(G, args.img_size, engine=args.engine,
+                     prefix_cache_size=args.prefix_cache_size,
                      seed=args.seed)
     backend = jax.default_backend()
     server = ThreadingHTTPServer((args.host, args.port),

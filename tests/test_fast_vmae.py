@@ -218,8 +218,8 @@ def test_prefix_cache_reuse():
     xm = imagenet_normalize(xb, temporal_dim=1)
     cache = fv.encode_prefix(model, fp, False, xm[0:1, 0])
     vis1 = jvmae.mask_order(mb[:, n0:])[:, :n_vis - n0]
-    y1 = fv.predict_frame1_from_prefix(model, fp, False, n_vis - n0,
-                                       cache, xm[:, 1], vis1)
+    y1 = fv.predict_frame1_from_prefix(model, fp, False, cache,
+                                       xm[:, 1], vis1)
     yb_full = fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
                                               xb, mb)
     # rebuild frame1 from y1 and compare with the one-shot fast path

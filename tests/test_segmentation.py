@@ -270,3 +270,32 @@ def test_movability_predictor_fast_engine():
     assert m._prefix_lru is not None
     assert m._prefix_lru.misses == 1  # one scene -> one prefix build
     assert m._prefix_lru.hits >= 1    # later rounds reuse it
+
+
+def test_fast_engine_falls_back_when_frame0_masked():
+    """Masks touching frame 0 violate the prefix factorization; the fast
+    engine must route those prompts through the exact path (code-review r2
+    finding: the guard used to check only batch size and fix_passive)."""
+    _, exact = _paired_generators()
+    fast = FlowGenerator(predictor=exact.predictor, params=exact.params,
+                         flow_model=exact.flow_model,
+                         flow_params=exact.flow_params, raft_iters=2,
+                         imagenet_normalize_inputs=True, seed=0,
+                         engine='fast')
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+    n = exact.predictor.num_patches
+    active = np.ones((1, n), dtype=bool)
+    active[0, n // 2 + rng.randint(n // 2)] = False
+    passive = np.ones((1, n), dtype=bool)
+    passive[0, rng.choice(n // 2, 2, replace=False)] = True  # frame-0 mask
+    passive[0, n // 2 + 5] = False
+    active, passive = jnp.asarray(active), jnp.asarray(passive)
+
+    kw = dict(active_patches=active, passive_patches=passive,
+              shifts=[(0, 1)], num_samples=1, sample_batch_size=1)
+    y_e, f_e = exact.predict_counterfactual_videos_and_flows(x, **kw)
+    y_f, f_f = fast.predict_counterfactual_videos_and_flows(x, **kw)
+    # identical seeds + exact route on both sides -> bitwise-close results
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e), atol=1e-5)
+    assert fast._prefix_lru is None  # fast route never engaged

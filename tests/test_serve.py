@@ -56,8 +56,9 @@ def test_serve_end_to_end(server):
     assert code == 200
     expect = {'simulation', 'flow_rgb', 'segment', 'segment_raw'}
     if engine == 'fast':
-        expect.add('prefix_cache_hit')
+        expect |= {'prefix_cache_hit', 'engine'}
         assert out['prefix_cache_hit'] is False
+        assert out['engine'] == 'fast'
     assert set(out) == expect
     seg = np.asarray(out['segment_raw'])
     assert seg.shape == (32, 32) and np.isfinite(seg).all()

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Collect the round's performance/fidelity artifacts on a TPU host.
+#
+# Runs, in order: the headline bench, the sample-batch-size sweep, the
+# single-prediction latency distribution, and the shared-prefix fidelity
+# report — writing the JSON artifacts the docs reference at the repo root.
+#
+# Never use `timeout` around these on the axon TPU platform: killing a
+# client mid-compile wedges the remote-compile queue for every later job.
+set -u
+cd "$(dirname "$0")/.."
+R="${1:-r02}"
+
+echo "== bench (S=16) =="
+python bench.py | tee "BENCH_${R}_local.json"
+
+echo "== sample-batch sweep =="
+python scripts/bench_sweep.py --out "SWEEP_${R}.json"
+
+echo "== latency =="
+python scripts/latency_bench.py | tee "LATENCY_${R}.json"
+
+echo "== fidelity (ViT-L, demo images) =="
+python scripts/fidelity_report.py --out "FIDELITY_${R}.json"
+
+echo "== done; artifacts: =="
+ls -la BENCH_${R}_local.json SWEEP_${R}.json LATENCY_${R}.json \
+   FIDELITY_${R}.json 2>/dev/null

@@ -166,6 +166,36 @@ class CwmService:
             pred = np.asarray(pred[0, 0]).transpose(1, 2, 0)
         return {'prediction': _png_b64(pred)}
 
+    def _parse_cf_request(self, req):
+        """Shared request parsing for both engines.
+
+        Returns (x [1,C,H,W], active [1,N] np.bool_, passive [1,N] np.bool_,
+        shift [dy,dx], num_samples). Patch masks follow the library
+        convention: True = masked, the *visible* entries are the prompt
+        patches; frame 0 is always visible."""
+        x = self._parse_image(req)
+        if not req.get('active'):
+            raise ValueError('counterfactual requires "active" patches')
+        n = self.G.predictor.num_patches
+        grid = self.G.mask_shape[-1]
+        active = self._patch_mask(req.get('active'), grid, n)
+        passive = self._patch_mask(req.get('passive'), grid, n)
+        return (x, active, passive, req.get('shift', [0, 2]),
+                int(req.get('num_samples', 1)))
+
+    def _cf_response(self, sim, flow0, seg, **extra):
+        """Shared response assembly: simulation/flow/segment PNGs + raw."""
+        import numpy as np
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.ops.flow_viz import flow_to_rgb
+        rgb = np.asarray(flow_to_rgb(
+            flow0, max_speed=max(float(jnp.abs(flow0).max()),
+                                 1e-3))).transpose(1, 2, 0)
+        seg = np.asarray(seg)
+        return {'simulation': _png_b64(np.asarray(sim)),
+                'flow_rgb': _png_b64(rgb), 'segment': _png_b64(seg),
+                'segment_raw': np.round(seg, 4).tolist(), **extra}
+
     def _counterfactual_fast(self, req):
         """Shared-prefix engine route: per-image PrefixCache LRU + the
         fused fast pipeline (segmentation.counterfactual_videos_and_flows
@@ -173,25 +203,16 @@ class CwmService:
         import numpy as np
         import jax
         import jax.numpy as jnp
-        from counterfactualworldmodels_tpu.ops.flow_viz import flow_to_rgb
         from counterfactualworldmodels_tpu.pipelines.segmentation import (
             counterfactual_videos_and_flows_fast)
-        x = self._parse_image(req)
-        if not req.get('active'):
-            raise ValueError('counterfactual requires "active" patches')
+        x, active_np, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
-        n = G.predictor.num_patches
-        grid = G.mask_shape[-1]
-        s = int(req.get('num_samples', 1))
-        active_np = self._patch_mask(req.get('active'), grid, n)
-        passive_np = self._patch_mask(req.get('passive'), grid, n)
         # visible = union of the two prompt sets (matches the exact route's
         # _n_vis_target; a sum would double-count patches listed in both and
         # make the rectangularizer leak extra ground-truth patches)
         n_vis = int((~(active_np & passive_np)).sum())
         active = jnp.asarray(np.repeat(active_np[..., None], s, axis=-1))
         passive = jnp.asarray(np.repeat(passive_np[..., None], s, axis=-1))
-        shift = req.get('shift', [0, 2])
         shifts = jnp.asarray(np.tile(np.asarray(shift, np.int32)[None, None],
                                      (1, s, 1)))
         with self.lock:
@@ -208,50 +229,28 @@ class CwmService:
                 G.imagenet_normalize_inputs, G.raft_iters, True, use_flash,
                 prefix_cache=cache)
             flows_s = jnp.moveaxis(flows[:, 0], 0, -1)[None]  # [1,2,H,W,S]
-            seg = np.asarray(G.compute_mean_motion_map(flows_s)[0, 0])
-            sim = np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0)
-            rgb = np.asarray(flow_to_rgb(
-                flows[0, 0], max_speed=max(float(jnp.abs(flows).max()),
-                                           1e-3))).transpose(1, 2, 0)
-        return {'simulation': _png_b64(sim), 'flow_rgb': _png_b64(rgb),
-                'segment': _png_b64(seg),
-                'segment_raw': np.round(seg, 4).tolist(),
-                'prefix_cache_hit': hit, 'engine': 'fast'}
+            seg = G.compute_mean_motion_map(flows_s)[0, 0]
+            return self._cf_response(
+                np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0),
+                flows[0, 0], seg, prefix_cache_hit=hit, engine='fast')
 
     def counterfactual(self, req):
         import numpy as np
         import jax.numpy as jnp
         if self.engine == 'fast':
             return self._counterfactual_fast(req)
-        x = self._parse_image(req)
+        x, active, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
-        n = G.predictor.num_patches
-        grid = G.mask_shape[-1]
-        active = self._patch_mask(req.get('active'), grid, n)
-        if not req.get('active'):
-            raise ValueError('counterfactual requires "active" patches')
-        passive = None
-        if req.get('passive'):
-            passive = jnp.asarray(
-                self._patch_mask(req['passive'], grid, n))
-        shift = req.get('shift', [0, 2])
-        s = int(req.get('num_samples', 1))
+        passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
             ys, flows = G.predict_counterfactual_videos_and_flows(
                 x, active_patches=jnp.asarray(active),
                 passive_patches=passive,
                 shifts=[tuple(shift)] * s, num_samples=s,
                 sample_batch_size=s)
-            seg = np.asarray(
-                G.compute_mean_motion_map(G._batch_to_samples(flows))[0, 0])
-            sim = np.asarray(ys[0, 1]).transpose(1, 2, 0)
-            from counterfactualworldmodels_tpu.ops.flow_viz import flow_to_rgb
-            rgb = np.asarray(flow_to_rgb(
-                flows[0, 0], max_speed=max(float(jnp.abs(flows).max()),
-                                           1e-3))).transpose(1, 2, 0)
-        return {'simulation': _png_b64(sim), 'flow_rgb': _png_b64(rgb),
-                'segment': _png_b64(seg),
-                'segment_raw': np.round(seg, 4).tolist()}
+            seg = G.compute_mean_motion_map(G._batch_to_samples(flows))[0, 0]
+            return self._cf_response(
+                np.asarray(ys[0, 1]).transpose(1, 2, 0), flows[0, 0], seg)
 
 
 def make_handler(service, backend):

@@ -76,8 +76,11 @@ def test_stage_timer_and_metrics(tmp_path):
 
 
 @pytest.mark.slow
-def test_interface_events_end_to_end():
-    """Drive the matplotlib interface with synthetic events."""
+@pytest.mark.parametrize('engine', ['exact', 'fast'])
+def test_interface_events_end_to_end(engine):
+    """Drive the matplotlib interface with synthetic events (both
+    generator engines; 'fast' exercises the PrefixLru on the repeated
+    same-image batch events)."""
     import matplotlib.pyplot as plt
     from counterfactualworldmodels_tpu.interface import (
         CounterfactualPredictionInterface)
@@ -88,7 +91,7 @@ def test_interface_events_end_to_end():
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
     G = FlowGenerator(predictor=model, params=params, flow_model=raft,
                       flow_params=raft_params, raft_iters=1,
-                      imagenet_normalize_inputs=True, seed=0)
+                      imagenet_normalize_inputs=True, seed=0, engine=engine)
 
     rng = np.random.RandomState(0)
     x = rng.rand(1, 3, 32, 32).astype(np.float32)
@@ -138,4 +141,9 @@ def test_interface_events_end_to_end():
     ui(Event(12, 12, key='T'))
     assert len(ui.flow_samples_list) == n_flows + 2
     assert int((~np.asarray(ui.patch_selector.filter_masks)).sum()) >= 0
+    if engine == 'fast':
+        # every batch event probed the same loaded image -> one prefix
+        # build, later events hit the LRU
+        assert G._prefix_lru is not None
+        assert G._prefix_lru.misses == 1 and G._prefix_lru.hits >= 1
     plt.close(fig)

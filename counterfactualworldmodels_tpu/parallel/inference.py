@@ -12,7 +12,8 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..pipelines.segmentation import counterfactual_videos_and_flows
+from ..pipelines.segmentation import (counterfactual_videos_and_flows,
+                                      counterfactual_videos_and_flows_fast)
 
 
 def shard_counterfactual_batch(mesh: Mesh, *arrays, axis: int = 0,
@@ -48,3 +49,30 @@ def sharded_counterfactuals(mesh: Mesh, vmae_model, vmae_params, raft_model,
     return counterfactual_videos_and_flows(
         vmae_model, vmae_params, raft_model, raft_params, x, passive, active,
         shifts, keys, n_vis, normalize, raft_iters, fix_passive)
+
+
+def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
+                                 raft_model, raft_params, x, passive, active,
+                                 shifts, keys, n_vis: int, normalize: bool,
+                                 raft_iters: int, use_flash: bool = False):
+    """Sample-sharded shared-prefix engine (models/fast_vmae.py).
+
+    The frame-0 prefix pass is sample-independent: its inputs (x, params)
+    are replicated, so GSPMD keeps the whole prefix encoder/decoder
+    replicated — each chip computes it once locally, zero cross-chip
+    traffic. The per-sample suffix work (motion-prompt construction, frame-1
+    encode/decode, RAFT probes) shards over the 'samples' mesh axis because
+    its operands carry the sharded S axis. Same signature/returns as
+    pipelines.segmentation.counterfactual_videos_and_flows_fast; S must be
+    divisible by the mesh size.
+    """
+    repl = NamedSharding(mesh, P())
+    fast_params = jax.device_put(fast_params, repl)
+    raft_params = jax.device_put(raft_params, repl)
+    x = jax.device_put(x, repl)
+    passive, active = shard_counterfactual_batch(mesh, passive, active,
+                                                 axis=2)
+    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
+    return counterfactual_videos_and_flows_fast(
+        vmae_model, fast_params, raft_model, raft_params, x, passive,
+        active, shifts, keys, n_vis, normalize, raft_iters, True, use_flash)

@@ -321,3 +321,44 @@ def test_tp_compiles_to_collectives():
     qkv = stacked['attn']['qkv_kernel']
     shard_shape = qkv.sharding.shard_shape(qkv.shape)
     assert shard_shape == (2, 64, 3, 16), shard_shape
+
+
+@pytest.mark.slow
+def test_sharded_fast_counterfactuals_match_single_device():
+    """Sample-sharded shared-prefix engine == single-device fast engine."""
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        stack_vmae_params)
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        counterfactual_videos_and_flows_fast)
+    mesh = parallel.sample_parallel_mesh(8)
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = stack_vmae_params(model, params, dtype=jnp.float32)
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    rng = np.random.RandomState(2)
+    b, s = 1, 8
+    x = jnp.asarray(rng.rand(b, 2, 3, 32, 32).astype(np.float32))
+    n = model.num_patches
+    passive = np.ones((b, n, s), dtype=bool)
+    passive[:, :n // 2] = False
+    active = passive.copy()
+    for i in range(s):
+        active[0, n // 2 + rng.randint(n // 2), i] = False
+    passive, active = jnp.asarray(passive), jnp.asarray(active)
+    shifts = jnp.asarray(rng.randint(-1, 2, size=(b, s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(3), b * s).reshape(b, s, 2)
+    n_vis = n // 2 + 1
+
+    y_ref, f_ref, m_ref = counterfactual_videos_and_flows_fast(
+        model, fp, raft, raft_params, x, passive, active, shifts, keys,
+        n_vis, True, 1, True, False)
+    y_sh, f_sh, m_sh = parallel.sharded_counterfactuals_fast(
+        mesh, model, fp, raft, raft_params, x, passive, active, shifts,
+        keys, n_vis, True, 1, False)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))

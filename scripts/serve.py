@@ -243,6 +243,7 @@ class CwmService:
         G = self.G
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
+            self._req_counter += 1
             ys, flows = G.predict_counterfactual_videos_and_flows(
                 x, active_patches=jnp.asarray(active),
                 passive_patches=passive,
@@ -269,6 +270,13 @@ def make_handler(service, backend):
         def do_GET(self):
             if self.path == '/health':
                 self._send(200, {'status': 'ok', 'backend': backend})
+            elif self.path == '/stats':
+                self._send(200, {
+                    'engine': service.engine,
+                    'requests': service._req_counter,
+                    'prefix_cache': {'hits': service.prefix_hits,
+                                     'misses': service.prefix_misses,
+                                     'size': service.prefix_cache_size}})
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
 

@@ -43,6 +43,9 @@ def test_serve_end_to_end(server):
     base, engine, service = server
     with urllib.request.urlopen(base + '/health', timeout=30) as r:
         assert json.loads(r.read())['status'] == 'ok'
+    with urllib.request.urlopen(base + '/stats', timeout=30) as r:
+        stats = json.loads(r.read())
+        assert stats['engine'] == engine and stats['requests'] == 0
 
     rng = np.random.RandomState(0)
     img = rng.rand(32, 32, 3).round(3).tolist()

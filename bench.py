@@ -131,27 +131,36 @@ def main():
 
     # axon's block_until_ready does not actually block; force completion
     # with a scalar host transfer
-    try:
-        float(dispatch())  # compile + warm
-    except Exception:
-        # never leave the driver without a number: fall back to the exact
-        # per-sample path if the fast engine fails on this backend
-        import traceback
-        traceback.print_exc()
-        import sys
-        print('fast engine failed; falling back to exact path',
-              file=sys.stderr)
-        engine = 'exact-fallback'
+    # never leave the driver without a number: degrade through
+    # (fast engine, lanes corr kernel) -> (fast, r01 lookup kernel) ->
+    # (exact path, r01 lookup kernel)
+    import sys
+    import traceback
+
+    def exact_dispatch():
         from counterfactualworldmodels_tpu.pipelines.segmentation import (
             counterfactual_videos_and_flows)
+        y, flows, masks = counterfactual_videos_and_flows(
+            model, params, raft, raft_params, x, passive, active,
+            shifts, keys, n_vis, True, 24, True)
+        return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
-        def dispatch():
-            y, flows, masks = counterfactual_videos_and_flows(
-                model, params, raft, raft_params, x, passive, active,
-                shifts, keys, n_vis, True, 24, True)
-            return jnp.sum(jnp.abs(flows).astype(jnp.float32))
-
-        float(dispatch())
+    for engine, env_lanes, fn in [
+            ('shared-prefix', '1', dispatch),
+            ('shared-prefix/no-lanes', '0', dispatch),
+            ('exact-fallback', '0', exact_dispatch)]:
+        os.environ['CWM_RAFT_LANES'] = env_lanes
+        try:
+            dispatch = fn
+            float(dispatch())  # compile + warm
+            break
+        except Exception:
+            traceback.print_exc()
+            print(f'bench config {engine!r} failed; degrading',
+                  file=sys.stderr)
+            jax.clear_caches()
+    else:
+        raise SystemExit('all bench configurations failed')
     float(dispatch())
 
     # steady-state throughput: pipeline dispatches, sync once per round
@@ -169,7 +178,7 @@ def main():
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}
-    if on_tpu and engine == 'shared-prefix':
+    if on_tpu and engine.startswith('shared-prefix'):
         xm = imagenet_normalize(jnp.broadcast_to(x, (s,) + x.shape[1:]),
                                 temporal_dim=1)
         vis1 = jnp.asarray(np.stack([
@@ -203,7 +212,7 @@ def main():
                    'engine': engine, 'raft_iters': 24},
         'stages': stages,
     }
-    if engine == 'shared-prefix':  # the analytic flop model is engine-shaped
+    if engine.startswith('shared-prefix'):  # analytic flop model is engine-shaped
         flops = vit_flops(model, s, 33) + raft_flops(s)
         rec['model_tflops_per_dispatch'] = round(flops / 1e12, 3)
         rec['mfu_vs_v5e_peak'] = round((flops / dt) / V5E_PEAK_FLOPS, 4)

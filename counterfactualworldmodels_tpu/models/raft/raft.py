@@ -143,7 +143,12 @@ class RAFT(nn.Module):
             fmap2 = fnet(x2).astype(jnp.float32)
             fmap1 = jnp.broadcast_to(fmap1, fmap2.shape)
         corr = all_pairs_correlation(fmap1, fmap2)
-        lanes = jax.default_backend() == 'tpu'
+        # CWM_RAFT_LANES=0 falls back to the r01-validated window-lookup
+        # kernel (read at trace time; benches flip it if the lanes kernel
+        # fails to compile on a given TPU generation)
+        import os
+        lanes = (jax.default_backend() == 'tpu'
+                 and os.environ.get('CWM_RAFT_LANES', '1') != '0')
         if lanes:
             pyramid = build_pyramid_lanes(corr, self.corr_levels)
         else:

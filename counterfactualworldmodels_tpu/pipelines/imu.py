@@ -24,7 +24,7 @@ from einops import rearrange
 
 from ..masking import generators as maskgen
 from ..models.conjoined import ConjoinedPredictorWrapper
-from ..models.raft.raft import apply_raft_video
+from ..models.raft.raft import apply_raft_shared0, apply_raft_video
 from ..ops.normalization import imagenet_normalize
 from . import perturbation as perturb
 from .prediction import scatter_pred_patches
@@ -411,6 +411,13 @@ def _imu_counterfactual_step(wrapper, params, raft_model, raft_params, x,
     y = _conjoined_predict_video(
         wrapper, params, x_mocos, mask_mocos, x_context, mask_context,
         n_vis, n_vis_c, normalize)
-    flows = apply_raft_video(raft_model, raft_params, y, False, raft_iters,
-                             True)
+    if b == 1 and fix_passive:
+        # one scene, frame 0 identical across samples (the fix_passive
+        # paste): share the frame-0 fnet/cnet passes (numerics identical,
+        # see apply_raft_shared0)
+        flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters,
+                                   True)
+    else:
+        flows = apply_raft_video(raft_model, raft_params, y, False,
+                                 raft_iters, True)
     return y, flows, mask_mocos

@@ -44,6 +44,7 @@ from ..ops import patches as patch_ops
 from ..ops.flash_attention import flash_attention
 from ..ops.normalization import imagenet_normalize
 from ..ops.pos_embed import sinusoid_encoding_table
+from .layers import dense_attention
 from .vmae import PretrainVisionTransformer, mask_order
 
 
@@ -65,6 +66,12 @@ def stack_vmae_params(model: PretrainVisionTransformer, params,
                       dtype=None) -> FastParams:
     """Stack block params on a leading layer axis and cast to the compute
     dtype. Pure re-layout of the standard tree — call once per params."""
+    if getattr(model, 'qk_scale', None) is not None:
+        raise ValueError(
+            'the shared-prefix engine hardcodes the default attention scale '
+            'head_dim**-0.5; qk_scale overrides are only supported by the '
+            'exact path (models/vmae.py). No released CWM checkpoint sets '
+            'qk_scale (reference vmae.py:563-619 factories).')
     dtype = dtype or model.dtype
 
     def cast(t):
@@ -133,11 +140,7 @@ def _mlp(p_mlp, x):
 
 
 def _dense_attention(q, k, v):
-    s = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                   preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    return jnp.einsum('bhqk,bhkd->bhqd', p, v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+    return dense_attention(q, k, v, dtype=v.dtype)
 
 
 def _prefix_blocks(stacked, h0, num_heads: int, use_flash: bool):
@@ -258,6 +261,8 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
         model.num_patches, model.encoder_embed_dim)[0].astype(dtype)
     tok = tok + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
 
+    # encoder suffix: ~n_sfx (~33) queries — far below the flash kernel's
+    # minimum block, so dense attention wins regardless of use_flash
     hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
                         model.encoder_num_heads, False)
     hs = _ln(hs, fp.enc_norm)

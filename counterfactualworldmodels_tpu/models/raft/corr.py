@@ -121,28 +121,45 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2)
 
 
-def build_pyramid_lanes(corr: jnp.ndarray, num_levels: int = 4) -> List[jnp.ndarray]:
+def build_pyramid_lanes(corr: jnp.ndarray, num_levels: int = 4,
+                        nb: int = 512) -> List[jnp.ndarray]:
     """Query-on-lanes pyramid layout for the TPU lookup kernel: each level
-    is [h2, w2, N] (N = B*H1*W1 queries on the minor/lane axis)."""
-    return [jnp.transpose(lv, (1, 2, 0))
-            for lv in build_pyramid(corr, num_levels)]
+    is [h2, w2, N_pad] (N = B*H1*W1 queries on the minor/lane axis, padded
+    here ONCE to a multiple of the kernel lane block — padding inside the
+    refinement scan would re-materialize the full level every iteration)."""
+    levels = [jnp.transpose(lv, (1, 2, 0))
+              for lv in build_pyramid(corr, num_levels)]
+    n = levels[0].shape[2]
+    n_pad = -(-n // nb) * nb
+    if n_pad != n:
+        levels = [jnp.pad(lv, ((0, 0), (0, 0), (0, n_pad - n)))
+                  for lv in levels]
+    return levels
 
 
 def lookup_pyramid_lanes(pyramid_t: List[jnp.ndarray], coords: jnp.ndarray,
-                         radius: int) -> jnp.ndarray:
+                         radius: int, force_kernel: bool = False
+                         ) -> jnp.ndarray:
     """lookup_pyramid for the lanes layout (build_pyramid_lanes). Same
     returned ordering as lookup_pyramid; runs the vectorized one-hot kernel
-    (no gathers, no per-query loops)."""
+    (no gathers, no per-query loops) on TPU. Off-TPU the Pallas interpreter
+    is minutes-per-call slow, so this falls back to the equivalent gather
+    path unless ``force_kernel`` (parity tests) is set."""
     b, h, w, _ = coords.shape
     r = radius
     p = 2 * r + 1
+    on_tpu = jax.default_backend() == 'tpu'
+    if not on_tpu and not force_kernel:
+        n = b * h * w
+        pyramid = pad_pyramid(
+            [jnp.transpose(lv[:, :, :n], (2, 0, 1)) for lv in pyramid_t], r)
+        return lookup_pyramid(pyramid, coords, r, padded=True)
     x = coords[..., 0].reshape(b * h * w)
     y = coords[..., 1].reshape(b * h * w)
-    interpret = jax.default_backend() != 'tpu'
     out = []
     for i, level in enumerate(pyramid_t):
         vals = _window_lookup_lanes(level, x / (2 ** i), y / (2 ** i), r,
-                                    interpret=interpret)
+                                    interpret=not on_tpu)
         out.append(vals.reshape(b, h, w, p * p))
     return jnp.concatenate(out, axis=-1)
 
@@ -321,7 +338,8 @@ def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
 
     r = radius
     p = 2 * r + 1
-    h, w, n = level_t.shape
+    h, w, n_lvl = level_t.shape
+    n = x.shape[0]          # true query count; n_lvl may be pre-padded
     # same safety clip as the gather path; values beyond it contribute zero
     # either way, the clip just keeps floor() in int32 range
     x = jnp.clip(x, -(r + 1.0), w + r)
@@ -334,8 +352,17 @@ def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
     y0 = y0f.astype(jnp.int32)
 
     n_pad = -(-n // nb) * nb
-    if n_pad != n:
+    if n_lvl == n_pad:
+        pass  # level pre-padded by build_pyramid_lanes (the hot path)
+    elif n_lvl == n:
+        # lone-call path: pad here (inside a scan this copy repeats every
+        # iteration — pass pre-padded levels instead)
         level_t = jnp.pad(level_t, ((0, 0), (0, 0), (0, n_pad - n)))
+    else:
+        raise ValueError(
+            f'level lane dim {n_lvl} matches neither the query count {n} '
+            f'nor its padded size {n_pad}')
+    if n_pad != n:
         x0 = jnp.pad(x0, (0, n_pad - n))
         y0 = jnp.pad(y0, (0, n_pad - n))
         wx = jnp.pad(wx, (0, n_pad - n))

@@ -38,8 +38,8 @@ def _pick_blocks(n: int, nk: int):
     carry dependency is worth more than tile reuse.
     """
     block_q = None
-    for d in range(min(448, n), 127, -8):
-        if n % d == 0:
+    for d in range(min(448, n) - min(448, n) % 8, 127, -8):
+        if n % d == 0:  # d is a multiple of 8 by loop construction
             block_q = d
             break
     if block_q is None:
@@ -96,6 +96,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
 def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     bh, n, d = q.shape
     nk = k.shape[1]
+    # the kernel pins the full per-(batch, head) K/V panels in VMEM (the
+    # workload's sequences are <=6.3k tokens); refuse clearly beyond that
+    # rather than failing deep inside Mosaic
+    panel_bytes = 2 * nk * d * q.dtype.itemsize
+    if not interpret and panel_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f'flash_attention: K/V panels of {panel_bytes / 2 ** 20:.0f} MiB '
+            f'(nk={nk}, d={d}) exceed the VMEM budget of this kernel, which '
+            'keeps whole panels resident; use attn_impl="dense" or a '
+            'k-streaming kernel for sequences this long')
     n_pad_q = -(-n // block_q) * block_q
     n_pad_k = -(-nk // block_k) * block_k
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))

@@ -186,5 +186,9 @@ def test_lanes_pyramid_matches_standard():  # test_lanes_window_lookup_…
     coords = jnp.asarray((rng.rand(2, 4, 4, 2) * 10 - 2).astype(np.float32))
     a = jcorr.lookup_pyramid(jcorr.build_pyramid(corr5, 3), coords, 3)
     b = jcorr.lookup_pyramid_lanes(jcorr.build_pyramid_lanes(corr5, 3),
-                                   coords, 3)
+                                   coords, 3, force_kernel=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # off-TPU the public API takes the equivalent gather path
+    c = jcorr.lookup_pyramid_lanes(jcorr.build_pyramid_lanes(corr5, 3),
+                                   coords, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)

@@ -145,11 +145,13 @@ def main():
             shifts, keys, n_vis, True, 24, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
-    for engine, env_lanes, fn in [
-            ('shared-prefix', '1', dispatch),
-            ('shared-prefix/no-lanes', '0', dispatch),
-            ('exact-fallback', '0', exact_dispatch)]:
+    for engine, env_lanes, env_two_src, fn in [
+            ('shared-prefix', '1', '1', dispatch),
+            ('shared-prefix/no-two-source', '1', '0', dispatch),
+            ('shared-prefix/no-lanes', '0', '0', dispatch),
+            ('exact-fallback', '0', '0', exact_dispatch)]:
         os.environ['CWM_RAFT_LANES'] = env_lanes
+        os.environ['CWM_FLASH_TWO_SOURCE'] = env_two_src
         try:
             dispatch = fn
             float(dispatch())  # compile + warm

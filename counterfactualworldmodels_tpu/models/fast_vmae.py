@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import patches as patch_ops
-from ..ops.flash_attention import flash_attention
+from ..ops.flash_attention import flash_attention, flash_attention_prefix
 from ..ops.normalization import imagenet_normalize
 from ..ops.pos_embed import sinusoid_encoding_table
 from .layers import dense_attention
@@ -169,21 +169,30 @@ def _prefix_blocks(stacked, h0, num_heads: int, use_flash: bool):
 
 def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool):
     """Per-sample tokens attending to [cached prefix kv ; own kv]."""
+    import os
     scale = (hs.shape[-1] // num_heads) ** -0.5
     s, n, _ = hs.shape
+    # two-source kernel reads the shared prefix panels in place instead of
+    # broadcasting S copies per layer; CWM_FLASH_TWO_SOURCE=0 falls back
+    # to the concat formulation (trace-time knob, see bench.py degrade)
+    two_source = (use_flash
+                  and os.environ.get('CWM_FLASH_TWO_SOURCE', '1') != '0')
 
     def body(h, xs):
         p, (k0, v0) = xs
         ln = _ln(h, p['norm1'])
         q, k, v = _qkv(p['attn'], ln, num_heads)
-        kf = jnp.concatenate(
-            [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
-        vf = jnp.concatenate(
-            [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
-        if use_flash:
-            o = flash_attention(q * scale, kf, vf)
+        if two_source:
+            o = flash_attention_prefix(q * scale, k0, v0, k, v)
         else:
-            o = _dense_attention(q * scale, kf, vf)
+            kf = jnp.concatenate(
+                [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
+            vf = jnp.concatenate(
+                [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
+            if use_flash:
+                o = flash_attention(q * scale, kf, vf)
+            else:
+                o = _dense_attention(q * scale, kf, vf)
         o = _proj(p['attn'], o, s, n)
         if 'gamma_1' in p:
             o = p['gamma_1'] * o

@@ -158,3 +158,103 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
     v3 = v.reshape(b * h, nk, d)
     out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret)
     return out.reshape(b, h, n, d)
+
+
+def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
+                   block_k0: int, block_k1: int, n0_valid: int,
+                   n1_valid: int):
+    """Two-source online softmax: shared prefix K/V panels then per-sample
+    own panels, one softmax state across both."""
+    q = q_ref[0]
+    bq, d = q.shape
+
+    def phase(k_ref, v_ref, block_k, n_valid, carry):
+        n_pad = k_ref.shape[1]
+
+        def body(i, c):
+            m, l, acc = c
+            k = k_ref[0, pl.ds(i * block_k, block_k), :]
+            v = v_ref[0, pl.ds(i * block_k, block_k), :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            key_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1) + i * block_k
+            s = jnp.where(key_idx < n_valid, s, -jnp.inf)
+            m_new = jnp.maximum(m, s.max(-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + p.sum(-1, keepdims=True)
+            acc_new = acc * alpha + jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
+
+    carry = (jnp.full((bq, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((bq, 1), jnp.float32),
+             jnp.zeros((bq, d), jnp.float32))
+    carry = phase(k0_ref, v0_ref, block_k0, n0_valid, carry)
+    m, l, acc = phase(k1_ref, v1_ref, block_k1, n1_valid, carry)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def flash_attention_prefix(q, k0, v0, k1, v1,
+                           interpret: bool = None) -> jnp.ndarray:
+    """Attention over [shared prefix keys ; per-sample own keys] WITHOUT
+    materializing the prefix per sample.
+
+    q [S, H, Nq, D] pre-scaled; k0, v0 [1, H, N0, D] sample-independent
+    (the shared-prefix engine's per-layer cache — read in place via the
+    BlockSpec index map); k1, v1 [S, H, N1, D]. Equivalent to
+    flash_attention(q, concat([broadcast(k0), k1], 2), ...) but skips the
+    S-fold broadcast+concat HBM writes of the prefix panels.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    s, h, nq, d = q.shape
+    n0 = k0.shape[2]
+    n1 = k1.shape[2]
+
+    block_q, block_k0 = _pick_blocks(nq, n0)
+    _, block_k1 = _pick_blocks(nq, max(n1, 8))
+
+    nq_p = -(-nq // block_q) * block_q
+    n0_p = -(-n0 // block_k0) * block_k0
+    n1_p = -(-n1 // block_k1) * block_k1
+    qp = jnp.pad(q.reshape(s * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    k0p = jnp.pad(k0[0], ((0, 0), (0, n0_p - n0), (0, 0)))
+    v0p = jnp.pad(v0[0], ((0, 0), (0, n0_p - n0), (0, 0)))
+    k1p = jnp.pad(k1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
+    v1p = jnp.pad(v1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
+
+    grid = (s * h, nq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash2_kernel, block_k0=block_k0,
+                          block_k1=block_k1, n0_valid=n0, n1_valid=n1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # shared prefix panels: block index b % H -> every sample of a
+            # head reads the SAME panel, nothing is materialized per sample
+            pl.BlockSpec((1, n0_p, d), lambda b, i, _h=h: (b % _h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n0_p, d), lambda b, i, _h=h: (b % _h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1_p, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1_p, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s * h, nq_p, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * s * h * nq_p * (n0_p + n1_p) * d,
+            bytes_accessed=(qp.size + k0p.size + v0p.size + k1p.size
+                            + v1p.size) * qp.dtype.itemsize,
+            transcendentals=s * h * nq_p * (n0_p + n1_p)),
+        interpret=interpret,
+    )(qp, k0p, v0p, k1p, v1p)
+    return out[:, :nq].reshape(s, h, nq, d)

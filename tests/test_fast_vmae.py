@@ -320,3 +320,32 @@ def test_fused_fast_pipeline_runs_and_pastes_match_exact():
     corr = np.corrcoef(raw[mask1].ravel(), raw_ref[mask1].ravel())[0, 1]
     assert corr > 0.9, corr
     assert f.shape == f_ref.shape
+
+
+@pytest.mark.slow
+def test_suffix_two_source_matches_concat_engine():
+    """Engine output with the two-source prefix kernel == concat route
+    (interpret-mode pallas; tiny model keeps it tractable)."""
+    import os
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    x, m, n_vis = _workload(model, seed=5)
+
+    old = os.environ.get('CWM_FLASH_TWO_SOURCE')
+    try:
+        os.environ['CWM_FLASH_TWO_SOURCE'] = '0'
+        y_concat = fv.predict_videos_shared_prefix(model, fp, True, n_vis,
+                                                   True, x, m)
+        os.environ['CWM_FLASH_TWO_SOURCE'] = '1'
+        jax.clear_caches()  # env is a trace-time knob
+        y_two = fv.predict_videos_shared_prefix(model, fp, True, n_vis,
+                                                True, x, m)
+    finally:
+        if old is None:
+            os.environ.pop('CWM_FLASH_TWO_SOURCE', None)
+        else:
+            os.environ['CWM_FLASH_TWO_SOURCE'] = old
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(y_two), np.asarray(y_concat),
+                               atol=1e-4)

@@ -39,3 +39,23 @@ def test_flash_in_vmae_matches_dense_model():
     y_flash = m_flash.apply({'params': params}, x, mask, 10)
     np.testing.assert_allclose(np.asarray(y_flash), np.asarray(y_dense),
                                atol=1e-4)
+
+
+def test_flash_attention_prefix_matches_concat():
+    """Two-source kernel == flash over concat([broadcast(prefix), own])."""
+    import numpy as np
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_prefix)
+    rng = np.random.RandomState(0)
+    s, h, nq, n0, n1, d = 3, 2, 10, 17, 10, 16
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32)) * 0.3
+    k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+
+    kf = jnp.concatenate([jnp.broadcast_to(k0, (s, h, n0, d)), k1], axis=2)
+    vf = jnp.concatenate([jnp.broadcast_to(v0, (s, h, n0, d)), v1], axis=2)
+    ref = flash_attention(q, kf, vf)
+    out = flash_attention_prefix(q, k0, v0, k1, v1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -28,15 +28,39 @@ DEFAULT_BLOCK_K = 512
 _SCORE_TILE_BYTES = 5 * 1024 * 1024
 
 
+_TUNED_TABLE = None
+
+
+def _tuned_blocks(n: int, nk: int, d: int = 64):
+    """Measured-best blocks from scripts/tune_flash.py, if archived."""
+    global _TUNED_TABLE
+    if _TUNED_TABLE is None:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__), 'flash_tuned.json')
+        try:
+            with open(path) as f:
+                _TUNED_TABLE = json.load(f)
+        except (OSError, ValueError):
+            _TUNED_TABLE = {}
+    rec = _TUNED_TABLE.get(f'{n}x{nk}x{d}')
+    return (rec['block_q'], rec['block_k']) if rec else None
+
+
 def _pick_blocks(n: int, nk: int):
     """Choose (block_q, block_k) minimizing padding + loop overhead.
 
-    Measured on TPU v5e at the counterfactual workload shapes (S=16 ViT-L
-    4x4 suffix decode: q 1568, kv 4704): exact-divisor q blocks plus a
-    single k block beat the padded 256/512 default by ~30% — the kernel is
-    MXU-bound at head_dim 64, so eliminating pad flops and the inner-loop
-    carry dependency is worth more than tile reuse.
+    A measured table (scripts/tune_flash.py -> ops/flash_tuned.json) wins
+    when present. Heuristic otherwise — measured on TPU v5e at the
+    counterfactual workload shapes (S=16 ViT-L 4x4 suffix decode: q 1568,
+    kv 4704): exact-divisor q blocks plus a single k block beat the padded
+    256/512 default by ~30% — the kernel is MXU-bound at head_dim 64, so
+    eliminating pad flops and the inner-loop carry dependency is worth more
+    than tile reuse.
     """
+    tuned = _tuned_blocks(n, nk)
+    if tuned:
+        return tuned
     block_q = None
     for d in range(min(448, n) - min(448, n) % 8, 127, -8):
         if n % d == 0:  # d is a multiple of 8 by loop construction

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Flash-attention block-size autotuner.
+
+Sweeps (block_q, block_k) over the counterfactual workload's attention
+shapes on the current backend and writes the best configs to
+``counterfactualworldmodels_tpu/ops/flash_tuned.json``, which
+``_pick_blocks`` consults before its heuristic. Run on a TPU host:
+
+    python scripts/tune_flash.py            # bench shapes, S=16
+    python scripts/tune_flash.py --s 32 64  # more sample batches
+
+Never wrap in `timeout` on the axon platform (wedges the compile queue).
+"""
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def candidate_blocks(n, nk):
+    qs = sorted({d for d in range(128, min(512, n) + 1, 8)
+                 if n % d == 0} | {256, -(-n // 8) * 8 if n < 256 else 256})
+    nk8 = -(-nk // 8) * 8
+    ks = sorted({d for d in range(256, nk8 + 1, 8) if nk8 % d == 0}
+                | {512, min(nk8, 1568)})
+    return [(q, k) for q in qs for k in ks
+            if q * k * 4 <= 6 * 1024 * 1024][:24]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--s', type=int, nargs='+', default=[16])
+    ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--out', default=os.path.join(
+        os.path.dirname(__file__), '..', 'counterfactualworldmodels_tpu',
+        'ops', 'flash_tuned.json'))
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from counterfactualworldmodels_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention)
+
+    if jax.default_backend() != 'tpu':
+        print('tuner requires TPU (interpret mode timings are meaningless)',
+              file=sys.stderr)
+        return 1
+
+    # ViT-L 4x4 @224: encoder prefix (n0 x n0, 16 heads), decoder prefix,
+    # decoder suffix (n1 queries vs n0+n1 keys, 8 heads) per sample batch
+    shapes = []
+    n0 = 3136
+    for s in args.s:
+        shapes += [
+            ('enc_prefix', 1, 16, n0, n0, 64),
+            ('dec_prefix', 1, 8, n0, n0, 64),
+            ('dec_suffix', s, 8, n0, 2 * n0, 64),
+        ]
+
+    rng = np.random.RandomState(0)
+    table = {}
+    for name, b, h, nq, nk, d in shapes:
+        q = jnp.asarray(rng.randn(b, h, nq, d).astype(np.float32),
+                        jnp.bfloat16) * 0.125
+        k = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32),
+                        jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32),
+                        jnp.bfloat16)
+        best = None
+        for bq, bk in candidate_blocks(nq, nk):
+            try:
+                out = flash_attention(q, k, v, block_q=bq, block_k=bk)
+                float(jnp.sum(jnp.abs(out).astype(jnp.float32)))  # warm
+                t0 = time.perf_counter()
+                acc = jnp.float32(0)
+                for _ in range(args.iters):
+                    acc = acc + jnp.sum(jnp.abs(flash_attention(
+                        q, k, v, block_q=bq, block_k=bk)).astype(jnp.float32))
+                float(acc)
+                dt = (time.perf_counter() - t0) / args.iters * 1e3
+            except Exception as e:
+                print(f'{name} ({bq},{bk}): {type(e).__name__}',
+                      file=sys.stderr)
+                continue
+            print(f'{name} ({bq:4d},{bk:5d}): {dt:7.2f} ms', file=sys.stderr)
+            if best is None or dt < best[0]:
+                best = (dt, bq, bk)
+        if best:
+            table[f'{nq}x{nk}x{d}'] = {'block_q': best[1],
+                                       'block_k': best[2],
+                                       'ms': round(best[0], 3),
+                                       'shape': [b, h, nq, nk, d],
+                                       'name': name}
+    with open(args.out, 'w') as f:
+        json.dump(table, f, indent=1)
+    print(json.dumps({'tuned': list(table), 'out': args.out}))
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

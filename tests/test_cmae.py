@@ -253,3 +253,28 @@ def test_soft_channel_mae_matches_reference_fixed_decode():
     ys = jmodel.apply({'params': params}, jnp.asarray(x), jnp.asarray(soft))
     for y, y_ref in zip(ys, ys_ref):
         np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_extract_structure_script_runs(tmp_path):
+    """The differentiable structure-extraction demo drives visibility down
+    under the sparsity penalty (tiny config, synthetic image)."""
+    import json
+    import subprocess
+    import sys
+    import os
+    script = os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                          'extract_structure.py')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    out = subprocess.run(
+        [sys.executable, script, '--image', 'nonexistent', '--img-size',
+         '64', '--patch-size', '32', '--steps', '15', '--out',
+         str(tmp_path)], env=env, capture_output=True, text=True,
+        timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith('{')][-1])
+    assert rec['final']['visibility'] < rec['initial']['visibility']
+    assert (tmp_path / 'structure_mask.png').exists()
+    assert (tmp_path / 'structure_recon.png').exists()

@@ -10,7 +10,9 @@ The predictor runs through the shared-prefix engine (models/fast_vmae.py):
 frame 0 is identical across the S prompts of a scene (the fix_passive
 construction), so its encoder/decoder passes run once per scene and each
 simulation pays only for its own frame-1 tokens. Fidelity vs the exact
-per-sample path is quantified in FIDELITY_r02.json / tests/test_fast_vmae.py.
+per-sample path is quantified in FIDELITY_r02_cpu.json (corr 1.0 on the
+demo images) and tests/test_fast_vmae.py; scripts/fidelity_report.py
+regenerates it (TPU or CPU).
 
 Prints ONE JSON line. vs_baseline is measured against the driver target of
 100 sims/sec/chip (BASELINE.md — the reference publishes no numbers).

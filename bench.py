@@ -147,11 +147,14 @@ def main():
             shifts, keys, n_vis, True, 24, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
+    # CWM_BENCH_START_CONFIG=n skips the first n configs (diagnostics /
+    # fallback-path testing)
+    start_cfg = int(os.environ.get('CWM_BENCH_START_CONFIG', 0))
     for engine, env_lanes, env_two_src, fn in [
             ('shared-prefix', '1', '1', dispatch),
             ('shared-prefix/no-two-source', '1', '0', dispatch),
             ('shared-prefix/no-lanes', '0', '0', dispatch),
-            ('exact-fallback', '0', '0', exact_dispatch)]:
+            ('exact-fallback', '0', '0', exact_dispatch)][start_cfg:]:
         os.environ['CWM_RAFT_LANES'] = env_lanes
         os.environ['CWM_FLASH_TWO_SOURCE'] = env_two_src
         try:

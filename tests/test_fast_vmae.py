@@ -349,3 +349,25 @@ def test_suffix_two_source_matches_concat_engine():
         jax.clear_caches()
     np.testing.assert_allclose(np.asarray(y_two), np.asarray(y_concat),
                                atol=1e-4)
+
+
+def test_prefix_lru_eviction():
+    """Oldest entry evicted at capacity; re-request rebuilds (miss)."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    lru = fv.PrefixLru(model, fp, False, True, size=2)
+    rng = np.random.RandomState(0)
+    imgs = [jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+            for _ in range(3)]
+    for im in imgs:
+        _, hit = lru.get(im)
+        assert not hit
+    assert lru.misses == 3 and len(lru._entries) == 2
+    _, hit = lru.get(imgs[2])      # newest still cached
+    assert hit
+    _, hit = lru.get(imgs[0])      # oldest was evicted
+    assert not hit and lru.misses == 4
+    # the re-inserted oldest bumped imgs[1]; imgs[2] was refreshed above
+    _, hit = lru.get(imgs[2])
+    assert hit and lru.hits == 2

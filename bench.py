@@ -64,38 +64,12 @@ def raft_flops(s, hw=224, iters=24):
     return enc + iters * per_iter + corr + upsample
 
 
-def _ensure_live_backend():
-    """If the axon TPU relay is dead, backend registration hangs FOREVER at
-    the first jax touch (the claim loop retries a dead socket — observed
-    for the whole round-2 window). Probe jax in a throwaway subprocess
-    (safe to kill: jax.devices() compiles nothing) and re-exec on CPU if it
-    hangs/fails, so the driver always gets a JSON line."""
-    if os.environ.get('CWM_BENCH_BACKEND_CHECKED'):
-        return
-    os.environ['CWM_BENCH_BACKEND_CHECKED'] = '1'
-    if os.environ.get('JAX_PLATFORMS', '') in ('', 'cpu'):
-        return
-    import subprocess
-    import sys
-    try:
-        probe = subprocess.run(
-            [sys.executable, '-c', 'import jax; jax.devices()'],
-            capture_output=True, timeout=240)
-        if probe.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    print('TPU backend unreachable; re-running bench on CPU',
-          file=sys.stderr)
-    env = dict(os.environ)
-    env.pop('PALLAS_AXON_POOL_IPS', None)
-    env['JAX_PLATFORMS'] = 'cpu'
-    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
-              env)
-
-
 def main():
-    _ensure_live_backend()
+    # a dead TPU relay hangs the first jax touch forever; probe + CPU
+    # re-exec keeps the driver supplied with a JSON line regardless
+    from counterfactualworldmodels_tpu.utils.backend_guard import (
+        ensure_live_backend)
+    ensure_live_backend(__file__)
     import jax
     import jax.numpy as jnp
     from counterfactualworldmodels_tpu.utils.cache import enable_persistent_cache

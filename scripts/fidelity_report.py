@@ -33,6 +33,9 @@ def main():
     ap.add_argument('--raft-iters', type=int, default=24)
     args = ap.parse_args()
 
+    from counterfactualworldmodels_tpu.utils.backend_guard import (
+        ensure_live_backend)
+    ensure_live_backend(__file__)
     import jax
     import jax.numpy as jnp
     from PIL import Image

@@ -22,6 +22,9 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'])
     args = ap.parse_args()
 
+    from counterfactualworldmodels_tpu.utils.backend_guard import (
+        ensure_live_backend)
+    ensure_live_backend(__file__)
     import numpy as np
     import jax
     import jax.numpy as jnp

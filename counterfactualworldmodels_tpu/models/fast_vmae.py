@@ -34,6 +34,7 @@ from __future__ import annotations
 import collections
 import functools
 import hashlib
+import os
 from typing import Any, NamedTuple, Optional
 
 import numpy as np
@@ -167,16 +168,26 @@ def _prefix_blocks(stacked, h0, num_heads: int, use_flash: bool):
     return jax.lax.scan(body, h0, stacked)
 
 
-def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool):
-    """Per-sample tokens attending to [cached prefix kv ; own kv]."""
-    import os
+def resolve_two_source(use_flash: bool, two_source=None) -> bool:
+    """Resolve the two-source-kernel knob OUTSIDE jit. ``None`` reads the
+    CWM_FLASH_TWO_SOURCE env var (default on); the result is passed as a
+    static argument so it participates in the jit cache key — flipping the
+    env var between calls takes effect instead of silently reusing the
+    first trace."""
+    if two_source is None:
+        two_source = os.environ.get('CWM_FLASH_TWO_SOURCE', '1') != '0'
+    return bool(use_flash and two_source)
+
+
+def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
+                   two_source: bool):
+    """Per-sample tokens attending to [cached prefix kv ; own kv].
+
+    two_source=True uses the two-source flash kernel, which reads the
+    shared prefix panels in place instead of broadcasting S copies per
+    layer (see bench.py degrade chain)."""
     scale = (hs.shape[-1] // num_heads) ** -0.5
     s, n, _ = hs.shape
-    # two-source kernel reads the shared prefix panels in place instead of
-    # broadcasting S copies per layer; CWM_FLASH_TWO_SOURCE=0 falls back
-    # to the concat formulation (trace-time knob, see bench.py degrade)
-    two_source = (use_flash
-                  and os.environ.get('CWM_FLASH_TWO_SOURCE', '1') != '0')
 
     def body(h, xs):
         p, (k0, v0) = xs
@@ -243,17 +254,27 @@ def encode_prefix(model: PretrainVisionTransformer, fp: FastParams,
     return PrefixCache(enc_kvs=enc_kvs, dec_kvs=dec_kvs)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def predict_frame1_from_prefix(model: PretrainVisionTransformer,
                                fp: FastParams, use_flash: bool,
-                               cache: PrefixCache, x1n, vis1_idx):
+                               cache: PrefixCache, x1n, vis1_idx,
+                               two_source: Optional[bool] = None):
     """Per-sample pass: encode the visible frame-1 tokens against the
     cached prefix, decode every frame-1 position.
 
     x1n: [S, C, H, W] normalized counterfactual frame 1; vis1_idx:
     int32 [S, n_sfx] visible patch indices within frame 1 (row-major
     order). Returns [S, N1, out_dim] predictions for ALL frame-1 patches.
+    two_source: see resolve_two_source (None -> env default).
     """
+    return _predict_frame1_core(model, fp, use_flash,
+                                resolve_two_source(use_flash, two_source),
+                                cache, x1n, vis1_idx)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def _predict_frame1_core(model: PretrainVisionTransformer,
+                         fp: FastParams, use_flash: bool, two_source: bool,
+                         cache: PrefixCache, x1n, vis1_idx):
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     dtype = fp.patch_kernel.dtype
@@ -273,7 +294,7 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     # encoder suffix: ~n_sfx (~33) queries — far below the flash kernel's
     # minimum block, so dense attention wins regardless of use_flash
     hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
-                        model.encoder_num_heads, False)
+                        model.encoder_num_heads, False, False)
     hs = _ln(hs, fp.enc_norm)
     zs = jnp.dot(hs, fp.e2d_kernel,
                  preferred_element_type=jnp.float32).astype(dtype)
@@ -289,7 +310,7 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
 
     y1 = _suffix_blocks(fp.dec_blocks, cache.dec_kvs, z1,
-                        model.decoder_num_heads, use_flash)
+                        model.decoder_num_heads, use_flash, two_source)
     y1 = _ln(y1, fp.dec_norm)
     return (jnp.dot(y1, fp.head_kernel,
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -326,7 +347,9 @@ class PrefixLru:
 
     def get(self, x0):
         """x0: [1, C, H, W] raw frame 0 -> (PrefixCache, hit: bool)."""
-        key = hashlib.sha1(np.asarray(x0).tobytes()).hexdigest()
+        a = np.asarray(x0)
+        key = hashlib.sha1(
+            repr((a.shape, a.dtype.str)).encode() + a.tobytes()).hexdigest()
         if key in self._entries:
             self._entries.move_to_end(key)
             self.hits += 1
@@ -340,12 +363,25 @@ class PrefixLru:
         return cache, False
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  fp: FastParams, use_flash: bool,
                                  n_vis: int, normalize: bool,
                                  x_mocos, mask_mocos,
-                                 cache: Optional[PrefixCache] = None):
+                                 cache: Optional[PrefixCache] = None,
+                                 two_source: Optional[bool] = None):
+    """See _predict_videos_core; two_source as in resolve_two_source
+    (resolved here, outside jit, so the knob is part of the cache key)."""
+    return _predict_videos_core(model, fp, use_flash,
+                                resolve_two_source(use_flash, two_source),
+                                n_vis, normalize, x_mocos, mask_mocos, cache)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _predict_videos_core(model: PretrainVisionTransformer,
+                         fp: FastParams, use_flash: bool, two_source: bool,
+                         n_vis: int, normalize: bool,
+                         x_mocos, mask_mocos,
+                         cache: Optional[PrefixCache] = None):
     """Drop-in fast path for pipelines.prediction.predict_video on the
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
@@ -377,8 +413,8 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
 
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]
-    y1 = predict_frame1_from_prefix(model, fp, use_flash, cache,
-                                    xm[:, 1], vis1_idx)
+    y1 = _predict_frame1_core(model, fp, use_flash, two_source, cache,
+                              xm[:, 1], vis1_idx)
 
     # --- reconstruct: frame 0 = input; frame 1 = input at visible patches,
     # prediction elsewhere (same layout as prediction.scatter_pred_patches)

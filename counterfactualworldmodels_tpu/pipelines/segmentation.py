@@ -150,6 +150,7 @@ class FlowGenerator(PredictorBasedGenerator):
         self.engine = engine
         self.prefix_cache_size = prefix_cache_size
         self._prefix_lru = None  # built lazily on first fast chunk
+        self._fast_params_src = None  # identity key: rebuilt on params swap
         if flow_model is None:
             flow_model = RAFT(iters=raft_iters, **flow_model_kwargs)
         self.flow_model = flow_model
@@ -394,10 +395,16 @@ class FlowGenerator(PredictorBasedGenerator):
                        passive[:, :n0] & active[:, :n0]).any()))
         if fast_ok:
             from ..models import fast_vmae
-            if self._prefix_lru is None:
+            # lazy init keyed on params identity: swapping G.params rebuilds
+            # the stacked weights and drops prefixes cached from the old ones
+            if (self._prefix_lru is None
+                    or self._fast_params_src is not self.params):
+                self._fast_params_src = self.params
                 self._fast_params = fast_vmae.stack_vmae_params(
                     self.predictor, self.params)
                 self._use_flash = jax.default_backend() == 'tpu'
+                self._two_source = fast_vmae.resolve_two_source(
+                    self._use_flash)
                 self._prefix_lru = fast_vmae.PrefixLru(
                     self.predictor, self._fast_params, self._use_flash,
                     self.imagenet_normalize_inputs,
@@ -407,7 +414,7 @@ class FlowGenerator(PredictorBasedGenerator):
                 self.predictor, self._fast_params, self.flow_model,
                 self.flow_params, x, passive, active, shifts, keys, n_vis,
                 self.imagenet_normalize_inputs, iters, True,
-                self._use_flash, prefix_cache=cache)
+                self._use_flash, self._two_source, prefix_cache=cache)
         return counterfactual_videos_and_flows(
             self.predictor, self.params, self.flow_model, self.flow_params,
             x, passive, active, shifts, keys, n_vis,
@@ -561,12 +568,13 @@ FlowGenerator.flowshow = _flowshow
 FlowGenerator.get_error_maps = _get_error_maps
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12, 13, 14))
 def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
                                          shifts, keys, n_vis: int,
                                          normalize: bool, raft_iters: int,
                                          fix_passive: bool, use_flash: bool,
+                                         two_source: bool = False,
                                          prefix_cache=None):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
@@ -582,7 +590,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     fast_vmae.make_prefix_cache(...) of this scene's frame 0 (serving layers
     key it by image hash; skips the per-scene prefix passes entirely).
     """
-    from ..models.fast_vmae import predict_videos_shared_prefix
+    from ..models.fast_vmae import _predict_videos_core
     from ..models.raft.raft import apply_raft_shared0
 
     b, t, c, h, w = x.shape
@@ -597,8 +605,8 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     f = jax.vmap(one, in_axes=(None, 1, 1, 0, 0))
     x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
 
-    y = predict_videos_shared_prefix(vmae_model, fast_params, use_flash,
-                                     n_vis, normalize, x_mocos, mask_mocos,
-                                     prefix_cache)
+    y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
+                             n_vis, normalize, x_mocos, mask_mocos,
+                             prefix_cache)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos

@@ -23,7 +23,11 @@ def ensure_live_backend(script_path: str, timeout_s: int = 240) -> None:
     if os.environ.get(_MARK):
         return
     os.environ[_MARK] = '1'
-    if os.environ.get('JAX_PLATFORMS', '') in ('', 'cpu'):
+    # The axon relay can be active with JAX_PLATFORMS unset (the
+    # sitecustomize keys off PALLAS_AXON_POOL_IPS), so only skip the probe
+    # when no TPU-ish backend can possibly be reached.
+    if (os.environ.get('JAX_PLATFORMS', '') in ('', 'cpu')
+            and not os.environ.get('PALLAS_AXON_POOL_IPS')):
         return
     try:
         probe = subprocess.run(

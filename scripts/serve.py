@@ -316,8 +316,14 @@ def main():
                          'prefix KV of one image in device memory)')
     ap.add_argument('--engine', default='fast',
                     choices=['fast', 'exact'],
-                    help='fast = shared-prefix engine with '
-                         'a per-image PrefixCache LRU')
+                    help='fast = shared-prefix engine with a per-image '
+                         'PrefixCache LRU. Caveat: fast-engine fidelity '
+                         '(corr 1.0 vs exact) is measured with random-init '
+                         'weights; prefix isolation is a real modeling '
+                         'change, unvalidated against released checkpoints '
+                         '(unreachable offline — PARITY_CHECKPOINTS.md). '
+                         'Use --engine exact for bit-parity with the '
+                         'reference forward.')
     args = ap.parse_args()
 
     import jax

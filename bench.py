@@ -19,7 +19,12 @@ Prints ONE JSON line. vs_baseline is measured against the driver target of
 Extra keys: per-stage ms, analytic model FLOPs, and MFU vs the v5e bf16
 peak (197 TF/s).
 
-Env knobs: CWM_BENCH_S (sample batch per scene, default 16).
+Env knobs: CWM_BENCH_S (sample batch per scene, default 16);
+CWM_BENCH_MESH=N (shard the S samples over an N-chip 'samples' mesh and
+report per-chip throughput; dryrun off-TPU with JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8); CWM_BENCH_MODEL
+(large|base|tiny) and CWM_BENCH_RAFT_ITERS for cheap plumbing dryruns;
+CWM_BENCH_START_CONFIG (skip the first n degrade configs).
 """
 import json
 import os
@@ -86,15 +91,45 @@ def main():
     on_tpu = jax.default_backend() == 'tpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    model = vmae.large_4x4patch_2frames_1tube(
-        dtype=dtype, attn_impl='flash' if on_tpu else 'dense')
+    # CWM_BENCH_MODEL=tiny swaps in a small config so the mesh/fallback
+    # plumbing can be dryrun off-TPU in seconds; the headline metric is
+    # always the default ViT-L.
+    bench_model = os.environ.get('CWM_BENCH_MODEL', 'large')
+    attn = 'flash' if on_tpu else 'dense'
+    if bench_model == 'tiny':
+        model = vmae.PretrainVisionTransformer(
+            img_size=(224, 224), patch_size=(16, 16), encoder_embed_dim=64,
+            encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=48,
+            decoder_depth=1, decoder_num_heads=4, num_frames=2,
+            qkv_bias=True, dtype=dtype, attn_impl=attn)
+    elif bench_model == 'base':
+        model = vmae.base_8x8patch_2frames_1tube(dtype=dtype, attn_impl=attn)
+    else:
+        model = vmae.large_4x4patch_2frames_1tube(dtype=dtype, attn_impl=attn)
     params = vmae.init_params(model, jax.random.PRNGKey(0))
     fp = stack_vmae_params(model, params)
-    raft = RAFT(iters=24, dtype=dtype)
+    raft_iters = int(os.environ.get('CWM_BENCH_RAFT_ITERS', 24))
+    raft = RAFT(iters=raft_iters, dtype=dtype)
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
     b = 1
     s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    # CWM_BENCH_MESH=N shards the S samples over an N-chip 'samples' mesh
+    # (parallel/inference.py). sims/sec/chip then divides by N. Dryrun on
+    # CPU: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    n_mesh = int(os.environ.get('CWM_BENCH_MESH', 0) or 0)
+    mesh = None
+    if n_mesh > 1:
+        from counterfactualworldmodels_tpu.parallel.mesh import (
+            sample_parallel_mesh)
+        from counterfactualworldmodels_tpu.parallel.inference import (
+            sharded_counterfactuals_fast)
+        if n_mesh > len(jax.devices()):
+            raise SystemExit(
+                f'CWM_BENCH_MESH={n_mesh} > {len(jax.devices())} devices')
+        mesh = sample_parallel_mesh(n_mesh)
+        if s % n_mesh:
+            s = max(n_mesh, s - s % n_mesh)  # keep S divisible by the mesh
     hw = 224
     n = model.num_patches
     npf = n // 2
@@ -129,11 +164,17 @@ def main():
     n_vis = npf + 32 + 1
 
     engine = 'shared-prefix'
+    two_source = on_tpu  # per-config override in the degrade loop below
 
     def dispatch():
-        y, flows, masks = counterfactual_videos_and_flows_fast(
-            model, fp, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, 24, True, on_tpu)
+        if mesh is not None:
+            y, flows, masks = sharded_counterfactuals_fast(
+                mesh, model, fp, raft, raft_params, x, passive, active,
+                shifts, keys, n_vis, True, raft_iters, on_tpu, two_source)
+        else:
+            y, flows, masks = counterfactual_videos_and_flows_fast(
+                model, fp, raft, raft_params, x, passive, active, shifts,
+                keys, n_vis, True, raft_iters, True, on_tpu, two_source)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     # axon's block_until_ready does not actually block; force completion
@@ -147,9 +188,16 @@ def main():
     def exact_dispatch():
         from counterfactualworldmodels_tpu.pipelines.segmentation import (
             counterfactual_videos_and_flows)
-        y, flows, masks = counterfactual_videos_and_flows(
-            model, params, raft, raft_params, x, passive, active,
-            shifts, keys, n_vis, True, 24, True)
+        if mesh is not None:
+            from counterfactualworldmodels_tpu.parallel.inference import (
+                sharded_counterfactuals)
+            y, flows, masks = sharded_counterfactuals(
+                mesh, model, params, raft, raft_params, x, passive,
+                active, shifts, keys, n_vis, True, raft_iters, True)
+        else:
+            y, flows, masks = counterfactual_videos_and_flows(
+                model, params, raft, raft_params, x, passive, active,
+                shifts, keys, n_vis, True, raft_iters, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     # CWM_BENCH_START_CONFIG=n skips the first n configs (diagnostics /
@@ -162,6 +210,7 @@ def main():
             ('exact-fallback', '0', '0', exact_dispatch)][start_cfg:]:
         os.environ['CWM_RAFT_LANES'] = env_lanes
         os.environ['CWM_FLASH_TWO_SOURCE'] = env_two_src
+        two_source = on_tpu and env_two_src == '1'
         try:
             dispatch = fn
             float(dispatch())  # compile + warm
@@ -186,7 +235,8 @@ def main():
         float(acc)
         times.append((time.perf_counter() - t0) / iters)
     dt = min(times)
-    sims_per_sec = (b * s) / dt
+    n_chips = n_mesh if mesh is not None else 1
+    sims_per_sec = (b * s) / dt / n_chips
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}
@@ -211,9 +261,9 @@ def main():
 
         stages['prefix_ms'] = t_of(lambda: encode_prefix(model, fp, True, xm[0:1, 0]))
         stages['suffix_ms'] = t_of(lambda: predict_frame1_from_prefix(
-            model, fp, True, cache, xm[:, 1], vis1))
+            model, fp, True, cache, xm[:, 1], vis1, two_source=two_source))
         stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
-            raft, raft_params, yv, 24, True))
+            raft, raft_params, yv, raft_iters, True))
 
     rec = {
         'metric': 'counterfactual sims/sec/chip (ViT-L 4x4, 224px, RAFT-24)',
@@ -221,8 +271,9 @@ def main():
         'unit': 'sims/sec/chip',
         'vs_baseline': round(sims_per_sec / 100.0, 4),
         'config': {'b': b, 's': s, 'hw': hw, 'n_vis_f1': 33,
-                   'engine': engine, 'raft_iters': 24,
-                   'backend': jax.default_backend()},
+                   'engine': engine, 'raft_iters': raft_iters,
+                   'model': bench_model,
+                   'backend': jax.default_backend(), 'mesh': n_chips},
         'stages': stages,
     }
     if engine.startswith('shared-prefix'):  # analytic flop model is engine-shaped

@@ -1,0 +1,637 @@
+"""Shared-prefix counterfactual engine for the conjoined (IMU-conditioned)
+predictor.
+
+The reference's flagship movability workload
+(demo/MovabilityAndMotionCovariance.ipynb cells 13-18, driven by
+cwm/models/segmentation.py:931-963) runs ONE scene through the
+IMU-conditioned conjoined predictor (cwm/models/VideoMAE/
+conjoined_vmae.py:1230-1243) S times per batch, varying only a frame-1
+motion prompt. Both conditioning streams are sample-independent:
+
+* main-stream frame 0 is fully visible and identical across samples
+  (fix_passive construction), and
+* the IMU context is one tiled embedding of <=26 static tokens
+  (segmentation.py:199-245 tiling of the predicted static-scene IMU).
+
+This module extends the prefix-isolated factorization of
+models/fast_vmae.py across the cross-attention coupling
+(conjoined_vmae.py:488-541, 611-686; blocks re-designed in
+models/transformer.py):
+
+* the frame-0 (prefix) main tokens are computed ONCE per scene by a
+  conjoined pass restricted to them (coupled to a scene-level context
+  stream), recording per-main-block self-attention K/V and, at each cross
+  block, the prefix rows' context-direction cross K/V;
+* per-sample (suffix) frame-1 tokens run against the cached prefix K/V in
+  main self-attention, and — because the context stream is tiny — the
+  CONTEXT IS RECOMPUTED EXACTLY PER SAMPLE alongside the suffix: at each
+  cross block the per-sample context attends over [cached prefix cross
+  keys ; per-sample suffix keys] (the full key set), and suffix main
+  tokens read the per-sample context. Re-running <=26 context tokens per
+  sample costs ~0.1% of a dispatch.
+
+Deviation from the exact model: ONLY the frozen main prefix — prefix
+tokens (and the scene-level context they read) do not see the ~1% of
+main keys that are sample-specific (~33 visible frame-1 tokens out of
+~3.2k). This is the same isolation the plain engine makes (fidelity
+corr 1.0 there); the suffix tokens and the context they read are
+per-sample exact. Quantified in tests/test_fast_conjoined.py and
+scripts/fidelity_report.py.
+
+Null-token padding (the reference's PaddedVisionTransformer machinery,
+conjoined_vmae.py:24-210): the counterfactual construction gives every
+sample exactly ``n_vis`` visible tokens, so no null is ever visible and
+the encoder never sees padding; the decoder's ``max_padding`` masked null
+rows are sample-independent in VALUE but kept in the per-sample suffix so
+their interaction with prompt tokens stays exact.
+
+All functions are pure over the standard ConjoinedVMAE param tree — no
+separate weight format.
+"""
+from __future__ import annotations
+
+import collections
+import functools
+import hashlib
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import patches as patch_ops
+from ..ops.flash_attention import flash_attention, flash_attention_prefix
+from ..ops.normalization import imagenet_normalize
+from ..ops.pos_embed import sinusoid_encoding_table
+from .conjoined import ConjoinedVMAE
+from .fast_vmae import (_dense_attention, _ln, _mlp, _proj, _qkv,
+                        resolve_two_source)
+from .vmae import mask_order
+
+
+def conjoined_fast_supported(model: ConjoinedVMAE) -> bool:
+    """Engine preconditions on the MODEL (the workload-shape gate lives in
+    the caller): IMU context, 2-frame/1-tubelet main stream, and the
+    cross-block configuration shipped by every released conjoined
+    checkpoint (reference conjoined_vmae.py:1151-1243 factories)."""
+    return (model.context.is_imu
+            and not model.with_self_attention
+            and not model.shared_similarity
+            and model.main.num_frames == 2
+            and model.main.tubelet_size == 1)
+
+
+# ---------------------------------------------------------------------------
+# Single-block primitives over raw param subtrees
+# ---------------------------------------------------------------------------
+
+def _dense_b(p, x):
+    return (jnp.dot(x, p['kernel'],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+            + p['bias'])
+
+
+def _gmlp(p, x):
+    """GenericMlp (models/transformer.py:23-35): layers_0 -> gelu -> layers_2."""
+    h = jax.nn.gelu(_dense_b(p['layers_0'], x), approximate=False)
+    return _dense_b(p['layers_2'], h)
+
+
+def _g(pc, name):
+    return pc[name] if name in pc else 1.0
+
+
+def _block_prefix_one(p, h, num_heads: int, use_flash: bool):
+    """One main-stream Block over prefix tokens; returns (h, (k, v))."""
+    scale = (h.shape[-1] // num_heads) ** -0.5
+    b, n, _ = h.shape
+    ln = _ln(h, p['norm1'])
+    q, k, v = _qkv(p['attn'], ln, num_heads)
+    if use_flash:
+        o = flash_attention(q * scale, k, v)
+    else:
+        o = _dense_attention(q * scale, k, v)
+    o = _proj(p['attn'], o, b, n)
+    if 'gamma_1' in p:
+        o = p['gamma_1'] * o
+    h = h + o
+    m = _mlp(p['mlp'], _ln(h, p['norm2']))
+    if 'gamma_2' in p:
+        m = p['gamma_2'] * m
+    return h + m, (k, v)
+
+
+def _block_suffix_one(p, kv0, h, num_heads: int, use_flash: bool,
+                      two_source: bool):
+    """One main-stream Block: suffix tokens attend [cached prefix kv; own]."""
+    scale = (h.shape[-1] // num_heads) ** -0.5
+    s, n, _ = h.shape
+    k0, v0 = kv0
+    ln = _ln(h, p['norm1'])
+    q, k, v = _qkv(p['attn'], ln, num_heads)
+    if two_source:
+        o = flash_attention_prefix(q * scale, k0, v0, k, v)
+    else:
+        kf = jnp.concatenate(
+            [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
+        vf = jnp.concatenate(
+            [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
+        if use_flash:
+            o = flash_attention(q * scale, kf, vf)
+        else:
+            o = _dense_attention(q * scale, kf, vf)
+    o = _proj(p['attn'], o, s, n)
+    if 'gamma_1' in p:
+        o = p['gamma_1'] * o
+    h = h + o
+    m = _mlp(p['mlp'], _ln(h, p['norm2']))
+    if 'gamma_2' in p:
+        m = p['gamma_2'] * m
+    return h + m
+
+
+def _cross_dims(pc, num_heads: int):
+    inner = pc['cross_attention']['qk']['kernel'].shape[1] // 2
+    d = inner // num_heads
+    return inner, d, d ** -0.5
+
+
+def _cross_full(pc, x, src, num_heads: int):
+    """Full bidirectional cross block (models/transformer.py:138-202,
+    250-354 with with_self_attention=False) over prefix main tokens and the
+    scene-level context stream. Returns (x, src, (k_pre, v_pre)): the
+    prefix rows' context-direction keys/values, cached so the per-sample
+    context can later attend over the full [prefix ; suffix] main key set."""
+    ca = pc['cross_attention']
+    inner, d, scale = _cross_dims(pc, num_heads)
+    b, n, _ = x.shape
+    m = src.shape[1]
+    lx = _ln(x, pc['norm1_cross'])
+    ls = _ln(src, pc['norm1_src_cross'])
+
+    def proj_heads(z, kernel, width):
+        out = jnp.dot(z, kernel,
+                      preferred_element_type=jnp.float32).astype(z.dtype)
+        return jnp.swapaxes(
+            out.reshape(z.shape[0], z.shape[1], num_heads, width), 1, 2)
+
+    qk_x = proj_heads(lx, ca['qk']['kernel'], 2 * d)       # [B,H,N,2d]
+    qk_s = proj_heads(ls, ca['qk_src']['kernel'], 2 * d)   # [B,H,M,2d]
+    v_x = proj_heads(lx, ca['v']['kernel'], d)
+    v_s = proj_heads(ls, ca['v_src']['kernel'], d)
+
+    # main <- context (scale rides the main-side queries, transformer.py:182)
+    attn = jax.nn.softmax(
+        jnp.einsum('bhnd,bhmd->bhnm', qk_x[..., :d] * scale, qk_s[..., :d],
+                   preferred_element_type=jnp.float32), -1)
+    y = jnp.einsum('bhnm,bhmd->bhnd', attn.astype(v_s.dtype), v_s,
+                   preferred_element_type=jnp.float32).astype(v_s.dtype)
+    y = _dense_b(ca['projection'],
+                 jnp.swapaxes(y, 1, 2).reshape(b, n, inner))
+
+    # context <- main (frozen to the prefix keys: the ~1% isolation)
+    attn_src = jax.nn.softmax(
+        jnp.einsum('bhnd,bhmd->bhmn', qk_x[..., d:] * scale, qk_s[..., d:],
+                   preferred_element_type=jnp.float32), -1)
+    y_src = jnp.einsum('bhmn,bhnd->bhmd', attn_src.astype(v_x.dtype), v_x,
+                       preferred_element_type=jnp.float32).astype(v_x.dtype)
+    y_src = _dense_b(ca['projection_src'],
+                     jnp.swapaxes(y_src, 1, 2).reshape(b, m, inner))
+
+    x = x + _g(pc, 'gamma_1_cross') * y
+    x = x + _g(pc, 'gamma_2') * _gmlp(pc['mlp_trg'], _ln(x, pc['norm2']))
+    src = src + _g(pc, 'gamma_1_src_cross') * y_src
+    src = src + _g(pc, 'gamma_2_src') * _gmlp(pc['mlp_src'],
+                                              _ln(src, pc['norm2_src']))
+    return x, src, (qk_x[..., d:], v_x)
+
+
+def _cross_suffix(pc, h, src, ckv, num_heads: int):
+    """Cross block for the per-sample suffix: suffix main tokens read the
+    PER-SAMPLE context (exact), and the per-sample context attends over
+    the full main key set — cached prefix (k_pre, v_pre) from _cross_full
+    plus the per-sample suffix keys. Returns (h, src) updated."""
+    ca = pc['cross_attention']
+    inner, d, scale = _cross_dims(pc, num_heads)
+    s, n, _ = h.shape
+    m = src.shape[1]
+    k_pre, v_pre = ckv  # [1, H, N0, d]
+    lh = _ln(h, pc['norm1_cross'])
+    ls = _ln(src, pc['norm1_src_cross'])
+
+    def proj_heads(z, kernel, width):
+        out = jnp.dot(z, kernel,
+                      preferred_element_type=jnp.float32).astype(z.dtype)
+        return jnp.swapaxes(
+            out.reshape(z.shape[0], z.shape[1], num_heads, width), 1, 2)
+
+    qk_x = proj_heads(lh, ca['qk']['kernel'], 2 * d)       # [S,H,n,2d]
+    qk_s = proj_heads(ls, ca['qk_src']['kernel'], 2 * d)   # [S,H,M,2d]
+    v_x = proj_heads(lh, ca['v']['kernel'], d)
+    v_s = proj_heads(ls, ca['v_src']['kernel'], d)
+
+    # main (suffix) <- context: per-sample context K/V — exact
+    attn = jax.nn.softmax(
+        jnp.einsum('shnd,shmd->shnm', qk_x[..., :d] * scale, qk_s[..., :d],
+                   preferred_element_type=jnp.float32), -1)
+    y = jnp.einsum('shnm,shmd->shnd', attn.astype(v_s.dtype), v_s,
+                   preferred_element_type=jnp.float32).astype(v_s.dtype)
+    y = _dense_b(ca['projection'],
+                 jnp.swapaxes(y, 1, 2).reshape(s, n, inner))
+
+    # context <- main over [cached prefix ; own suffix] keys (full set;
+    # the scale rides the main-side keys here, so pre-scale the queries)
+    q_s = qk_s[..., d:] * scale
+    sim_pre = jnp.einsum('shmd,hkd->shmk', q_s, k_pre[0],
+                         preferred_element_type=jnp.float32)
+    sim_sfx = jnp.einsum('shmd,shnd->shmn', q_s, qk_x[..., d:],
+                         preferred_element_type=jnp.float32)
+    attn_src = jax.nn.softmax(
+        jnp.concatenate([sim_pre, sim_sfx], axis=-1), -1)
+    n_pre = k_pre.shape[2]
+    y_src = (jnp.einsum('shmk,hkd->shmd',
+                        attn_src[..., :n_pre].astype(v_pre.dtype), v_pre[0],
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum('shmn,shnd->shmd',
+                          attn_src[..., n_pre:].astype(v_x.dtype), v_x,
+                          preferred_element_type=jnp.float32)
+             ).astype(v_x.dtype)
+    y_src = _dense_b(ca['projection_src'],
+                     jnp.swapaxes(y_src, 1, 2).reshape(s, m, inner))
+
+    h = h + _g(pc, 'gamma_1_cross') * y
+    h = h + _g(pc, 'gamma_2') * _gmlp(pc['mlp_trg'], _ln(h, pc['norm2']))
+    src = src + _g(pc, 'gamma_1_src_cross') * y_src
+    src = src + _g(pc, 'gamma_2_src') * _gmlp(pc['mlp_src'],
+                                              _ln(src, pc['norm2_src']))
+    return h, src
+
+
+# ---------------------------------------------------------------------------
+# Prefix pass
+# ---------------------------------------------------------------------------
+
+class ConjoinedPrefixCache(NamedTuple):
+    """Sample-independent state for one (scene frame 0, IMU context) pair."""
+    ctx_tokens: Any     # [1, M, E] initial context tokens (embed + pos)
+    enc_kvs: Any        # per-main-encoder-block (k, v), application order
+    enc_cross_kv: Any   # per-encoder-cross-block prefix (k_pre, v_pre)
+    dec_kvs: Any        # per-main-decoder-block (k, v)
+    dec_cross_kv: Any   # per-decoder-cross-block prefix (k_pre, v_pre)
+
+
+def _ctx_tokens(model: ConjoinedVMAE, params, x_c):
+    """IMU context tokens, all visible (ImuEncoder.tokenize semantics,
+    models/conjoined.py:101-110). x_c: [1, C, L] raw IMU."""
+    c = model.context
+    ce = params['context_encoder']
+    if c.concat_dummy_token:
+        dummy = ce['dummy_token'][:, :, :, 0, 0].astype(x_c.dtype)
+        x_c = jnp.concatenate([x_c, dummy], axis=2)
+    b, ch, l = x_c.shape
+    t = l // c.imu_tubelet
+    patches = x_c.reshape(b, ch, t, c.imu_tubelet)
+    patches = jnp.moveaxis(patches, 1, -1).reshape(b, t, -1)
+    tok = _dense_b(ce['proj'], patches.astype(ce['proj']['kernel'].dtype))
+    pos = sinusoid_encoding_table(t, c.encoder_embed_dim).astype(tok.dtype)
+    return tok + pos
+
+
+def encode_conjoined_prefix(model: ConjoinedVMAE, params, x0, x_c,
+                            use_flash: bool) -> ConjoinedPrefixCache:
+    """Run the shared (frame-0 + context) conjoined pass once per scene.
+
+    x0: [1, C, H, W] preprocessed/normalized main frame 0; x_c: [1, C, L]
+    raw IMU (pre-dummy). The context must be fully visible (the caller
+    gates on mask_context all-False — the reference counterfactual loop's
+    h_mask, segmentation.py:944-947).
+    """
+    m, c = model.main, model.context
+    n0 = m.num_patches // m.num_frames
+    enc = params['main_encoder']
+    dtype = enc['patch_embed']['proj']['kernel'].dtype
+
+    p0 = patch_ops.patchify(x0[:, :, None], (m.tubelet_size,) + m.patch_size,
+                            temporal_dim=2, squeeze_channel_dim=True)
+    h = _dense_b(enc['patch_embed']['proj'], p0.astype(dtype))
+    h = h + sinusoid_encoding_table(
+        m.num_patches, m.encoder_embed_dim)[:, :n0].astype(dtype)
+    ctx0 = _ctx_tokens(model, params, x_c).astype(dtype)
+    s_ctx = ctx0
+
+    enc_pairs = model._norm_pairs(model.conjoin_encoder_layers,
+                                  m.encoder_depth, c.encoder_depth)
+    dec_pairs = model._norm_pairs(model.conjoin_decoder_layers,
+                                  m.decoder_depth, c.decoder_depth)
+    ce = params['context_encoder']
+
+    def ctx_block(p, z):
+        z2, _ = _block_prefix_one(p, z, c.encoder_num_heads, False)
+        return z2
+
+    enc_kvs, enc_cross_kv = [], []
+    i = j = 0
+    for idx, (pi, pj) in enumerate(enc_pairs):
+        while i < pi:
+            h, kv = _block_prefix_one(enc[f'blocks_{i}'], h,
+                                      m.encoder_num_heads, use_flash)
+            enc_kvs.append(kv)
+            i += 1
+        while j < pj:
+            s_ctx = ctx_block(ce[f'blocks_{j}'], s_ctx)
+            j += 1
+        h, s_ctx, ckv = _cross_full(params[f'encoder_cross_blocks_{idx}'],
+                                    h, s_ctx, model.cross_num_heads)
+        enc_cross_kv.append(ckv)
+    for k in range(i, m.encoder_depth):
+        h, kv = _block_prefix_one(enc[f'blocks_{k}'], h,
+                                  m.encoder_num_heads, use_flash)
+        enc_kvs.append(kv)
+    for k in range(j, c.encoder_depth):
+        s_ctx = ctx_block(ce[f'blocks_{k}'], s_ctx)
+    h = _ln(h, enc['norm'])
+    s_ctx = _ln(s_ctx, ce['norm'])
+
+    # --- decoder inputs (conjoined.py:408-418 with all-real-visible ctx)
+    z0 = jnp.dot(h, params['main_e2d']['kernel'],
+                 preferred_element_type=jnp.float32).astype(dtype)
+    z0 = z0 + sinusoid_encoding_table(
+        m.num_patches, m.decoder_embed_dim)[:, :n0].astype(dtype)
+
+    zc = jnp.dot(s_ctx, params['context_e2d']['kernel'],
+                 preferred_element_type=jnp.float32).astype(dtype)
+    zc = zc + sinusoid_encoding_table(
+        c.total_tokens, c.decoder_embed_dim).astype(dtype)
+    if c.padded and c.max_padding_tokens:
+        nulls = (params['context_mask_token']
+                 + params['context_null_dec']).astype(dtype)
+        zc = jnp.concatenate(
+            [zc, jnp.broadcast_to(nulls, (1, c.max_padding_tokens,
+                                          zc.shape[-1]))], axis=1)
+
+    dec = params['main_decoder']
+    cd = params['context_decoder']
+    dec_kvs, dec_cross_kv = [], []
+    i = j = 0
+    for idx, (pi, pj) in enumerate(dec_pairs):
+        while i <= pi:
+            z0, kv = _block_prefix_one(dec[f'blocks_{i}'], z0,
+                                       m.decoder_num_heads, use_flash)
+            dec_kvs.append(kv)
+            i += 1
+        while j <= pj:
+            zc2, _ = _block_prefix_one(cd[f'blocks_{j}'], zc,
+                                       c.decoder_num_heads, False)
+            zc = zc2
+            j += 1
+        z0, zc, ckv = _cross_full(params[f'decoder_cross_blocks_{idx}'],
+                                  z0, zc, model.cross_num_heads)
+        dec_cross_kv.append(ckv)
+    for k in range(i, m.decoder_depth):
+        z0, kv = _block_prefix_one(dec[f'blocks_{k}'], z0,
+                                   m.decoder_num_heads, use_flash)
+        dec_kvs.append(kv)
+    return ConjoinedPrefixCache(
+        ctx_tokens=ctx0,
+        enc_kvs=tuple(enc_kvs), enc_cross_kv=tuple(enc_cross_kv),
+        dec_kvs=tuple(dec_kvs), dec_cross_kv=tuple(dec_cross_kv))
+
+
+# ---------------------------------------------------------------------------
+# Per-sample suffix pass
+# ---------------------------------------------------------------------------
+
+def predict_frame1_conjoined(model: ConjoinedVMAE, params,
+                             cache: ConjoinedPrefixCache, x1n, vis1_idx,
+                             use_flash: bool, two_source: bool):
+    """Per-sample pass: encode visible frame-1 tokens against the cached
+    prefix, carrying an exact per-sample context stream alongside, then
+    decode every frame-1 position.
+
+    x1n: [S, C, H, W] normalized counterfactual frame 1; vis1_idx: int32
+    [S, n_sfx] visible patch indices within frame 1. Returns
+    [S, N1, out_dim] predictions for ALL frame-1 patches (row-major).
+    """
+    m, c = model.main, model.context
+    n0 = m.num_patches // m.num_frames
+    n1 = m.num_patches - n0
+    enc = params['main_encoder']
+    ce = params['context_encoder']
+    dtype = enc['patch_embed']['proj']['kernel'].dtype
+    s = x1n.shape[0]
+
+    p1 = patch_ops.patchify(x1n[:, :, None], (m.tubelet_size,) + m.patch_size,
+                            temporal_dim=2, squeeze_channel_dim=True)
+    p1v = jnp.take_along_axis(p1, vis1_idx[..., None], axis=1)
+    h = _dense_b(enc['patch_embed']['proj'], p1v.astype(dtype))
+    pos_enc = sinusoid_encoding_table(
+        m.num_patches, m.encoder_embed_dim)[0].astype(dtype)
+    h = h + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
+    ctx = jnp.broadcast_to(cache.ctx_tokens,
+                           (s,) + cache.ctx_tokens.shape[1:])
+
+    enc_pairs = model._norm_pairs(model.conjoin_encoder_layers,
+                                  m.encoder_depth, c.encoder_depth)
+    dec_pairs = model._norm_pairs(model.conjoin_decoder_layers,
+                                  m.decoder_depth, c.decoder_depth)
+
+    def ctx_block(p, z):
+        z2, _ = _block_prefix_one(p, z, c.encoder_num_heads, False)
+        return z2
+
+    # encoder suffix: ~n_sfx (~33) queries — dense attention throughout
+    i = j = 0
+    for idx, (pi, pj) in enumerate(enc_pairs):
+        while i < pi:
+            h = _block_suffix_one(enc[f'blocks_{i}'], cache.enc_kvs[i], h,
+                                  m.encoder_num_heads, False, False)
+            i += 1
+        while j < pj:
+            ctx = ctx_block(ce[f'blocks_{j}'], ctx)
+            j += 1
+        h, ctx = _cross_suffix(params[f'encoder_cross_blocks_{idx}'], h, ctx,
+                               cache.enc_cross_kv[idx], model.cross_num_heads)
+    for k in range(i, m.encoder_depth):
+        h = _block_suffix_one(enc[f'blocks_{k}'], cache.enc_kvs[k], h,
+                              m.encoder_num_heads, False, False)
+    for k in range(j, c.encoder_depth):
+        ctx = ctx_block(ce[f'blocks_{k}'], ctx)
+    h = _ln(h, enc['norm'])
+    ctx = _ln(ctx, ce['norm'])
+    zs = jnp.dot(h, params['main_e2d']['kernel'],
+                 preferred_element_type=jnp.float32).astype(dtype)
+
+    # decoder suffix rows: all frame-1 positions (mask token + pos, visible
+    # slots overwritten with encoded tokens) + the masked null-padding rows
+    pos_dec = sinusoid_encoding_table(
+        m.num_patches, m.decoder_embed_dim)[0].astype(dtype)
+    mt = params['main_mask_token'].astype(dtype)
+    base = jnp.broadcast_to(mt + pos_dec[n0:], (s, n1, pos_dec.shape[-1]))
+    vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
+    z1 = jax.vmap(lambda b, ii, v: b.at[ii].set(v))(base, vis1_idx, vals)
+    if m.padded and m.max_padding_tokens:
+        nulls = (mt + params['main_null_dec'].astype(dtype))
+        z1 = jnp.concatenate(
+            [z1, jnp.broadcast_to(nulls, (s, m.max_padding_tokens,
+                                          z1.shape[-1]))], axis=1)
+
+    # per-sample context decoder stream (conjoined.py:408-418 layout)
+    zc = jnp.dot(ctx, params['context_e2d']['kernel'],
+                 preferred_element_type=jnp.float32).astype(dtype)
+    zc = zc + sinusoid_encoding_table(
+        c.total_tokens, c.decoder_embed_dim).astype(dtype)
+    if c.padded and c.max_padding_tokens:
+        nulls_c = (params['context_mask_token']
+                   + params['context_null_dec']).astype(dtype)
+        zc = jnp.concatenate(
+            [zc, jnp.broadcast_to(nulls_c, (s, c.max_padding_tokens,
+                                            zc.shape[-1]))], axis=1)
+
+    dec = params['main_decoder']
+    cd = params['context_decoder']
+
+    def ctx_dec_block(p, z):
+        z2, _ = _block_prefix_one(p, z, c.decoder_num_heads, False)
+        return z2
+
+    i = j = 0
+    for idx, (pi, pj) in enumerate(dec_pairs):
+        while i <= pi:
+            z1 = _block_suffix_one(dec[f'blocks_{i}'], cache.dec_kvs[i], z1,
+                                   m.decoder_num_heads, use_flash, two_source)
+            i += 1
+        while j <= pj:
+            zc = ctx_dec_block(cd[f'blocks_{j}'], zc)
+            j += 1
+        z1, zc = _cross_suffix(params[f'decoder_cross_blocks_{idx}'], z1, zc,
+                               cache.dec_cross_kv[idx], model.cross_num_heads)
+    for k in range(i, m.decoder_depth):
+        z1 = _block_suffix_one(dec[f'blocks_{k}'], cache.dec_kvs[k], z1,
+                               m.decoder_num_heads, use_flash, two_source)
+    y1 = _ln(z1[:, :n1], dec['norm'])
+    return _dense_b(dec['head'], y1)
+
+
+# ---------------------------------------------------------------------------
+# Video-level entry points (mirroring fast_vmae.predict_videos_shared_prefix)
+# ---------------------------------------------------------------------------
+
+def predict_videos_conjoined_prefix(wrapper, params, x_mocos, mask_mocos,
+                                    x_context, mask_context, n_vis: int,
+                                    normalize: bool, use_flash: bool,
+                                    cache: Optional[ConjoinedPrefixCache] = None,
+                                    two_source: Optional[bool] = None):
+    """Drop-in fast path for the IMU-conditioned counterfactual forward
+    (pipelines/imu.py:_conjoined_predict_video on the movability workload):
+    x_mocos [S, 2, C, H, W] share frame 0, frame 0 fully visible, IMU
+    context [1, C, L] shared across samples and fully visible.
+
+    Returns [S, 2, C, H, W] reconstructed videos (input patches at visible
+    positions, predictions at masked ones). two_source as in
+    fast_vmae.resolve_two_source (resolved here, outside jit).
+    """
+    return _conjoined_videos_core(
+        wrapper, params, x_mocos, mask_mocos, x_context, mask_context,
+        n_vis, normalize, use_flash,
+        resolve_two_source(use_flash, two_source), cache)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
+def _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos, x_context,
+                           mask_context, n_vis: int, normalize: bool,
+                           use_flash: bool, two_source: bool,
+                           cache: Optional[ConjoinedPrefixCache] = None):
+    model = wrapper.model
+    m = model.main
+    s, t, ch, hh, ww = x_mocos.shape
+    n0 = m.num_patches // m.num_frames
+    n_sfx = n_vis - n0
+    if n_sfx < 0:
+        raise ValueError(
+            f'n_vis={n_vis} < frame-0 patches={n0}: the conjoined '
+            'shared-prefix engine requires frame 0 fully visible (prompts '
+            'masking frame 0 must use the exact path)')
+
+    xm = imagenet_normalize(x_mocos, temporal_dim=1) if normalize else x_mocos
+    (x_m, mask_m), (x_c, mask_c) = wrapper.get_stream_inputs(
+        jnp.swapaxes(xm, 1, 2), mask_mocos, x_context, mask_context)
+    x_c = x_c[..., 0, 0]  # [1, C, L] (IMU preprocessor adds spatial dims)
+
+    if cache is None:
+        cache = encode_conjoined_prefix(model, params, x_m[0:1, :, 0], x_c,
+                                        use_flash)
+
+    mask1 = mask_m[:, n0:]
+    vis1_idx = mask_order(mask1)[:, :n_sfx]
+    y1 = predict_frame1_conjoined(model, params, cache, x_m[:, :, 1],
+                                  vis1_idx, use_flash, two_source)
+
+    raw1 = patch_ops.patchify(x_mocos[:, 1:2],
+                              (m.tubelet_size,) + m.patch_size,
+                              temporal_dim=1)
+    full1 = jnp.where(mask1[..., None], y1.astype(raw1.dtype), raw1)
+    frame1 = patch_ops.unpatchify(full1, (m.tubelet_size,) + m.patch_size,
+                                  (s, 1, ch, hh, ww), temporal_dim=1)
+    return jnp.concatenate([x_mocos[:, 0:1], frame1], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _encode_prefix_entry(wrapper, params, x, x_context, normalize: bool,
+                         use_flash: bool):
+    """Preprocess one raw scene + IMU and build the prefix cache."""
+    model = wrapper.model
+    xm = imagenet_normalize(x, temporal_dim=1) if normalize else x
+    zeros_mask = jnp.zeros((1, model.main.num_patches), bool)
+    (x_m, _), (x_c, _) = wrapper.get_stream_inputs(
+        jnp.swapaxes(xm, 1, 2), zeros_mask, x_context,
+        jnp.zeros((1, model.context.num_patches), bool))
+    return encode_conjoined_prefix(model, params, x_m[0:1, :, 0],
+                                   x_c[..., 0, 0], use_flash)
+
+
+def make_conjoined_prefix_cache(wrapper, params, x, x_context,
+                                normalize: bool, use_flash: bool):
+    """x: [1, 2, C, H, W] raw scene; x_context: [1, C, L] raw IMU."""
+    return _encode_prefix_entry(wrapper, params, x, x_context, normalize,
+                                use_flash)
+
+
+class ConjoinedPrefixLru:
+    """sha1-keyed LRU of ConjoinedPrefixCache entries, keyed on the
+    (frame-0, IMU-context) pair — the interactive movability workload
+    probes one scene with one static-IMU embedding many times."""
+
+    def __init__(self, wrapper, params, use_flash: bool, normalize: bool,
+                 size: int = 4):
+        self.wrapper, self.params = wrapper, params
+        self.use_flash, self.normalize = use_flash, normalize
+        self.size = size
+        self._entries = collections.OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _key(*arrays):
+        hsh = hashlib.sha1()
+        for arr in arrays:
+            a = np.asarray(arr)
+            hsh.update(repr((a.shape, a.dtype.str)).encode())
+            hsh.update(a.tobytes())
+        return hsh.hexdigest()
+
+    def get(self, x, x_context):
+        """x [1,2,C,H,W] raw scene, x_context [1,C,L] raw IMU ->
+        (ConjoinedPrefixCache, hit: bool)."""
+        key = self._key(x[0:1, 0], x_context)
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return self._entries[key], True
+        cache = make_conjoined_prefix_cache(self.wrapper, self.params, x,
+                                            x_context, self.normalize,
+                                            self.use_flash)
+        self._entries[key] = cache
+        if len(self._entries) > self.size:
+            self._entries.popitem(last=False)
+        self.misses += 1
+        return cache, False

@@ -54,7 +54,8 @@ def sharded_counterfactuals(mesh: Mesh, vmae_model, vmae_params, raft_model,
 def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
                                  raft_model, raft_params, x, passive, active,
                                  shifts, keys, n_vis: int, normalize: bool,
-                                 raft_iters: int, use_flash: bool = False):
+                                 raft_iters: int, use_flash: bool = False,
+                                 two_source: bool = False):
     """Sample-sharded shared-prefix engine (models/fast_vmae.py).
 
     The frame-0 prefix pass is sample-independent: its inputs (x, params)
@@ -75,4 +76,5 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
     shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
     return counterfactual_videos_and_flows_fast(
         vmae_model, fast_params, raft_model, raft_params, x, passive,
-        active, shifts, keys, n_vis, normalize, raft_iters, True, use_flash)
+        active, shifts, keys, n_vis, normalize, raft_iters, True, use_flash,
+        two_source)

@@ -227,6 +227,8 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         hm_kwargs.setdefault('flow_params', self.flow_params)
         self.head_motion_generator = ImuGenerator(
             predictor=head_motion_predictor, head_mask_ratio=1, **hm_kwargs)
+        self._conj_prefix_lru = None  # built lazily on first fast chunk
+        self._conj_params_src = None  # identity key: rebuilt on params swap
 
     @property
     def num_head_tokens(self):
@@ -371,9 +373,39 @@ class ImuConditionedFlowGenerator(FlowGenerator):
 
     def _counterfactual_chunk(self, x, passive, active, shifts, keys, n_vis,
                               iters, fix_passive):
-        """Override the fused step to push the IMU context through."""
+        """Override the fused step to push the IMU context through. With
+        ``engine='fast'`` on the supported workload shape (one scene,
+        fix_passive, frame 0 fully visible, shared fully-visible IMU
+        context — the reference movability demo loop) this routes through
+        the conjoined shared-prefix engine (models/fast_conjoined.py) with
+        a per-(scene, IMU) ConjoinedPrefixCache LRU."""
         s = keys.shape[1]
         w = self.predictor
+        n0 = w.model.main.num_patches // w.model.main.num_frames
+        fast_ok = (self.engine == 'fast' and x.shape[0] == 1 and fix_passive
+                   and not bool(np.asarray(
+                       passive[:, :n0] & active[:, :n0]).any())
+                   and not bool(np.asarray(self._mask_context).any()))
+        if fast_ok:
+            from ..models import fast_conjoined
+            if fast_conjoined.conjoined_fast_supported(w.model):
+                if (self._conj_prefix_lru is None
+                        or self._conj_params_src is not w.params):
+                    self._conj_params_src = w.params
+                    self._use_flash = jax.default_backend() == 'tpu'
+                    self._two_source = None  # env-resolved per call
+                    self._conj_prefix_lru = fast_conjoined.ConjoinedPrefixLru(
+                        w, w.params, self._use_flash,
+                        self.imagenet_normalize_inputs,
+                        size=self.prefix_cache_size)
+                cache, _ = self._conj_prefix_lru.get(x, self._x_context)
+                return _imu_counterfactual_step_fast(
+                    w, w.params, self.flow_model, self.flow_params, x,
+                    passive, active, shifts, keys, self._x_context,
+                    self._mask_context, n_vis,
+                    self.imagenet_normalize_inputs, iters, self._use_flash,
+                    fast_conjoined.resolve_two_source(self._use_flash),
+                    cache)
         x_context = jnp.repeat(self._x_context, s, axis=0)
         mask_context = jnp.repeat(self._mask_context, s, axis=0)
         n_vis_c = w._static_n_vis(self._mask_context, w.model.context)
@@ -383,6 +415,43 @@ class ImuConditionedFlowGenerator(FlowGenerator):
             w, w.params, self.flow_model, self.flow_params, x, passive,
             active, shifts, keys, x_context, mask_context, n_vis, n_vis_c,
             self.imagenet_normalize_inputs, iters, fix_passive)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
+def _imu_counterfactual_step_fast(wrapper, params, raft_model, raft_params,
+                                  x, passive, active, shifts, keys,
+                                  x_context, mask_context, n_vis: int,
+                                  normalize: bool, raft_iters: int,
+                                  use_flash: bool, two_source: bool,
+                                  prefix_cache=None):
+    """Shared-prefix fast path of _imu_counterfactual_step for the
+    production workload shape: B=1, fix_passive, frame 0 fully visible,
+    IMU context shared and fully visible. The conjoined forward runs via
+    the prefix-isolated engine (models/fast_conjoined.py) and RAFT shares
+    the frame-0 feature/context encoders across samples.
+
+    x_context/mask_context are the UNtiled [1, ...] shared context.
+    prefix_cache: optional fast_conjoined.make_conjoined_prefix_cache(...)
+    for this (scene, IMU) pair — skips the whole prefix pass.
+    """
+    from ..models.fast_conjoined import _conjoined_videos_core
+
+    b, t, c, h, w_ = x.shape
+    assert b == 1, 'fast path is per-scene; vmap/shard the scene axis'
+
+    def one(xb, p, a, shift, key):
+        return perturb.make_motion_counterfactual(
+            xb, p, a, shift, key, wrapper.patch_size, n_vis_target=n_vis,
+            fix_passive=True)
+
+    f = jax.vmap(one, in_axes=(None, 1, 1, 0, 0))
+    x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
+
+    y = _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos,
+                               x_context, mask_context, n_vis, normalize,
+                               use_flash, two_source, prefix_cache)
+    flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
+    return y, flows, mask_mocos
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))

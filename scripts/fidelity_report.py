@@ -87,9 +87,12 @@ def main():
         y_e, f_e, _ = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, args.raft_iters, True)
+        from counterfactualworldmodels_tpu.models.fast_vmae import (
+            resolve_two_source)
         y_f, f_f, _ = counterfactual_videos_and_flows_fast(
             model, fp, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, args.raft_iters, True, on_tpu)
+            keys, n_vis, True, args.raft_iters, True, on_tpu,
+            resolve_two_source(on_tpu))
 
         ye = np.asarray(y_e.reshape(s, -1), np.float32)
         yf = np.asarray(y_f.reshape(s, -1), np.float32)

@@ -222,12 +222,14 @@ class CwmService:
                 s).reshape(1, s, 2)
             cache, hit = self._prefix_for(x)
             video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
+            from counterfactualworldmodels_tpu.models.fast_vmae import (
+                resolve_two_source)
             use_flash = jax.default_backend() == 'tpu'
             ys, flows, _ = counterfactual_videos_and_flows_fast(
                 G.predictor, self._fp, G.flow_model, G.flow_params, video,
                 passive, active, shifts, keys, n_vis,
                 G.imagenet_normalize_inputs, G.raft_iters, True, use_flash,
-                prefix_cache=cache)
+                resolve_two_source(use_flash), prefix_cache=cache)
             flows_s = jnp.moveaxis(flows[:, 0], 0, -1)[None]  # [1,2,H,W,S]
             seg = G.compute_mean_motion_map(flows_s)[0, 0]
             return self._cf_response(

@@ -324,6 +324,10 @@ def _window_lookup_lanes_kernel(y0_ref, x0_ref, wy_ref, wx_ref, lvl_ref,
             acc = acc + colws[j] * T[a][j][None, :]
         for b in range(p):
             out_ref[b * p + a] = acc[b]
+    # the out block's sublane dim is padded to a multiple of 8 (Mosaic
+    # tiling); define the pad rows instead of leaving them uninitialized
+    for i in range(p * p, out_ref.shape[0]):
+        out_ref[i] = jnp.zeros((nb,), jnp.float32)
 
 
 def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
@@ -368,6 +372,7 @@ def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
         wx = jnp.pad(wx, (0, n_pad - n))
         wy = jnp.pad(wy, (0, n_pad - n))
 
+    pp_pad = -(-(p * p) // 8) * 8   # sublane-aligned out block (81 -> 88)
     out = pl.pallas_call(
         _ft.partial(_window_lookup_lanes_kernel, radius=r, hp=h, wp=w),
         grid=(n_pad // nb,),
@@ -379,9 +384,9 @@ def _window_lookup_lanes(level_t: jnp.ndarray, x: jnp.ndarray,
             pl.BlockSpec((h, w, nb), lambda g: (0, 0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((p * p, nb), lambda g: (0, g),
+        out_specs=pl.BlockSpec((pp_pad, nb), lambda g: (0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p * p, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pp_pad, n_pad), jnp.float32),
         interpret=interpret,
     )(y0[None], x0[None], wy[None], wx[None], level_t)
-    return jnp.transpose(out[:, :n], (1, 0)).reshape(n, p, p)
+    return jnp.transpose(out[:p * p, :n], (1, 0)).reshape(n, p, p)

@@ -78,3 +78,40 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
         vmae_model, fast_params, raft_model, raft_params, x, passive,
         active, shifts, keys, n_vis, normalize, raft_iters, True, use_flash,
         two_source)
+
+
+def sharded_imu_counterfactuals_fast(mesh: Mesh, wrapper, params, raft_model,
+                                     raft_params, x, passive, active, shifts,
+                                     keys, x_context, mask_context,
+                                     n_vis: int, normalize: bool,
+                                     raft_iters: int, use_flash: bool = False,
+                                     two_source: bool = False,
+                                     prefix_cache=None):
+    """Sample-sharded conjoined (IMU-conditioned) shared-prefix engine
+    (models/fast_conjoined.py).
+
+    Same replication logic as sharded_counterfactuals_fast: the scene, the
+    IMU context, and the prefix cache are replicated (each chip computes or
+    holds the scene-level prefix locally — zero cross-chip traffic); the
+    per-sample suffix work, including the exact per-sample context streams,
+    shards over the 'samples' axis. Same signature/returns as
+    pipelines.imu._imu_counterfactual_step_fast; S must be divisible by the
+    mesh size.
+    """
+    from ..pipelines.imu import _imu_counterfactual_step_fast
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    raft_params = jax.device_put(raft_params, repl)
+    x = jax.device_put(x, repl)
+    x_context = jax.device_put(x_context, repl)
+    mask_context = jax.device_put(mask_context, repl)
+    if prefix_cache is not None:
+        prefix_cache = jax.device_put(prefix_cache, repl)
+    passive, active = shard_counterfactual_batch(mesh, passive, active,
+                                                 axis=2)
+    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
+    return _imu_counterfactual_step_fast(
+        wrapper, params, raft_model, raft_params, x, passive, active,
+        shifts, keys, x_context, mask_context, n_vis, normalize, raft_iters,
+        use_flash, two_source, prefix_cache)

@@ -21,6 +21,110 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
+def conjoined_fidelity(paths, mode, args, on_tpu, dtype):
+    """Fast-vs-exact agreement for the conjoined (IMU-conditioned) engine
+    (models/fast_conjoined.py) on the movability workload shape.
+
+    mode='flagship' uses the released imu400 ViT-B/4x4 config
+    (reference conjoined_vmae.py:1230-1243); 'small' a reduced config that
+    fits CPU smoke runs. Weights random-init either way (see
+    PARITY_CHECKPOINTS.md); the IMU context is a fixed random embedding
+    standing in for the predicted static-scene IMU.
+    """
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from counterfactualworldmodels_tpu.models import conjoined as conj
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        resolve_two_source)
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        ImuConditionedFlowGenerator)
+
+    attn = 'flash' if on_tpu else 'dense'
+    if mode == 'flagship':
+        model = conj.imu400_base_4x4patch_2frames_1tube(dtype=dtype,
+                                                        attn_impl=attn)
+        hw = 224
+    else:
+        ctx = conj.StreamSpec(
+            is_imu=True, in_chans=6, sequence_length=400, imu_tubelet=16,
+            encoder_embed_dim=64, encoder_depth=4, encoder_num_heads=4,
+            decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+            decoder_num_classes=96, mlp_ratio=2.0, concat_dummy_token=False,
+            padded=True, max_padding_tokens=25)
+        main = conj.StreamSpec(
+            img_size=(112, 112), patch_size=(8, 8), in_chans=3, num_frames=2,
+            encoder_embed_dim=96, encoder_depth=4, encoder_num_heads=4,
+            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4,
+            mlp_ratio=2.0, padded=True, max_padding_tokens=64)
+        model = conj.ConjoinedVMAE(
+            main=main, context=ctx,
+            conjoin_encoder_layers=((0, 0), (2, 2)),
+            conjoin_decoder_layers=((0, 0), (1, 1)),
+            dtype=dtype, attn_impl=attn)
+        hw = 112
+    params = conj.init_conjoined_params(model, jax.random.PRNGKey(0))
+    w = conj.ConjoinedPredictorWrapper(model, params=params,
+                                       main_input='rgb01',
+                                       context_input='imu')
+    raft = RAFT(iters=args.raft_iters, dtype=dtype)
+    rp = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
+
+    n = w.num_patches
+    n0 = model.main.num_patches // model.main.num_frames
+    s = args.samples
+    rng = np.random.RandomState(args.seed + 7)
+    head = (rng.randn(1, model.context.num_patches,
+                      model.context.imu_tubelet * model.context.in_chans)
+            * 0.1).astype(np.float32)
+
+    per_image = []
+    for path in paths:
+        img = Image.open(path).convert('RGB').resize((hw, hw))
+        fr = np.asarray(img, np.float32).transpose(2, 0, 1) / 255.
+        x = np.stack([fr, fr], axis=0)[None]
+
+        active = np.ones((1, n, s), dtype=bool)
+        active[:, :n0] = False
+        for i in range(s):
+            active[0, n0 + rng.randint(n0), i] = False
+        shifts = [tuple(v) for v in rng.randint(-3, 4, size=(s, 2))]
+
+        outs = {}
+        for engine in ('exact', 'fast'):
+            g = ImuConditionedFlowGenerator(
+                predictor=w, head_motion_predictor=w, flow_model=raft,
+                flow_params=rp, raft_iters=args.raft_iters,
+                imagenet_normalize_inputs=True, seed=args.seed,
+                engine=engine)
+            y, f = g.predict_counterfactual_videos_and_flows(
+                jnp.asarray(x), active_patches=jnp.asarray(active),
+                shifts=shifts, num_samples=s, sample_batch_size=s,
+                head_motion=jnp.asarray(head))
+            outs[engine] = (np.asarray(y, np.float32),
+                            np.asarray(f, np.float32))
+        ye, fe = outs['exact']
+        yf, ff = outs['fast']
+        per_image.append({
+            'image': os.path.basename(path),
+            'video_corr': round(float(np.corrcoef(ye.ravel(),
+                                                  yf.ravel())[0, 1]), 5),
+            'flow_corr': round(float(np.corrcoef(fe.ravel(),
+                                                 ff.ravel())[0, 1]), 5),
+            'flow_mean_rel_dev': round(float(
+                np.abs(fe - ff).mean() / (np.abs(fe).mean() + 1e-8)), 5),
+        })
+    return {
+        'engine': 'conjoined shared-prefix (models/fast_conjoined.py)',
+        'config': mode,
+        'per_image': per_image,
+        'min_flow_corr': min(r['flow_corr'] for r in per_image),
+        'min_video_corr': min(r['video_corr'] for r in per_image),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--samples', type=int, default=8)
@@ -31,6 +135,12 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'],
                     help='base is light enough for CPU smoke runs')
     ap.add_argument('--raft-iters', type=int, default=24)
+    ap.add_argument('--conjoined', default='auto',
+                    choices=['auto', 'flagship', 'small', 'off'],
+                    help='also measure the conjoined (IMU) engine: '
+                         "'flagship' = the released imu400 ViT-B/4x4 "
+                         "config, 'small' = a reduced config for CPU, "
+                         "'auto' = flagship on TPU / small on CPU")
     args = ap.parse_args()
 
     from counterfactualworldmodels_tpu.utils.backend_guard import (
@@ -106,6 +216,13 @@ def main():
                           'flow_corr': round(flow_corr, 5),
                           'flow_mean_rel_dev': round(flow_rel, 5)})
 
+    conjoined = None
+    if args.conjoined != 'off':
+        mode = args.conjoined
+        if mode == 'auto':
+            mode = 'flagship' if on_tpu else 'small'
+        conjoined = conjoined_fidelity(paths, mode, args, on_tpu, dtype)
+
     report = {
         'engine': 'shared-prefix (models/fast_vmae.py)',
         'weights': 'random-init (no released checkpoints reachable — '
@@ -118,6 +235,8 @@ def main():
         'min_flow_corr': min(r['flow_corr'] for r in per_image),
         'min_video_corr': min(r['video_corr'] for r in per_image),
     }
+    if conjoined is not None:
+        report['conjoined'] = conjoined
     with open(args.out, 'w') as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

@@ -486,3 +486,33 @@ def test_generator_fast_engine_vs_exact():
         sample_batch_size=2, head_motion=jnp.asarray(head))
     assert g._conj_prefix_lru is None  # fast path never engaged
     assert np.isfinite(y_fb).all()
+
+
+@pytest.mark.slow
+def test_imu_movability_fast_engine():
+    """The IMU-conditioned movability predictor (the reference flagship
+    demo composition) engages the conjoined fast engine via engine='fast'
+    through the MovabilityPredictor -> ImuConditionedFlowGenerator MRO."""
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.movability import (
+        make_imu_conditioned_movability_predictor)
+    rng = np.random.RandomState(8)
+    model, params, w = _tiny()
+    raft = RAFT(iters=2)
+    rp = init_raft_params(raft, jax.random.PRNGKey(9), hw=IMG)
+    # head-motion model mirrors the reference flow2imu shape: non-padded
+    # context with a dummy token, so its raw context output is one row per
+    # real IMU token (a padded context would emit padding rows here)
+    _, _, w_hm = _tiny(dummy=True)
+    cls = make_imu_conditioned_movability_predictor()
+    m = cls(predictor=w, head_motion_predictor=w_hm, flow_model=raft,
+            flow_params=rp, raft_iters=2, imagenet_normalize_inputs=True,
+            seed=0, engine='fast', initialize_from_keypoints=False,
+            num_initial_samples=2, num_samples_per_iteration=2, num_iters=1,
+            sample_batch_size=2)
+    x = np.asarray(_workload(rng)[0][0:1])
+    out = m(jnp.asarray(x), static_head_motion=True)
+    assert out.shape == (1, 1, IMG, IMG)
+    assert np.isfinite(np.asarray(out)).all()
+    assert m._conj_prefix_lru is not None and m._conj_prefix_lru.misses >= 1

@@ -362,3 +362,65 @@ def test_sharded_fast_counterfactuals_match_single_device():
     np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
+
+
+@pytest.mark.slow
+def test_sharded_imu_counterfactuals_fast_match_single_device():
+    """Sample-sharded conjoined (IMU) shared-prefix engine == single-device
+    engine (models/fast_conjoined.py): scene/context/prefix replicated,
+    suffix + per-sample context sharded over 'samples'."""
+    from counterfactualworldmodels_tpu.models.conjoined import (
+        ConjoinedVMAE, ConjoinedPredictorWrapper, StreamSpec,
+        init_conjoined_params)
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        _imu_counterfactual_step_fast)
+
+    mesh = parallel.sample_parallel_mesh(8)
+    ctx = StreamSpec(is_imu=True, in_chans=6, sequence_length=32,
+                     imu_tubelet=8, encoder_embed_dim=32, encoder_depth=2,
+                     encoder_num_heads=4, decoder_embed_dim=24,
+                     decoder_depth=1, decoder_num_heads=4,
+                     decoder_num_classes=48, mlp_ratio=2.0,
+                     concat_dummy_token=False, padded=True,
+                     max_padding_tokens=4)
+    main = StreamSpec(img_size=(32, 32), patch_size=(8, 8), in_chans=3,
+                      num_frames=2, encoder_embed_dim=48, encoder_depth=2,
+                      encoder_num_heads=4, decoder_embed_dim=32,
+                      decoder_depth=1, decoder_num_heads=4, mlp_ratio=2.0,
+                      padded=True, max_padding_tokens=8)
+    model = ConjoinedVMAE(main=main, context=ctx,
+                          conjoin_encoder_layers=((0, 0), (1, 1)),
+                          conjoin_decoder_layers=((0, 0),))
+    params = init_conjoined_params(model, jax.random.PRNGKey(0))
+    w = ConjoinedPredictorWrapper(model, params=params, main_input='rgb01',
+                                  context_input='imu')
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    rng = np.random.RandomState(4)
+    b, s = 1, 8
+    x = jnp.asarray(rng.rand(b, 2, 3, 32, 32).astype(np.float32))
+    imu = jnp.asarray((rng.randn(1, 6, 32) * 0.1).astype(np.float32))
+    mask_c = jnp.zeros((1, 4), bool)
+    n = model.main.num_patches
+    passive = np.ones((b, n, s), dtype=bool)
+    passive[:, :n // 2] = False
+    active = passive.copy()
+    for i in range(s):
+        active[0, n // 2 + rng.randint(n // 2), i] = False
+    passive, active = jnp.asarray(passive), jnp.asarray(active)
+    shifts = jnp.asarray(rng.randint(-1, 2, size=(b, s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(5), b * s).reshape(b, s, 2)
+    n_vis = n // 2 + 1
+
+    y_ref, f_ref, m_ref = _imu_counterfactual_step_fast(
+        w, params, raft, raft_params, x, passive, active, shifts, keys,
+        imu, mask_c, n_vis, True, 1, False, False)
+    y_sh, f_sh, m_sh = parallel.sharded_imu_counterfactuals_fast(
+        mesh, w, params, raft, raft_params, x, passive, active, shifts,
+        keys, imu, mask_c, n_vis, True, 1, False)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))

@@ -393,7 +393,6 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                         or self._conj_params_src is not w.params):
                     self._conj_params_src = w.params
                     self._use_flash = jax.default_backend() == 'tpu'
-                    self._two_source = None  # env-resolved per call
                     self._conj_prefix_lru = fast_conjoined.ConjoinedPrefixLru(
                         w, w.params, self._use_flash,
                         self.imagenet_normalize_inputs,

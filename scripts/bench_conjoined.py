@@ -1,0 +1,168 @@
+"""Benchmark the conjoined (IMU-conditioned) counterfactual workload.
+
+The reference's flagship movability demo drives the IMU-conditioned
+conjoined predictor (cwm/models/VideoMAE/conjoined_vmae.py:1230-1243,
+ViT-B 4x4 main stream + IMU context) through the counterfactual loop
+(cwm/models/segmentation.py:931-963). This script times that workload on
+one chip through BOTH engines —
+
+* exact:  pipelines.imu._imu_counterfactual_step (S full conjoined
+  forwards per dispatch), and
+* fast:   pipelines.imu._imu_counterfactual_step_fast (the conjoined
+  shared-prefix engine, models/fast_conjoined.py)
+
+— and reports sims/sec/chip for each plus the speedup. Writes
+BENCH_CONJ_r{N}.json and prints one JSON line.
+
+Env knobs: CWM_BENCH_S (default 16), CWM_BENCH_RAFT_ITERS (default 24),
+CWM_BENCH_MODEL=small for an off-TPU plumbing dryrun.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default='BENCH_CONJ_r03.json')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--skip-exact', action='store_true',
+                    help='only time the fast engine (the exact ViT-B S=16 '
+                         'dispatch is ~5x the FLOPs)')
+    args = ap.parse_args()
+
+    from counterfactualworldmodels_tpu.utils.backend_guard import (
+        ensure_live_backend)
+    ensure_live_backend(__file__)
+    import jax
+    import jax.numpy as jnp
+    from counterfactualworldmodels_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+    from counterfactualworldmodels_tpu.models import conjoined as conj
+    from counterfactualworldmodels_tpu.models import fast_conjoined as fc
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        _imu_counterfactual_step, _imu_counterfactual_step_fast)
+
+    on_tpu = jax.default_backend() == 'tpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    attn = 'flash' if on_tpu else 'dense'
+    small = os.environ.get('CWM_BENCH_MODEL') == 'small' or not on_tpu
+    if small:
+        ctx = conj.StreamSpec(
+            is_imu=True, in_chans=6, sequence_length=400, imu_tubelet=16,
+            encoder_embed_dim=64, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+            decoder_num_classes=96, mlp_ratio=2.0, concat_dummy_token=False,
+            padded=True, max_padding_tokens=25)
+        main_s = conj.StreamSpec(
+            img_size=(112, 112), patch_size=(8, 8), in_chans=3, num_frames=2,
+            encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4,
+            mlp_ratio=2.0, padded=True, max_padding_tokens=64)
+        model = conj.ConjoinedVMAE(
+            main=main_s, context=ctx,
+            conjoin_encoder_layers=((0, 0), (1, 1)),
+            conjoin_decoder_layers=((0, 0),), dtype=dtype, attn_impl=attn)
+        hw, cfg = 112, 'small'
+    else:
+        model = conj.imu400_base_4x4patch_2frames_1tube(dtype=dtype,
+                                                        attn_impl=attn)
+        hw, cfg = 224, 'imu400_base_4x4 (flagship)'
+    params = conj.init_conjoined_params(model, jax.random.PRNGKey(0))
+    w = conj.ConjoinedPredictorWrapper(model, params=params,
+                                       main_input='rgb01',
+                                       context_input='imu')
+    raft_iters = int(os.environ.get('CWM_BENCH_RAFT_ITERS', 24))
+    raft = RAFT(iters=raft_iters, dtype=dtype)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
+
+    s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    n = model.main.num_patches
+    n0 = n // 2
+    rng = np.random.RandomState(args.seed)
+
+    img_path = '/root/reference/demo/images/apple_0.png'
+    if os.path.exists(img_path):
+        from PIL import Image
+        im = Image.open(img_path).convert('RGB').resize((hw, hw))
+        frame = np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0
+        x = jnp.asarray(np.broadcast_to(frame, (1, 2, 3, hw, hw)).copy())
+    else:
+        x = jnp.asarray(rng.rand(1, 2, 3, hw, hw).astype(np.float32))
+    imu = jnp.asarray((rng.randn(1, 6, model.context.sequence_length)
+                       * 0.1).astype(np.float32))
+    mask_c = jnp.zeros((1, model.context.num_patches), bool)
+
+    passive = np.ones((1, n, s), dtype=bool)
+    passive[:, :n0] = False
+    active = np.ones((1, n, s), dtype=bool)
+    active[:, :n0] = False
+    for i in range(s):
+        passive[0, n0 + rng.choice(n0, 32, replace=False), i] = False
+        active[0, n0 + rng.randint(n0), i] = False
+    passive, active = jnp.asarray(passive), jnp.asarray(active)
+    shifts = jnp.asarray(rng.randint(-3, 4, size=(1, s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(2), s).reshape(1, s, 2)
+    n_vis = n0 + 32 + 1
+
+    two_source = fc.resolve_two_source(on_tpu)
+    n_vis_c = w._static_n_vis(np.asarray(mask_c), model.context)
+    if model.context.concat_dummy_token:
+        n_vis_c += 1
+
+    def fast():
+        _, flows, _ = _imu_counterfactual_step_fast(
+            w, params, raft, raft_params, x, passive, active, shifts, keys,
+            imu, mask_c, n_vis, True, raft_iters, on_tpu, two_source)
+        return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+
+    def exact():
+        _, flows, _ = _imu_counterfactual_step(
+            w, params, raft, raft_params, x, passive, active, shifts, keys,
+            jnp.repeat(imu, s, 0), jnp.repeat(mask_c, s, 0), n_vis,
+            n_vis_c, True, raft_iters, True)
+        return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+
+    def rate(fn):
+        float(fn())  # compile + warm (sync via scalar fetch — axon-safe)
+        iters = 6 if on_tpu else 1
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(iters):
+                acc = acc + fn()
+            float(acc)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return s / best
+
+    fast_rate = rate(fast)
+    exact_rate = None if args.skip_exact else rate(exact)
+    rec = {
+        'metric': 'conjoined (IMU-conditioned) counterfactual sims/sec/chip',
+        'value': round(fast_rate, 3),
+        'unit': 'sims/sec/chip',
+        'exact_sims_per_sec': (None if exact_rate is None
+                               else round(exact_rate, 3)),
+        'speedup_vs_exact': (None if exact_rate is None
+                             else round(fast_rate / exact_rate, 2)),
+        'config': {'model': cfg, 's': s, 'hw': hw, 'raft_iters': raft_iters,
+                   'two_source': two_source,
+                   'backend': jax.default_backend()},
+    }
+    with open(args.out, 'w') as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+
+
+if __name__ == '__main__':
+    main()

@@ -16,7 +16,8 @@ import sys
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--sizes', type=int, nargs='+', default=[8, 16, 32, 64])
+    ap.add_argument('--sizes', type=int, nargs='+',
+                    default=[8, 16, 32, 64, 128])
     ap.add_argument('--out', default='SWEEP_r02.json')
     args = ap.parse_args()
 

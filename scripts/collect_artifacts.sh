@@ -20,9 +20,12 @@ python scripts/bench_sweep.py --out "SWEEP_${R}.json"
 echo "== latency =="
 python scripts/latency_bench.py | tee "LATENCY_${R}.json"
 
-echo "== fidelity (ViT-L, demo images) =="
+echo "== fidelity (ViT-L + conjoined, demo images) =="
 python scripts/fidelity_report.py --out "FIDELITY_${R}.json"
+
+echo "== conjoined (IMU) workload bench =="
+python scripts/bench_conjoined.py --out "BENCH_CONJ_${R}.json"
 
 echo "== done; artifacts: =="
 ls -la BENCH_${R}_local.json SWEEP_${R}.json LATENCY_${R}.json \
-   FIDELITY_${R}.json 2>/dev/null
+   FIDELITY_${R}.json BENCH_CONJ_${R}.json 2>/dev/null

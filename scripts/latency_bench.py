@@ -57,23 +57,51 @@ def main():
         # axon's block_until_ready does not block; sync via scalar fetch
         return float(jnp.sum(jnp.abs(y)))
 
-    run(); run()  # compile + warm
-    lats = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        run()
-        lats.append((time.perf_counter() - t0) * 1e3)
-    lats.sort()
+    def timed(fn):
+        fn(); fn()  # compile + warm
+        lats = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            fn()
+            lats.append((time.perf_counter() - t0) * 1e3)
+        lats.sort()
 
-    def pct(p):
-        return round(lats[min(len(lats) - 1, int(p / 100 * len(lats)))], 2)
+        def pct(p):
+            return round(
+                lats[min(len(lats) - 1, int(p / 100 * len(lats)))], 2)
+        return {'p50_ms': pct(50), 'p90_ms': pct(90), 'p99_ms': pct(99)}
 
-    print(json.dumps({
+    rec = {
         'metric': f'single-prediction latency (ViT-{args.model[0].upper()}, '
                   '224px, batch 1)',
-        'p50_ms': pct(50), 'p90_ms': pct(90), 'p99_ms': pct(99),
         'iters': args.iters, 'unit': 'ms',
-    }))
+    }
+    rec.update(timed(run))
+
+    # interactive click-to-prediction latency with a warm per-image prefix
+    # (the interface event-loop workload: PrefixLru hit -> only the S=1
+    # frame-1 suffix pass runs)
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        encode_prefix, predict_frame1_from_prefix, resolve_two_source,
+        stack_vmae_params)
+    from counterfactualworldmodels_tpu.ops.normalization import (
+        imagenet_normalize)
+    fp = stack_vmae_params(model, params)
+    xm = imagenet_normalize(x, temporal_dim=1)
+    cache = encode_prefix(model, fp, on_tpu, xm[0:1, 0])
+    vis1 = jnp.asarray(rng.choice(npf, 33, replace=False)[None], jnp.int32)
+    two_source = resolve_two_source(on_tpu)
+
+    def run_warm():
+        y1 = predict_frame1_from_prefix(model, fp, on_tpu, cache,
+                                        xm[:, 1], vis1,
+                                        two_source=two_source)
+        return float(jnp.sum(jnp.abs(y1).astype(jnp.float32)))
+
+    rec['warm_prefix'] = timed(run_warm)
+    rec['warm_prefix']['note'] = ('S=1 suffix pass against a cached '
+                                  'frame-0 prefix (PrefixLru hit)')
+    print(json.dumps(rec))
 
 
 if __name__ == '__main__':

@@ -99,6 +99,61 @@ def main():
                                        'ms': round(best[0], 3),
                                        'shape': [b, h, nq, nk, d],
                                        'name': name}
+    # --- two-source kernel: compile check + delta vs the concat
+    # formulation at the engine's decoder-suffix shapes. No block knobs
+    # (it derives blocks from _pick_blocks, which consults the table just
+    # written above) — this answers the open r02 question of whether
+    # flash_attention_prefix compiles on hardware and whether it beats the
+    # broadcast+concat fallback (CWM_FLASH_TWO_SOURCE=0).
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention_prefix)
+    for s in args.s:
+        # headline bench shape (plain engine decoder suffix); the conjoined
+        # engine adds only its 64 null-padding rows to n1
+        h, n0, n1, d = 8, 3136, 3136, 64
+        q = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                        jnp.bfloat16) * 0.125
+        k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32),
+                         jnp.bfloat16)
+        v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32),
+                         jnp.bfloat16)
+        k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                         jnp.bfloat16)
+        v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                         jnp.bfloat16)
+
+        def t_of(fn):
+            float(jnp.sum(jnp.abs(fn()).astype(jnp.float32)))
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(args.iters):
+                acc = acc + jnp.sum(jnp.abs(fn()).astype(jnp.float32))
+            float(acc)
+            return (time.perf_counter() - t0) / args.iters * 1e3
+
+        entry = {'shape': [s, h, n0, n1, d], 'name': 'dec_suffix_2src'}
+        try:
+            entry['two_source_ms'] = round(
+                t_of(lambda: flash_attention_prefix(q, k0, v0, k1, v1)), 3)
+            entry['compiles'] = True
+        except Exception as e:
+            entry['compiles'] = False
+            entry['error'] = f'{type(e).__name__}: {e}'[:300]
+            print(f'two-source S={s}: COMPILE FAILED {type(e).__name__}',
+                  file=sys.stderr)
+        kf = jnp.concatenate([jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k1],
+                             axis=2)
+        vf = jnp.concatenate([jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v1],
+                             axis=2)
+        entry['concat_ms'] = round(t_of(lambda: flash_attention(q, kf, vf)),
+                                   3)
+        if entry.get('compiles'):
+            entry['speedup_vs_concat'] = round(
+                entry['concat_ms'] / entry['two_source_ms'], 3)
+            print(f"two-source S={s}: {entry['two_source_ms']} ms vs concat "
+                  f"{entry['concat_ms']} ms", file=sys.stderr)
+        table[f'two_source_s{s}'] = entry
+
     with open(args.out, 'w') as f:
         json.dump(table, f, indent=1)
     print(json.dumps({'tuned': list(table), 'out': args.out}))

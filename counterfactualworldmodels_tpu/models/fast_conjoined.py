@@ -69,6 +69,17 @@ from .fast_vmae import (_dense_attention, _ln, _mlp, _proj, _qkv,
 from .vmae import mask_order
 
 
+def cast_params(params, dtype):
+    """Cast the ConjoinedVMAE param tree to the engine's compute dtype.
+
+    The engine reads its compute dtype off the raw leaves (flax keeps
+    params f32 even when the module computes in bf16), so TPU callers must
+    cast ONCE before building caches — mirroring
+    fast_vmae.stack_vmae_params' cast. f32 -> no-op copy-free tree_map.
+    """
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+
+
 def conjoined_fast_supported(model: ConjoinedVMAE) -> bool:
     """Engine preconditions on the MODEL (the workload-shape gate lives in
     the caller): IMU context, 2-frame/1-tubelet main stream, and the

@@ -393,14 +393,19 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                         or self._conj_params_src is not w.params):
                     self._conj_params_src = w.params
                     self._use_flash = jax.default_backend() == 'tpu'
+                    # engine compute dtype rides the param leaves: cast
+                    # once to the model's compute dtype (bf16 on TPU)
+                    self._conj_params = (
+                        w.params if w.model.dtype == jnp.float32 else
+                        fast_conjoined.cast_params(w.params, w.model.dtype))
                     self._conj_prefix_lru = fast_conjoined.ConjoinedPrefixLru(
-                        w, w.params, self._use_flash,
+                        w, self._conj_params, self._use_flash,
                         self.imagenet_normalize_inputs,
                         size=self.prefix_cache_size)
                 cache, _ = self._conj_prefix_lru.get(x, self._x_context)
                 return _imu_counterfactual_step_fast(
-                    w, w.params, self.flow_model, self.flow_params, x,
-                    passive, active, shifts, keys, self._x_context,
+                    w, self._conj_params, self.flow_model, self.flow_params,
+                    x, passive, active, shifts, keys, self._x_context,
                     self._mask_context, n_vis,
                     self.imagenet_normalize_inputs, iters, self._use_flash,
                     fast_conjoined.resolve_two_source(self._use_flash),

@@ -81,6 +81,9 @@ def main():
     w = conj.ConjoinedPredictorWrapper(model, params=params,
                                        main_input='rgb01',
                                        context_input='imu')
+    # the engine's compute dtype rides the param leaves (bf16 on TPU)
+    fast_params = (params if dtype == jnp.float32
+                   else fc.cast_params(params, dtype))
     raft_iters = int(os.environ.get('CWM_BENCH_RAFT_ITERS', 24))
     raft = RAFT(iters=raft_iters, dtype=dtype)
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
@@ -121,8 +124,8 @@ def main():
 
     def fast():
         _, flows, _ = _imu_counterfactual_step_fast(
-            w, params, raft, raft_params, x, passive, active, shifts, keys,
-            imu, mask_c, n_vis, True, raft_iters, on_tpu, two_source)
+            w, fast_params, raft, raft_params, x, passive, active, shifts,
+            keys, imu, mask_c, n_vis, True, raft_iters, on_tpu, two_source)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     def exact():

@@ -422,6 +422,38 @@ def test_prefix_cache_injection_and_lru():
     assert not hit and lru.misses == 2
 
 
+def test_cast_params_dtypes():
+    """cast_params maps every leaf to the requested dtype (the engine
+    reads its compute dtype off the leaves)."""
+    model, params, _ = _tiny()
+    p16 = fc.cast_params(params, jnp.bfloat16)
+    assert all(leaf.dtype == jnp.bfloat16
+               for leaf in jax.tree_util.tree_leaves(p16))
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='this CPU XLA lacks bf16xbf16->f32 dots; the '
+                           'bf16 engine path is TPU-only')
+def test_bf16_cast_params_path():
+    """cast_params(bf16) drives the whole engine in bf16 (the TPU compute
+    dtype) and stays close to the f32 result."""
+    rng = np.random.RandomState(9)
+    model, params, w = _tiny()
+    x_mocos, mask, imu, vis1, n_vis = _workload(rng)
+    mask_c = jnp.zeros((1, IMU_TOK), bool)
+
+    y32 = fc.predict_videos_conjoined_prefix(
+        w, params, x_mocos, mask, imu, mask_c, n_vis, True, False)
+    p16 = fc.cast_params(params, jnp.bfloat16)
+    assert jax.tree_util.tree_leaves(p16)[0].dtype == jnp.bfloat16
+    y16 = fc.predict_videos_conjoined_prefix(
+        w, p16, x_mocos, mask, imu, mask_c, n_vis, True, False)
+    assert y16.dtype == y32.dtype  # reconstruction rides the input dtype
+    corr = np.corrcoef(np.asarray(y16, np.float32).ravel(),
+                       np.asarray(y32, np.float32).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 def _generator(model, params, w, engine):
     from counterfactualworldmodels_tpu.models.raft.raft import (
         RAFT, init_raft_params)

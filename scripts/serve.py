@@ -79,6 +79,101 @@ def build_generator(args):
                          imagenet_normalize_inputs=True, seed=args.seed)
 
 
+def build_imu_generator(args):
+    """IMU-conditioned movability predictor (the reference flagship demo
+    composition, segmentation.py:756-967 + movability.py): the imu400
+    conjoined predictor + the flow2imu head-motion model, wrapped in
+    ImuConditionedMovabilityPredictor so /counterfactual and /movability
+    both work. engine='fast' routes through the conjoined shared-prefix
+    engine (models/fast_conjoined.py)."""
+    import jax
+    import jax.numpy as jnp
+    from counterfactualworldmodels_tpu.models import conjoined as conj
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.movability import (
+        make_imu_conditioned_movability_predictor)
+    from counterfactualworldmodels_tpu.utils.cache import (
+        enable_persistent_cache)
+    enable_persistent_cache()
+
+    on_tpu = jax.default_backend() == 'tpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    attn = 'flash' if on_tpu else 'dense'
+    raft = RAFT(iters=args.raft_iters, dtype=dtype)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1),
+                                   hw=max(64, args.img_size))
+
+    if args.model == 'tiny':
+        sz = args.img_size
+        ctx = conj.StreamSpec(
+            is_imu=True, in_chans=6, sequence_length=48, imu_tubelet=8,
+            encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            decoder_num_classes=48, mlp_ratio=2.0, concat_dummy_token=False,
+            padded=True, max_padding_tokens=6)
+        main = conj.StreamSpec(
+            img_size=(sz, sz), patch_size=(8, 8), in_chans=3, num_frames=2,
+            encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+            mlp_ratio=2.0, padded=True, max_padding_tokens=8)
+        imu_cond = conj.ConjoinedVMAE(
+            main=main, context=ctx,
+            conjoin_encoder_layers=((0, 0), (-1, -1)),
+            conjoin_decoder_layers=((0, 0), (1, 1)),
+            dtype=dtype, attn_impl=attn)
+        f2i_ctx = conj.StreamSpec(
+            is_imu=True, in_chans=6, sequence_length=48, imu_tubelet=8,
+            encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=24, decoder_depth=2, decoder_num_heads=4,
+            decoder_num_classes=48, mlp_ratio=2.0, concat_dummy_token=True)
+        f2i_main = conj.StreamSpec(
+            img_size=(sz, sz), patch_size=(8, 8), in_chans=7, num_frames=1,
+            encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
+            decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+            mlp_ratio=2.0, decoder_num_classes=448)
+        flow2imu = conj.ConjoinedVMAE(
+            main=f2i_main, context=f2i_ctx,
+            conjoin_encoder_layers=((0, 0), (-1, -1)),
+            conjoin_decoder_layers=((0, 0), (1, 1)),
+            dtype=dtype, attn_impl=attn)
+    else:
+        if args.img_size != 224:
+            raise SystemExit('--imu-conditioned base/large requires '
+                             '--img-size 224 (the released imu400 config)')
+        imu_cond = conj.imu400_base_4x4patch_2frames_1tube(
+            dtype=dtype, attn_impl=attn)
+        flow2imu = conj.imu400_8x8patch_2frames_1tube_flowbackrgb01(
+            dtype=dtype, attn_impl=attn)
+
+    def load_or_init(model, path, key):
+        if path:
+            from counterfactualworldmodels_tpu.utils.checkpoint import (
+                load_params)
+            return load_params(os.path.abspath(path))
+        return conj.init_conjoined_params(model, jax.random.PRNGKey(key))
+
+    imu_cond_w = conj.ConjoinedPredictorWrapper(
+        imu_cond, params=load_or_init(imu_cond, args.params, 0),
+        main_input='rgb01', context_input='imu')
+    flow2imu_w = conj.ConjoinedPredictorWrapper(
+        flow2imu, params=load_or_init(flow2imu, args.flow2imu_params, 2),
+        main_input='flowback_rgb01',
+        main_input_kwargs={'unnormalize': True, 'iters': args.raft_iters,
+                           'flow_model': raft, 'flow_params': raft_params},
+        context_input='imu')
+    cls = make_imu_conditioned_movability_predictor()
+    return cls(predictor=imu_cond_w, head_motion_predictor=flow2imu_w,
+               flow_model=raft, flow_params=raft_params,
+               raft_iters=args.raft_iters, imagenet_normalize_inputs=True,
+               seed=args.seed, engine=args.engine,
+               initialize_from_keypoints=False,
+               num_initial_samples=args.movability_samples,
+               num_samples_per_iteration=args.movability_samples,
+               num_iters=args.movability_iters,
+               sample_batch_size=args.movability_samples)
+
+
 def _png_b64(arr):
     """[H, W, 3] or [H, W] float array in [0, 1] -> base64 PNG."""
     import numpy as np
@@ -256,6 +351,61 @@ class CwmService:
                 np.asarray(ys[0, 1]).transpose(1, 2, 0), flows[0, 0], seg)
 
 
+class ImuCwmService(CwmService):
+    """Serving surface over the IMU-conditioned movability predictor.
+
+    /counterfactual routes through the generator API (with engine='fast'
+    the conjoined shared-prefix engine + ConjoinedPrefixLru engage inside
+    pipelines/imu.py); /movability runs the full iterated sampling loop.
+    The IMU context is the predicted static-scene embedding
+    (static_head_motion=True, reference segmentation.py:873-877)."""
+
+    @property
+    def prefix_hits(self):
+        lru = getattr(self.G, '_conj_prefix_lru', None)
+        return lru.hits if lru else 0
+
+    @property
+    def prefix_misses(self):
+        lru = getattr(self.G, '_conj_prefix_lru', None)
+        return lru.misses if lru else 0
+
+    def counterfactual(self, req):
+        import numpy as np
+        import jax.numpy as jnp
+        x, active, passive_np, shift, s = self._parse_cf_request(req)
+        G = self.G
+        passive = jnp.asarray(passive_np) if req.get('passive') else None
+        with self.lock:
+            self._req_counter += 1
+            ys, flows = G.predict_counterfactual_videos_and_flows(
+                x, active_patches=jnp.asarray(active),
+                passive_patches=passive, shifts=[tuple(shift)] * s,
+                num_samples=s, sample_batch_size=s,
+                static_head_motion=True)
+            seg = G.compute_mean_motion_map(G._batch_to_samples(flows))[0, 0]
+            return self._cf_response(
+                np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0),
+                flows[0, 0], seg, engine=self.engine, imu_conditioned=True)
+
+    def movability(self, req):
+        """{image, iters?} -> movability map (reference
+        movability.py:299-360 loop over IMU-conditioned counterfactuals)."""
+        import numpy as np
+        import jax.numpy as jnp
+        x = self._parse_image(req)
+        with self.lock:
+            self._req_counter += 1
+            video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
+            out = self.G(video, static_head_motion=True,
+                         num_iters=req.get('iters'))
+            m = np.asarray(out[0, 0], np.float32)
+        rng = float(m.max() - m.min())
+        return {'movability': _png_b64((m - m.min()) / max(rng, 1e-6)),
+                'movability_raw': np.round(m, 4).tolist(),
+                'engine': self.engine}
+
+
 def make_handler(service, backend):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):
@@ -293,6 +443,9 @@ def make_handler(service, backend):
                     self._send(200, service.predict(req))
                 elif self.path == '/counterfactual':
                     self._send(200, service.counterfactual(req))
+                elif (self.path == '/movability'
+                        and hasattr(service, 'movability')):
+                    self._send(200, service.movability(req))
                 else:
                     self._send(404, {'error': f'unknown path {self.path}'})
             except (ValueError, KeyError) as e:
@@ -310,6 +463,16 @@ def main():
     ap.add_argument('--params', default=None, help='orbax checkpoint dir')
     ap.add_argument('--raft-params', default=None)
     ap.add_argument('--raft-iters', type=int, default=24)
+    ap.add_argument('--imu-conditioned', action='store_true',
+                    help='serve the IMU-conditioned movability pipeline '
+                         '(the reference flagship demo): conjoined imu400 '
+                         'predictor + flow2imu head-motion model; adds the '
+                         '/movability endpoint')
+    ap.add_argument('--flow2imu-params', default=None,
+                    help='orbax checkpoint dir for the flow2imu model '
+                         '(--imu-conditioned only)')
+    ap.add_argument('--movability-samples', type=int, default=16)
+    ap.add_argument('--movability-iters', type=int, default=2)
     ap.add_argument('--port', type=int, default=8731)
     ap.add_argument('--host', default='127.0.0.1')
     ap.add_argument('--seed', type=int, default=0)
@@ -329,14 +492,21 @@ def main():
     args = ap.parse_args()
 
     import jax
-    G = build_generator(args)
-    service = CwmService(G, args.img_size, engine=args.engine,
-                     prefix_cache_size=args.prefix_cache_size,
-                     seed=args.seed)
+    if args.imu_conditioned:
+        G = build_imu_generator(args)
+        service = ImuCwmService(G, args.img_size, engine=args.engine,
+                                prefix_cache_size=args.prefix_cache_size,
+                                seed=args.seed)
+    else:
+        G = build_generator(args)
+        service = CwmService(G, args.img_size, engine=args.engine,
+                             prefix_cache_size=args.prefix_cache_size,
+                             seed=args.seed)
     backend = jax.default_backend()
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, backend))
-    print(f'serving {args.model} @ {args.img_size}px on '
+    mode = 'imu-conditioned ' if args.imu_conditioned else ''
+    print(f'serving {mode}{args.model} @ {args.img_size}px on '
           f'http://{args.host}:{args.port} (backend={backend})', flush=True)
     server.serve_forever()
 

@@ -90,3 +90,50 @@ def test_serve_end_to_end(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, '/nope', {})
     assert e.value.code == 404
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('engine', ['fast'])
+def test_serve_imu_conditioned(engine):
+    """--imu-conditioned mode: /counterfactual through the conjoined
+    generator and /movability run end-to-end; engine='fast' engages the
+    ConjoinedPrefixLru across repeat requests on the same image."""
+    import serve
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        flow2imu_params=None, raft_iters=1, port=0, host='127.0.0.1',
+        seed=0, engine=engine, movability_samples=2, movability_iters=1)
+    G = serve.build_imu_generator(args)
+    service = serve.ImuCwmService(G, args.img_size, engine=engine)
+    httpd = ThreadingHTTPServer(('127.0.0.1', 0),
+                                serve.make_handler(service, 'cpu'))
+    base = f'http://127.0.0.1:{httpd.server_address[1]}'
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.RandomState(1)
+        img = rng.rand(32, 32, 3).round(3).tolist()
+
+        code, out = _post(base, '/counterfactual',
+                          {'image': img, 'active': [[2, 2]],
+                           'shift': [0, 1], 'num_samples': 2})
+        assert code == 200
+        assert out['imu_conditioned'] is True and out['engine'] == engine
+        seg = np.asarray(out['segment_raw'])
+        assert seg.shape == (32, 32) and np.isfinite(seg).all()
+        if engine == 'fast':
+            assert service.prefix_misses >= 1
+            hits0 = service.prefix_hits
+            code, _ = _post(base, '/counterfactual',
+                            {'image': img, 'active': [[3, 3]],
+                             'shift': [1, 0], 'num_samples': 2})
+            assert code == 200 and service.prefix_hits > hits0
+
+        code, out = _post(base, '/movability', {'image': img})
+        assert code == 200
+        m = np.asarray(out['movability_raw'])
+        assert m.shape == (32, 32) and np.isfinite(m).all()
+    finally:
+        httpd.shutdown()

@@ -50,12 +50,9 @@ separate weight format.
 """
 from __future__ import annotations
 
-import collections
 import functools
-import hashlib
 from typing import Any, NamedTuple, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -64,7 +61,7 @@ from ..ops.flash_attention import flash_attention, flash_attention_prefix
 from ..ops.normalization import imagenet_normalize
 from ..ops.pos_embed import sinusoid_encoding_table
 from .conjoined import ConjoinedVMAE
-from .fast_vmae import (_dense_attention, _ln, _mlp, _proj, _qkv,
+from .fast_vmae import (HashLru, _dense_attention, _ln, _mlp, _proj, _qkv,
                         resolve_two_source)
 from .vmae import mask_order
 
@@ -167,6 +164,15 @@ def _cross_dims(pc, num_heads: int):
     return inner, d, d ** -0.5
 
 
+def _proj_heads(z, kernel, num_heads: int, width: int):
+    """[B, N, D] @ kernel -> [B, H, N, width] (the qk head-split layout of
+    models/transformer.py:170-174)."""
+    out = jnp.dot(z, kernel,
+                  preferred_element_type=jnp.float32).astype(z.dtype)
+    return jnp.swapaxes(
+        out.reshape(z.shape[0], z.shape[1], num_heads, width), 1, 2)
+
+
 def _cross_full(pc, x, src, num_heads: int):
     """Full bidirectional cross block (models/transformer.py:138-202,
     250-354 with with_self_attention=False) over prefix main tokens and the
@@ -180,16 +186,10 @@ def _cross_full(pc, x, src, num_heads: int):
     lx = _ln(x, pc['norm1_cross'])
     ls = _ln(src, pc['norm1_src_cross'])
 
-    def proj_heads(z, kernel, width):
-        out = jnp.dot(z, kernel,
-                      preferred_element_type=jnp.float32).astype(z.dtype)
-        return jnp.swapaxes(
-            out.reshape(z.shape[0], z.shape[1], num_heads, width), 1, 2)
-
-    qk_x = proj_heads(lx, ca['qk']['kernel'], 2 * d)       # [B,H,N,2d]
-    qk_s = proj_heads(ls, ca['qk_src']['kernel'], 2 * d)   # [B,H,M,2d]
-    v_x = proj_heads(lx, ca['v']['kernel'], d)
-    v_s = proj_heads(ls, ca['v_src']['kernel'], d)
+    qk_x = _proj_heads(lx, ca['qk']['kernel'], num_heads, 2 * d)  # [B,H,N,2d]
+    qk_s = _proj_heads(ls, ca['qk_src']['kernel'], num_heads, 2 * d)
+    v_x = _proj_heads(lx, ca['v']['kernel'], num_heads, d)
+    v_s = _proj_heads(ls, ca['v_src']['kernel'], num_heads, d)
 
     # main <- context (scale rides the main-side queries, transformer.py:182)
     attn = jax.nn.softmax(
@@ -230,16 +230,10 @@ def _cross_suffix(pc, h, src, ckv, num_heads: int):
     lh = _ln(h, pc['norm1_cross'])
     ls = _ln(src, pc['norm1_src_cross'])
 
-    def proj_heads(z, kernel, width):
-        out = jnp.dot(z, kernel,
-                      preferred_element_type=jnp.float32).astype(z.dtype)
-        return jnp.swapaxes(
-            out.reshape(z.shape[0], z.shape[1], num_heads, width), 1, 2)
-
-    qk_x = proj_heads(lh, ca['qk']['kernel'], 2 * d)       # [S,H,n,2d]
-    qk_s = proj_heads(ls, ca['qk_src']['kernel'], 2 * d)   # [S,H,M,2d]
-    v_x = proj_heads(lh, ca['v']['kernel'], d)
-    v_s = proj_heads(ls, ca['v_src']['kernel'], d)
+    qk_x = _proj_heads(lh, ca['qk']['kernel'], num_heads, 2 * d)  # [S,H,n,2d]
+    qk_s = _proj_heads(ls, ca['qk_src']['kernel'], num_heads, 2 * d)
+    v_x = _proj_heads(lh, ca['v']['kernel'], num_heads, d)
+    v_s = _proj_heads(ls, ca['v_src']['kernel'], num_heads, d)
 
     # main (suffix) <- context: per-sample context K/V — exact
     attn = jax.nn.softmax(
@@ -607,42 +601,24 @@ def make_conjoined_prefix_cache(wrapper, params, x, x_context,
                                 use_flash)
 
 
-class ConjoinedPrefixLru:
-    """sha1-keyed LRU of ConjoinedPrefixCache entries, keyed on the
-    (frame-0, IMU-context) pair — the interactive movability workload
-    probes one scene with one static-IMU embedding many times."""
+class ConjoinedPrefixLru(HashLru):
+    """LRU of ConjoinedPrefixCache entries, keyed on the (frame-0,
+    IMU-context) pair — the interactive movability workload probes one
+    scene with one static-IMU embedding many times. get(x, x_context) with
+    x [1,2,C,H,W] raw scene, x_context [1,C,L] raw IMU ->
+    (ConjoinedPrefixCache, hit)."""
 
     def __init__(self, wrapper, params, use_flash: bool, normalize: bool,
                  size: int = 4):
+        super().__init__(size)
         self.wrapper, self.params = wrapper, params
         self.use_flash, self.normalize = use_flash, normalize
-        self.size = size
-        self._entries = collections.OrderedDict()
-        self.hits = 0
-        self.misses = 0
 
-    @staticmethod
-    def _key(*arrays):
-        hsh = hashlib.sha1()
-        for arr in arrays:
-            a = np.asarray(arr)
-            hsh.update(repr((a.shape, a.dtype.str)).encode())
-            hsh.update(a.tobytes())
-        return hsh.hexdigest()
+    def _key_arrays(self, x, x_context):
+        # the prefix depends only on frame 0 + context, not frame 1
+        return x[0:1, 0], x_context
 
-    def get(self, x, x_context):
-        """x [1,2,C,H,W] raw scene, x_context [1,C,L] raw IMU ->
-        (ConjoinedPrefixCache, hit: bool)."""
-        key = self._key(x[0:1, 0], x_context)
-        if key in self._entries:
-            self._entries.move_to_end(key)
-            self.hits += 1
-            return self._entries[key], True
-        cache = make_conjoined_prefix_cache(self.wrapper, self.params, x,
-                                            x_context, self.normalize,
-                                            self.use_flash)
-        self._entries[key] = cache
-        if len(self._entries) > self.size:
-            self._entries.popitem(last=False)
-        self.misses += 1
-        return cache, False
+    def _build(self, x, x_context):
+        return make_conjoined_prefix_cache(self.wrapper, self.params, x,
+                                           x_context, self.normalize,
+                                           self.use_flash)

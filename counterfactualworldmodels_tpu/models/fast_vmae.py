@@ -327,40 +327,64 @@ def make_prefix_cache(model: PretrainVisionTransformer, fp: FastParams,
     return encode_prefix(model, fp, use_flash, x0)
 
 
-class PrefixLru:
-    """sha1-keyed LRU of PrefixCache entries.
+class HashLru:
+    """sha1-keyed LRU over arrays; subclasses define ``_build(*arrays)``
+    (and optionally ``_key_arrays`` to key on a subset of the inputs).
+    Keys cover shape + dtype + bytes so reinterpreted buffers never
+    collide."""
 
-    Serving and interactive layers probe the SAME image with many
-    counterfactual prompts (the reference interface's whole event loop —
-    reference cwm/interface.py:497-678 — operates on one loaded image);
-    caching the frame-0 prefix across those requests removes the per-request
-    prefix encoder/decoder pass entirely."""
-
-    def __init__(self, model: PretrainVisionTransformer, fp: FastParams,
-                 use_flash: bool, normalize: bool, size: int = 4):
-        self.model, self.fp = model, fp
-        self.use_flash, self.normalize = use_flash, normalize
+    def __init__(self, size: int = 4):
         self.size = size
         self._entries = collections.OrderedDict()
         self.hits = 0
         self.misses = 0
 
-    def get(self, x0):
-        """x0: [1, C, H, W] raw frame 0 -> (PrefixCache, hit: bool)."""
-        a = np.asarray(x0)
-        key = hashlib.sha1(
-            repr((a.shape, a.dtype.str)).encode() + a.tobytes()).hexdigest()
+    @staticmethod
+    def _key(*arrays):
+        hsh = hashlib.sha1()
+        for arr in arrays:
+            a = np.asarray(arr)
+            hsh.update(repr((a.shape, a.dtype.str)).encode())
+            hsh.update(a.tobytes())
+        return hsh.hexdigest()
+
+    def _key_arrays(self, *arrays):
+        return arrays
+
+    def get(self, *arrays):
+        """-> (entry, hit: bool)."""
+        key = self._key(*self._key_arrays(*arrays))
         if key in self._entries:
             self._entries.move_to_end(key)
             self.hits += 1
             return self._entries[key], True
-        cache = make_prefix_cache(self.model, self.fp, self.use_flash,
-                                  self.normalize, x0)
-        self._entries[key] = cache
+        entry = self._build(*arrays)
+        self._entries[key] = entry
         if len(self._entries) > self.size:
             self._entries.popitem(last=False)
         self.misses += 1
-        return cache, False
+        return entry, False
+
+
+class PrefixLru(HashLru):
+    """LRU of PrefixCache entries.
+
+    Serving and interactive layers probe the SAME image with many
+    counterfactual prompts (the reference interface's whole event loop —
+    reference cwm/interface.py:497-678 — operates on one loaded image);
+    caching the frame-0 prefix across those requests removes the per-request
+    prefix encoder/decoder pass entirely. get(x0) with x0 [1, C, H, W] raw
+    frame 0 -> (PrefixCache, hit)."""
+
+    def __init__(self, model: PretrainVisionTransformer, fp: FastParams,
+                 use_flash: bool, normalize: bool, size: int = 4):
+        super().__init__(size)
+        self.model, self.fp = model, fp
+        self.use_flash, self.normalize = use_flash, normalize
+
+    def _build(self, x0):
+        return make_prefix_cache(self.model, self.fp, self.use_flash,
+                                 self.normalize, x0)
 
 
 def predict_videos_shared_prefix(model: PretrainVisionTransformer,

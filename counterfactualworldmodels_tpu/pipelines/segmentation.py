@@ -403,18 +403,20 @@ class FlowGenerator(PredictorBasedGenerator):
                 self._fast_params = fast_vmae.stack_vmae_params(
                     self.predictor, self.params)
                 self._use_flash = jax.default_backend() == 'tpu'
-                self._two_source = fast_vmae.resolve_two_source(
-                    self._use_flash)
                 self._prefix_lru = fast_vmae.PrefixLru(
                     self.predictor, self._fast_params, self._use_flash,
                     self.imagenet_normalize_inputs,
                     size=self.prefix_cache_size)
             cache, _ = self._prefix_lru.get(x[0:1, 0])
+            # env resolved per call (not cached) so the documented degrade
+            # knob CWM_FLASH_TWO_SOURCE=0 takes effect mid-session
             return counterfactual_videos_and_flows_fast(
                 self.predictor, self._fast_params, self.flow_model,
                 self.flow_params, x, passive, active, shifts, keys, n_vis,
                 self.imagenet_normalize_inputs, iters, True,
-                self._use_flash, self._two_source, prefix_cache=cache)
+                self._use_flash,
+                fast_vmae.resolve_two_source(self._use_flash),
+                prefix_cache=cache)
         return counterfactual_videos_and_flows(
             self.predictor, self.params, self.flow_model, self.flow_params,
             x, passive, active, shifts, keys, n_vis,

@@ -35,8 +35,6 @@ def conjoined_fidelity(paths, mode, args, on_tpu, dtype):
     import jax.numpy as jnp
     from PIL import Image
     from counterfactualworldmodels_tpu.models import conjoined as conj
-    from counterfactualworldmodels_tpu.models.fast_vmae import (
-        resolve_two_source)
     from counterfactualworldmodels_tpu.models.raft.raft import (
         RAFT, init_raft_params)
     from counterfactualworldmodels_tpu.pipelines.imu import (
@@ -152,7 +150,8 @@ def main():
     from counterfactualworldmodels_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
     from counterfactualworldmodels_tpu.models import vmae
-    from counterfactualworldmodels_tpu.models.fast_vmae import stack_vmae_params
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        resolve_two_source, stack_vmae_params)
     from counterfactualworldmodels_tpu.models.raft.raft import (
         RAFT, init_raft_params)
     from counterfactualworldmodels_tpu.pipelines.segmentation import (
@@ -197,8 +196,6 @@ def main():
         y_e, f_e, _ = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, args.raft_iters, True)
-        from counterfactualworldmodels_tpu.models.fast_vmae import (
-            resolve_two_source)
         y_f, f_f, _ = counterfactual_videos_and_flows_fast(
             model, fp, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, args.raft_iters, True, on_tpu,

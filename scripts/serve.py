@@ -101,8 +101,12 @@ def build_imu_generator(args):
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     attn = 'flash' if on_tpu else 'dense'
     raft = RAFT(iters=args.raft_iters, dtype=dtype)
-    raft_params = init_raft_params(raft, jax.random.PRNGKey(1),
-                                   hw=max(64, args.img_size))
+    if args.raft_params:
+        from counterfactualworldmodels_tpu.utils.checkpoint import load_params
+        raft_params = load_params(os.path.abspath(args.raft_params))
+    else:
+        raft_params = init_raft_params(raft, jax.random.PRNGKey(1),
+                                       hw=max(64, args.img_size))
 
     if args.model == 'tiny':
         sz = args.img_size
@@ -167,6 +171,7 @@ def build_imu_generator(args):
                flow_model=raft, flow_params=raft_params,
                raft_iters=args.raft_iters, imagenet_normalize_inputs=True,
                seed=args.seed, engine=args.engine,
+               prefix_cache_size=getattr(args, 'prefix_cache_size', 4),
                initialize_from_keypoints=False,
                num_initial_samples=args.movability_samples,
                num_samples_per_iteration=args.movability_samples,
@@ -370,6 +375,30 @@ class ImuCwmService(CwmService):
         lru = getattr(self.G, '_conj_prefix_lru', None)
         return lru.misses if lru else 0
 
+    def _static_imu_for(self, x):
+        """Image-hash-keyed cache of the predicted static-scene IMU: the
+        flow2imu forward + RAFT preprocessing is scene-constant, so repeat
+        requests (and every movability iteration) must not re-pay it —
+        same pattern as the prefix LRU."""
+        import collections
+        import hashlib
+        import numpy as np
+        import jax.numpy as jnp
+        if not hasattr(self, '_imu_cache'):
+            self._imu_cache = collections.OrderedDict()
+        a = np.asarray(x)
+        key = hashlib.sha1(
+            repr((a.shape, a.dtype.str)).encode() + a.tobytes()).hexdigest()
+        if key in self._imu_cache:
+            self._imu_cache.move_to_end(key)
+            return self._imu_cache[key]
+        video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
+        h = self.G.get_static_imu(video)
+        self._imu_cache[key] = h
+        if len(self._imu_cache) > self.prefix_cache_size:
+            self._imu_cache.popitem(last=False)
+        return h
+
     def counterfactual(self, req):
         import numpy as np
         import jax.numpy as jnp
@@ -378,11 +407,11 @@ class ImuCwmService(CwmService):
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
             self._req_counter += 1
+            head = self._static_imu_for(x)
             ys, flows = G.predict_counterfactual_videos_and_flows(
                 x, active_patches=jnp.asarray(active),
                 passive_patches=passive, shifts=[tuple(shift)] * s,
-                num_samples=s, sample_batch_size=s,
-                static_head_motion=True)
+                num_samples=s, sample_batch_size=s, head_motion=head)
             seg = G.compute_mean_motion_map(G._batch_to_samples(flows))[0, 0]
             return self._cf_response(
                 np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0),
@@ -396,8 +425,9 @@ class ImuCwmService(CwmService):
         x = self._parse_image(req)
         with self.lock:
             self._req_counter += 1
+            head = self._static_imu_for(x)
             video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
-            out = self.G(video, static_head_motion=True,
+            out = self.G(video, head_motion=head,
                          num_iters=req.get('iters'))
             m = np.asarray(out[0, 0], np.float32)
         rng = float(m.max() - m.min())

@@ -100,11 +100,21 @@ def main():
                                        'shape': [b, h, nq, nk, d],
                                        'name': name}
     # --- two-source kernel: compile check + delta vs the concat
-    # formulation at the engine's decoder-suffix shapes. No block knobs
-    # (it derives blocks from _pick_blocks, which consults the table just
-    # written above) — this answers the open r02 question of whether
-    # flash_attention_prefix compiles on hardware and whether it beats the
-    # broadcast+concat fallback (CWM_FLASH_TWO_SOURCE=0).
+    # formulation at the engine's decoder-suffix shapes. No block knobs of
+    # its own — it derives blocks via _pick_blocks, so persist the table
+    # tuned above FIRST and reset the in-process cache, making both
+    # measurements use the freshly tuned configs. This answers the open
+    # r02 question of whether flash_attention_prefix compiles on hardware
+    # and whether it beats the broadcast+concat fallback
+    # (CWM_FLASH_TWO_SOURCE=0).
+    with open(args.out, 'w') as f:
+        json.dump(table, f, indent=1)
+    import counterfactualworldmodels_tpu.ops.flash_attention as fa
+    if os.path.realpath(args.out) == os.path.realpath(
+            os.path.join(os.path.dirname(fa.__file__), 'flash_tuned.json')):
+        fa._TUNED_TABLE = None  # re-read the table just written
+    else:
+        fa._TUNED_TABLE = table  # --out elsewhere: inject directly
     from counterfactualworldmodels_tpu.ops.flash_attention import (
         flash_attention_prefix)
     for s in args.s:

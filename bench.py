@@ -113,7 +113,7 @@ def main():
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
     b = 1
-    s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    s = int(os.environ.get('CWM_BENCH_S', 16 if on_tpu else 2))
     # CWM_BENCH_MESH=N shards the S samples over an N-chip 'samples' mesh
     # (parallel/inference.py). sims/sec/chip then divides by N. Dryrun on
     # CPU: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8

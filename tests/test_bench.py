@@ -1,0 +1,42 @@
+"""bench.py plumbing dryruns (tiny model; the headline config needs TPU)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.join(os.path.dirname(__file__), '..')
+
+
+def _run_bench(extra_env):
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'CWM_BENCH_MODEL': 'tiny', 'CWM_BENCH_RAFT_ITERS': '1',
+                'CWM_BENCH_S': '4'})
+    env.update(extra_env)
+    out = subprocess.run([sys.executable, os.path.join(_REPO, 'bench.py')],
+                         env=env, capture_output=True, text=True,
+                         timeout=900)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith('{')]
+    assert lines, out.stderr[-2000:]
+    return json.loads(lines[-1])
+
+
+@pytest.mark.slow
+def test_bench_single_chip_dryrun():
+    rec = _run_bench({})
+    assert rec['value'] > 0 and rec['config']['mesh'] == 1
+    assert rec['config']['engine'].startswith('shared-prefix')
+
+
+@pytest.mark.slow
+def test_bench_mesh_dryrun():
+    """CWM_BENCH_MESH shards samples over a virtual device mesh and
+    reports per-chip throughput."""
+    rec = _run_bench({
+        'CWM_BENCH_MESH': '4',
+        'XLA_FLAGS': '--xla_force_host_platform_device_count=8'})
+    assert rec['value'] > 0
+    assert rec['config']['mesh'] == 4 and rec['config']['s'] == 4

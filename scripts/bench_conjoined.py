@@ -150,6 +150,44 @@ def main():
 
     fast_rate = rate(fast)
     exact_rate = None if args.skip_exact else rate(exact)
+
+    # per-stage breakdown (separate dispatches; small overhead each)
+    stages = {}
+    if on_tpu:
+        import jax.numpy as _jnp
+        from counterfactualworldmodels_tpu.models.raft.raft import (
+            apply_raft_shared0)
+        from counterfactualworldmodels_tpu.ops.normalization import (
+            imagenet_normalize)
+        xm = imagenet_normalize(
+            _jnp.broadcast_to(x, (s,) + x.shape[1:]), temporal_dim=1)
+        x_m = _jnp.swapaxes(xm, 1, 2)
+        cache = fc.encode_conjoined_prefix(model, fast_params,
+                                           x_m[0:1, :, 0], imu, True)
+        vis1 = _jnp.asarray(np.stack([
+            rng.choice(n0, 33, replace=False) for _ in range(s)]), np.int32)
+        yv = _jnp.asarray(rng.rand(s, 2, 3, hw, hw).astype(np.float32))
+
+        def t_of(fn, iters=6):
+            leaves = jax.tree_util.tree_leaves(fn())
+            float(_jnp.sum(_jnp.abs(leaves[0]).astype(_jnp.float32)))
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                accs = [fn() for _ in range(iters)]
+                float(sum(_jnp.sum(_jnp.abs(
+                    jax.tree_util.tree_leaves(a)[0]).astype(_jnp.float32))
+                    for a in accs))
+                best = min(best, (time.perf_counter() - t0) / iters)
+            return round(best * 1e3, 2)
+
+        stages['prefix_ms'] = t_of(lambda: fc.encode_conjoined_prefix(
+            model, fast_params, x_m[0:1, :, 0], imu, True))
+        stages['suffix_ms'] = t_of(lambda: fc.predict_frame1_conjoined(
+            model, fast_params, cache, x_m[:, :, 1], vis1, True,
+            two_source))
+        stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
+            raft, raft_params, yv, raft_iters, True))
     rec = {
         'metric': 'conjoined (IMU-conditioned) counterfactual sims/sec/chip',
         'value': round(fast_rate, 3),
@@ -161,6 +199,7 @@ def main():
         'config': {'model': cfg, 's': s, 'hw': hw, 'raft_iters': raft_iters,
                    'two_source': two_source,
                    'backend': jax.default_backend()},
+        'stages': stages,
     }
     with open(args.out, 'w') as f:
         json.dump(rec, f, indent=1)

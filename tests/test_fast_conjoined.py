@@ -521,6 +521,56 @@ def test_generator_fast_engine_vs_exact():
 
 
 @pytest.mark.slow
+def test_interface_on_imu_generator_fast_engine():
+    """The interactive interface drives the IMU-conditioned generator with
+    engine='fast' (the flagship interactive workload: repeat events on one
+    image hit the ConjoinedPrefixLru)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from counterfactualworldmodels_tpu.interface import (
+        CounterfactualPredictionInterface)
+
+    rng = np.random.RandomState(11)
+    model, params, w = _tiny()
+    _, _, w_hm = _tiny(dummy=True)  # flow2imu-shaped head-motion model
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        ImuConditionedFlowGenerator)
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    raft = RAFT(iters=1)
+    rp = init_raft_params(raft, jax.random.PRNGKey(7), hw=IMG)
+    g = ImuConditionedFlowGenerator(
+        predictor=w, head_motion_predictor=w_hm, flow_model=raft,
+        flow_params=rp, raft_iters=1, imagenet_normalize_inputs=True,
+        seed=0, engine='fast')
+
+    x = np.asarray(_workload(rng)[0][0, 0])[None]  # [1, C, H, W]
+    fig, axes = plt.subplots(2, 2)
+    ui = CounterfactualPredictionInterface(
+        axes, g, x=x, size=(IMG, IMG), max_shift=2, sample_batch_size=2,
+        show_ticks=False)
+
+    class Event:
+        def __init__(self, ex, ey, key=None, button=1):
+            self.xdata, self.ydata = ex, ey
+            self.key = key
+            self.button = button
+            self.dblclick = False
+
+    ui(Event(20, 20))          # select an active patch
+    ui(Event(20, 20, key='f'))  # one counterfactual
+    assert len(ui.flow_samples_list) == 1
+    ui(Event(20, 20, key='b'))  # batch -> routes through the fast engine
+    assert len(ui.flow_samples_list) == 3
+    assert g._conj_prefix_lru is not None
+    assert g._conj_prefix_lru.misses == 1
+    ui(Event(20, 20, key='b'))  # repeat batch reuses the cached prefix
+    assert g._conj_prefix_lru.hits >= 1
+    plt.close(fig)
+
+
+@pytest.mark.slow
 def test_imu_movability_fast_engine():
     """The IMU-conditioned movability predictor (the reference flagship
     demo composition) engages the conjoined fast engine via engine='fast'

@@ -377,6 +377,58 @@ class FlowGenerator(PredictorBasedGenerator):
         return (x_out.reshape(b * s, *x.shape[1:]),
                 mask_out.reshape(b * s, n))
 
+    def _ensure_fast_engine(self):
+        """Lazy init of the shared-prefix engine state, keyed on params
+        identity: swapping G.params rebuilds the stacked weights and drops
+        prefixes cached from the old ones."""
+        from ..models import fast_vmae
+        if (self._prefix_lru is None
+                or self._fast_params_src is not self.params):
+            self._fast_params_src = self.params
+            self._fast_params = fast_vmae.stack_vmae_params(
+                self.predictor, self.params)
+            self._use_flash = jax.default_backend() == 'tpu'
+            self._prefix_lru = fast_vmae.PrefixLru(
+                self.predictor, self._fast_params, self._use_flash,
+                self.imagenet_normalize_inputs,
+                size=self.prefix_cache_size)
+
+    def predict(self, x=None, mask=None, frame=-1, **kwargs):
+        """Single prediction; with ``engine='fast'`` and the interactive
+        workload shape (B=1 two-frame movie, frame 0 fully visible, plain
+        VMAE predictor) this routes through the shared-prefix engine +
+        PrefixLru — the interface's per-click path pays only the frame-1
+        suffix pass once the scene prefix is cached."""
+        if x is None:
+            x = self.x
+        if mask is None:
+            mask = (self.mask if self.mask is not None
+                    else self.generate_mask(x))
+        x = jnp.asarray(x)
+        if x.ndim == 4:
+            x = x[:, None]
+        mask = jnp.asarray(mask).reshape(x.shape[0], -1)
+        mask, n_vis = self._equalize(mask)
+        n0 = getattr(self.predictor, 'num_patches_per_frame', 0)
+        fast_ok = (self.engine == 'fast' and not kwargs
+                   and hasattr(self.predictor, 'encoder_depth')
+                   and x.shape[0] == 1 and x.shape[1] == 2 and n0
+                   and not bool(np.asarray(mask[:, :n0]).any()))
+        if not fast_ok:
+            return predict_video(
+                self.predictor, self.params, x, mask, n_vis,
+                self.imagenet_normalize_inputs, frame)
+        from ..models import fast_vmae
+        self._ensure_fast_engine()
+        cache, _ = self._prefix_lru.get(x[0:1, 0])
+        vid = fast_vmae.predict_videos_shared_prefix(
+            self.predictor, self._fast_params, self._use_flash, n_vis,
+            self.imagenet_normalize_inputs, x, mask, cache)
+        if frame is not None:
+            f = frame % vid.shape[1]
+            vid = vid[:, f:f + 1]
+        return vid
+
     def _counterfactual_chunk(self, x, passive, active, shifts, keys,
                               n_vis, iters, fix_passive):
         """One fused jitted chunk; overridden by context-conditioned
@@ -394,20 +446,9 @@ class FlowGenerator(PredictorBasedGenerator):
                    and not bool(np.asarray(
                        passive[:, :n0] & active[:, :n0]).any()))
         if fast_ok:
-            from ..models import fast_vmae
-            # lazy init keyed on params identity: swapping G.params rebuilds
-            # the stacked weights and drops prefixes cached from the old ones
-            if (self._prefix_lru is None
-                    or self._fast_params_src is not self.params):
-                self._fast_params_src = self.params
-                self._fast_params = fast_vmae.stack_vmae_params(
-                    self.predictor, self.params)
-                self._use_flash = jax.default_backend() == 'tpu'
-                self._prefix_lru = fast_vmae.PrefixLru(
-                    self.predictor, self._fast_params, self._use_flash,
-                    self.imagenet_normalize_inputs,
-                    size=self.prefix_cache_size)
+            self._ensure_fast_engine()
             cache, _ = self._prefix_lru.get(x[0:1, 0])
+            from ..models import fast_vmae
             # env resolved per call (not cached) so the documented degrade
             # knob CWM_FLASH_TWO_SOURCE=0 takes effect mid-session
             return counterfactual_videos_and_flows_fast(

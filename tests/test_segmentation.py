@@ -299,3 +299,45 @@ def test_fast_engine_falls_back_when_frame0_masked():
     # identical seeds + exact route on both sides -> bitwise-close results
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_e), atol=1e-5)
     assert fast._prefix_lru is None  # fast route never engaged
+
+
+def test_predict_fast_engine_routes_and_falls_back():
+    """FlowGenerator(engine='fast').predict — the interface's per-click
+    path — routes through the shared-prefix engine when frame 0 is fully
+    visible (PrefixLru reuse across clicks) and falls back to the exact
+    forward otherwise."""
+    _, exact = _paired_generators()
+    fast = FlowGenerator(predictor=exact.predictor, params=exact.params,
+                         flow_model=exact.flow_model,
+                         flow_params=exact.flow_params, raft_iters=2,
+                         imagenet_normalize_inputs=True, seed=0,
+                         engine='fast')
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(1, 2, 3, 128, 128).astype(np.float32))
+    n = exact.predictor.num_patches
+    n0 = n // 2
+    mask = np.ones((1, n), dtype=bool)
+    mask[0, :n0] = False
+    mask[0, n0 + 3] = False          # one visible frame-1 patch
+
+    y_e = exact.predict(x, jnp.asarray(mask), frame=None)
+    y_f = fast.predict(x, jnp.asarray(mask), frame=None)
+    assert fast._prefix_lru is not None and fast._prefix_lru.misses == 1
+    assert y_f.shape == y_e.shape
+    # frame 0 and visible patches pass through the input unchanged
+    np.testing.assert_allclose(np.asarray(y_f[:, 0]), np.asarray(y_e[:, 0]),
+                               atol=1e-6)
+    corr = np.corrcoef(np.asarray(y_f[:, 1]).ravel(),
+                       np.asarray(y_e[:, 1]).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # repeat click on the same scene hits the cache; frame selection works
+    y1 = fast.predict(x, jnp.asarray(mask), frame=1)
+    assert fast._prefix_lru.hits >= 1 and y1.shape[1] == 1
+
+    # frame-0-masking mask falls back to the exact path (bit-equal)
+    mask0 = mask.copy()
+    mask0[0, 5] = True
+    y_fb = fast.predict(x, jnp.asarray(mask0), frame=None)
+    y_eb = exact.predict(x, jnp.asarray(mask0), frame=None)
+    np.testing.assert_allclose(np.asarray(y_fb), np.asarray(y_eb), atol=0)

@@ -298,6 +298,24 @@ class ImuConditionedFlowGenerator(FlowGenerator):
             return self.get_static_imu(timestamps=timestamps)
         return self.predict_imu_from_video(self.x, timestamps=timestamps)
 
+    def _ensure_conj_fast(self):
+        """Lazy init of the conjoined shared-prefix engine state, keyed on
+        params identity (rebuilt on swap). The engine's compute dtype rides
+        the param leaves, so cast once to the model's dtype (bf16 on TPU)."""
+        from ..models import fast_conjoined
+        w = self.predictor
+        if (self._conj_prefix_lru is None
+                or self._conj_params_src is not w.params):
+            self._conj_params_src = w.params
+            self._use_flash = jax.default_backend() == 'tpu'
+            self._conj_params = (
+                w.params if w.model.dtype == jnp.float32 else
+                fast_conjoined.cast_params(w.params, w.model.dtype))
+            self._conj_prefix_lru = fast_conjoined.ConjoinedPrefixLru(
+                w, self._conj_params, self._use_flash,
+                self.imagenet_normalize_inputs,
+                size=self.prefix_cache_size)
+
     # -- conditioned prediction ------------------------------------------
     def predict(self, x=None, mask=None, frame=-1, x_context=None,
                 mask_context=None, **kwargs):
@@ -318,6 +336,26 @@ class ImuConditionedFlowGenerator(FlowGenerator):
             mask_context = jnp.zeros((x.shape[0], self.num_head_tokens),
                                      dtype=bool)
         w = self.predictor
+        n0 = w.model.main.num_patches // w.model.main.num_frames
+        # engine='fast': per-click route through the conjoined shared-prefix
+        # engine (warm ConjoinedPrefixLru -> only the frame-1 suffix runs)
+        fast_ok = (self.engine == 'fast' and x.shape[0] == 1
+                   and x.shape[1] == 2
+                   and not bool(np.asarray(mask[:, :n0]).any())
+                   and not bool(np.asarray(mask_context).any()))
+        if fast_ok:
+            from ..models import fast_conjoined
+            if fast_conjoined.conjoined_fast_supported(w.model):
+                self._ensure_conj_fast()
+                cache, _ = self._conj_prefix_lru.get(x, x_context)
+                vid = fast_conjoined.predict_videos_conjoined_prefix(
+                    w, self._conj_params, x, mask, x_context, mask_context,
+                    n_vis, self.imagenet_normalize_inputs, self._use_flash,
+                    cache=cache)
+                if frame is not None:
+                    f = frame % vid.shape[1]
+                    vid = vid[:, f:f + 1]
+                return vid
         n_vis_c = w._static_n_vis(mask_context, w.model.context)
         if w.model.context.is_imu and w.model.context.concat_dummy_token:
             n_vis_c += 1
@@ -389,19 +427,7 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         if fast_ok:
             from ..models import fast_conjoined
             if fast_conjoined.conjoined_fast_supported(w.model):
-                if (self._conj_prefix_lru is None
-                        or self._conj_params_src is not w.params):
-                    self._conj_params_src = w.params
-                    self._use_flash = jax.default_backend() == 'tpu'
-                    # engine compute dtype rides the param leaves: cast
-                    # once to the model's compute dtype (bf16 on TPU)
-                    self._conj_params = (
-                        w.params if w.model.dtype == jnp.float32 else
-                        fast_conjoined.cast_params(w.params, w.model.dtype))
-                    self._conj_prefix_lru = fast_conjoined.ConjoinedPrefixLru(
-                        w, self._conj_params, self._use_flash,
-                        self.imagenet_normalize_inputs,
-                        size=self.prefix_cache_size)
+                self._ensure_conj_fast()
                 cache, _ = self._conj_prefix_lru.get(x, self._x_context)
                 return _imu_counterfactual_step_fast(
                     w, self._conj_params, self.flow_model, self.flow_params,

@@ -521,6 +521,40 @@ def test_generator_fast_engine_vs_exact():
 
 
 @pytest.mark.slow
+def test_imu_predict_fast_route():
+    """ImuConditionedFlowGenerator.predict with engine='fast' routes the
+    single factual prediction through the conjoined engine (per-click
+    path) and matches the exact route closely; frame-0-masked masks fall
+    back bit-equal."""
+    rng = np.random.RandomState(12)
+    model, params, w = _tiny()
+    ge = _generator(model, params, w, 'exact')
+    gf = _generator(model, params, w, 'fast')
+    x = np.asarray(_workload(rng)[0][0:1])
+    head = (rng.randn(1, IMU_TOK, 8 * 6) * 0.1).astype(np.float32)
+    mask = np.ones((1, N), bool)
+    mask[0, :N0] = False
+    mask[0, N0 + 7] = False
+
+    kw = dict(x_context=jnp.asarray(ge.reshape_output(jnp.asarray(head))),
+              frame=None)
+    y_e = ge.predict(jnp.asarray(x), jnp.asarray(mask), **kw)
+    y_f = gf.predict(jnp.asarray(x), jnp.asarray(mask), **kw)
+    assert gf._conj_prefix_lru is not None
+    assert gf._conj_prefix_lru.misses == 1
+    corr = np.corrcoef(np.asarray(y_f).ravel(), np.asarray(y_e).ravel())[0, 1]
+    assert corr > 0.995, corr
+    gf.predict(jnp.asarray(x), jnp.asarray(mask), **kw)
+    assert gf._conj_prefix_lru.hits >= 1
+
+    mask0 = mask.copy()
+    mask0[0, 3] = True  # frame-0 patch masked -> exact fallback
+    y_fb = gf.predict(jnp.asarray(x), jnp.asarray(mask0), **kw)
+    y_eb = ge.predict(jnp.asarray(x), jnp.asarray(mask0), **kw)
+    np.testing.assert_allclose(np.asarray(y_fb), np.asarray(y_eb), atol=0)
+
+
+@pytest.mark.slow
 def test_interface_on_imu_generator_fast_engine():
     """The interactive interface drives the IMU-conditioned generator with
     engine='fast' (the flagship interactive workload: repeat events on one

@@ -40,3 +40,31 @@ def test_bench_mesh_dryrun():
         'XLA_FLAGS': '--xla_force_host_platform_device_count=8'})
     assert rec['value'] > 0
     assert rec['config']['mesh'] == 4 and rec['config']['s'] == 4
+
+
+@pytest.mark.slow
+def test_train_conjoined_cli_smoke(tmp_path):
+    """train_conjoined.py runs on synthetic video+IMU, loss decreases,
+    checkpoints + resume work."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    ckdir = str(tmp_path / 'ck')
+    cmd = [sys.executable, os.path.join(_REPO, 'scripts',
+                                        'train_conjoined.py'),
+           '--synthetic', '--steps', '4', '--log-every', '2',
+           '--batch-size', '2', '--img-size', '64', '--warmup-steps', '2',
+           '--checkpoint-dir', ckdir, '--checkpoint-every', '2']
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith('{')]
+    assert recs and recs[-1]['loss'] < recs[0]['loss']
+    # resume from the checkpoint
+    out2 = subprocess.run(cmd[:-4] + ['--checkpoint-dir', ckdir,
+                                      '--steps', '6'],
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert 'resumed from step 4' in out2.stdout, out2.stdout[-500:]

@@ -167,17 +167,20 @@ def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
 
 def conjoined_prediction_loss(model, params, x, mask, x_context,
                               mask_context, n_vis: int, n_vis_context: int,
+                              normalize_inputs: bool = True,
                               normalize_targets: bool = True,
                               eps: float = 1e-6):
     """Masked-prediction MSE on the main (RGB) stream of a conjoined VMAE
-    with context (e.g. IMU) conditioning. Inputs are preprocessed streams
-    (the layout ConjoinedVMAE.__call__ takes); the reference ships no
-    conjoined training code — this is the objective its IMU-conditioned
-    checkpoints imply."""
-    pred = model.apply({'params': params}, x, mask, x_context, mask_context,
+    with context (e.g. IMU) conditioning. x: [B, C, T, H, W] raw [0, 1]
+    (imagenet-normalized here by default, matching every inference path —
+    _conjoined_predict_video, the fast engine, serving); the reference
+    ships no conjoined training code — this is the objective its
+    IMU-conditioned checkpoints imply."""
+    xm = imagenet_normalize(x, temporal_dim=2) if normalize_inputs else x
+    pred = model.apply({'params': params}, xm, mask, x_context, mask_context,
                        n_vis, n_vis_context)
     ps = (model.main.tubelet_size,) + tuple(model.main.patch_size)
-    target = patchify(jnp.swapaxes(x, 1, 2), ps, temporal_dim=1)
+    target = patchify(jnp.swapaxes(xm, 1, 2), ps, temporal_dim=1)
     if normalize_targets:
         mean = target.mean(-1, keepdims=True)
         var = target.var(-1, keepdims=True)

@@ -1,6 +1,7 @@
 from .mesh import (make_mesh, sample_parallel_mesh, param_shardings,
                    partition_spec_for, shard_params, replicate,
-                   opt_state_shardings, VMAE_PARTITION_RULES)
+                   opt_state_shardings, VMAE_PARTITION_RULES,
+                   CONJOINED_PARTITION_RULES)
 from .tensor import tensor_parallel_blocks, make_tp_encoder_forward
 from .inference import (shard_counterfactual_batch, sharded_counterfactuals,
                         sharded_counterfactuals_fast,

@@ -58,6 +58,27 @@ VMAE_PARTITION_RULES: Sequence[Tuple[str, P]] = (
 )
 
 
+# Conjoined (two-stream, cross-attention coupled) family: the per-stream
+# encoder/decoder blocks reuse the VMAE rules; the cross blocks
+# (models/transformer.py CrossAttentionTransformerBlock, reference
+# transformer.py:442-583) shard Megatron-style — values/projections split
+# over heads, MLPs over the hidden dim. The packed qk kernels ([D, 2A],
+# q|k concatenated on the out axis) stay replicated: they are a small
+# fraction of cross-block FLOPs and a tp shard would straddle the q/k
+# boundary. Replicated q/k -> full attention weights on every device; the
+# head-sharded v einsum and in-dim-sharded projection then reduce via an
+# XLA all-reduce.
+CONJOINED_PARTITION_RULES: Sequence[Tuple[str, P]] = (
+    (r'.*cross_attention/qk(_src)?/kernel$', P()),
+    (r'.*cross_attention/v(_src)?/kernel$', P(None, 'tp')),
+    (r'.*cross_attention/projection(_src)?/kernel$', P('tp', None)),
+    (r'.*cross_attention/projection(_src)?/bias$', P()),
+    (r'.*mlp_(trg|src)/layers_0/kernel$', P(None, 'tp')),
+    (r'.*mlp_(trg|src)/layers_0/bias$', P('tp')),
+    (r'.*mlp_(trg|src)/layers_2/kernel$', P('tp', None)),
+) + tuple(VMAE_PARTITION_RULES)
+
+
 def partition_spec_for(path: str, rules=VMAE_PARTITION_RULES) -> P:
     for pattern, spec in rules:
         if re.match(pattern, path):

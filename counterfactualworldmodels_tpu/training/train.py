@@ -212,3 +212,33 @@ def make_conjoined_train_step(model, optimizer, n_vis: int,
                 {'loss': loss, 'grad_norm': optax.global_norm(grads)})
 
     return train_step
+
+
+def make_sharded_conjoined_train_step(model, optimizer, mesh: Mesh,
+                                      n_vis: int, n_vis_context: int,
+                                      remat: bool = True, **loss_kwargs):
+    """dp x tp sharded training for the conjoined (IMU-conditioned) family:
+    batches shard over 'dp', per-stream block and cross-block parameters
+    over 'tp' (parallel.CONJOINED_PARTITION_RULES); XLA inserts the
+    gradient psums and tp all-reduces from the shardings.
+
+    Returns (jitted_step, shard_state, data_sharding); step takes
+    (state, x, mask, x_context, mask_context) like the unsharded one.
+    """
+    step_fn = make_conjoined_train_step(model, optimizer, n_vis,
+                                        n_vis_context, remat=remat,
+                                        **loss_kwargs)
+    data_sharding = NamedSharding(mesh, P('dp'))
+    repl = NamedSharding(mesh, P())
+
+    def shard_state(state: TrainState) -> TrainState:
+        p_sh = parallel.param_shardings(
+            state.params, mesh, rules=parallel.CONJOINED_PARTITION_RULES)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
+        o_sh = parallel.opt_state_shardings(state.opt_state, p_sh, mesh)
+        opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state,
+                                           o_sh)
+        return TrainState(jax.device_put(state.step, repl), params, opt_state)
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return jitted, shard_state, data_sharding

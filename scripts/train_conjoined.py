@@ -45,6 +45,10 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--dp', type=int, default=0,
+                    help='data-parallel mesh size (0 = all devices / tp)')
+    ap.add_argument('--tp', type=int, default=1,
+                    help='tensor-parallel mesh size')
     return ap.parse_args()
 
 
@@ -167,10 +171,28 @@ def main():
         start_step = int(state.step)
         print(f'resumed from step {start_step}')
 
-    step_fn = jax.jit(
-        T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
-                                    remat=not args.no_remat),
-        donate_argnums=(0,))
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        from counterfactualworldmodels_tpu import parallel
+        dp = args.dp or max(1, n_dev // args.tp)
+        mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
+        print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp}')
+        step_fn, shard_state, data_sharding = \
+            T.make_sharded_conjoined_train_step(model, optimizer, mesh,
+                                                n_vis, n_vis_c,
+                                                remat=not args.no_remat)
+        state = shard_state(state)
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), data_sharding)
+    else:
+        step_fn = jax.jit(
+            T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
+                                        remat=not args.no_remat),
+            donate_argnums=(0,))
+
+        def put(x):
+            return jnp.asarray(x)
 
     def make_masks(mk, b):
         # uniform fixed-popcount masks over the main stream; IMU fully
@@ -190,8 +212,8 @@ def main():
         video, imu = next(data)
         key, mk = jax.random.split(key)
         mask, mask_c = make_masks(mk, video.shape[0])
-        state, metrics = step_fn(state, jnp.asarray(video), mask,
-                                 jnp.asarray(imu), mask_c)
+        state, metrics = step_fn(state, put(video), put(mask),
+                                 put(imu), put(mask_c))
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics['loss'])  # host sync
             dt = (time.time() - t0) / args.log_every

@@ -110,6 +110,65 @@ def test_sharded_train_step_runs_and_matches():
     np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
 
 
+def test_sharded_conjoined_train_step_runs_and_matches():
+    """dp x tp training of the conjoined (IMU-conditioned) family matches
+    the single-device step; cross-block values/MLPs really shard over tp."""
+    from counterfactualworldmodels_tpu.models.conjoined import (
+        ConjoinedVMAE, StreamSpec, init_conjoined_params)
+
+    mesh = parallel.make_mesh({'dp': 2, 'tp': 2})
+    mspec = StreamSpec(img_size=(32, 32), patch_size=(8, 8), in_chans=3,
+                       num_frames=2, encoder_embed_dim=48, encoder_depth=2,
+                       encoder_num_heads=4, decoder_embed_dim=32,
+                       decoder_depth=1, decoder_num_heads=4, mlp_ratio=2.0)
+    cspec = StreamSpec(is_imu=True, in_chans=6, sequence_length=32,
+                       imu_tubelet=8, encoder_embed_dim=32, encoder_depth=2,
+                       encoder_num_heads=4, decoder_embed_dim=24,
+                       decoder_depth=1, decoder_num_heads=4,
+                       decoder_num_classes=48, mlp_ratio=2.0,
+                       concat_dummy_token=True)
+    model = ConjoinedVMAE(main=mspec, context=cspec,
+                          conjoin_encoder_layers=((0, 0), (1, 1)),
+                          conjoin_decoder_layers=((0, 0),))
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    params = init_conjoined_params(model, jax.random.PRNGKey(0))
+    state = jtrain.TrainState(jnp.zeros((), jnp.int32), params,
+                              opt.init(params))
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(4, 3, 2, 32, 32).astype(np.float32))
+    imu = jnp.asarray(rng.randn(4, 6, 32).astype(np.float32))[..., None, None]
+    mask = np.ones((4, 32), bool)
+    mask[:, :18] = False
+    mask = jnp.asarray(mask)
+    mask_c = jnp.zeros((4, 4), bool)
+    n_vis, n_vis_c = 18, 4
+
+    step = jtrain.make_conjoined_train_step(model, opt, n_vis, n_vis_c)
+    ref_state, ref_metrics = step(state, x, mask, imu, mask_c)
+
+    jitted, shard_state, data_sharding = \
+        jtrain.make_sharded_conjoined_train_step(model, opt, mesh, n_vis,
+                                                 n_vis_c)
+    st = shard_state(state)
+    # cross-block value kernel must actually split over tp (heads axis)
+    vk = st.params['encoder_cross_blocks_0']['cross_attention']['v']['kernel']
+    assert vk.sharding.shard_shape(vk.shape) == (48, 24), \
+        vk.sharding.shard_shape(vk.shape)
+    new_state, metrics = jitted(
+        st, jax.device_put(x, data_sharding),
+        jax.device_put(mask, data_sharding),
+        jax.device_put(imu, data_sharding),
+        jax.device_put(mask_c, data_sharding))
+    assert np.isfinite(float(metrics['loss']))
+    np.testing.assert_allclose(float(metrics['loss']),
+                               float(ref_metrics['loss']), rtol=1e-4)
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(ref_state.params)[0])
+    sh_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_train_loss_decreases():
     model = _tiny_model()

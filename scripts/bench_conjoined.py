@@ -15,7 +15,10 @@ one chip through BOTH engines —
 BENCH_CONJ_r{N}.json and prints one JSON line.
 
 Env knobs: CWM_BENCH_S (default 16), CWM_BENCH_RAFT_ITERS (default 24),
-CWM_BENCH_MODEL=small for an off-TPU plumbing dryrun.
+CWM_BENCH_MODEL=small for an off-TPU plumbing dryrun; CWM_BENCH_MESH=N
+shards the S samples over an N-chip 'samples' mesh (fast engine only;
+per-chip sims/s — dryrun off-TPU with JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8).
 """
 import argparse
 import json
@@ -89,6 +92,19 @@ def main():
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
     s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    n_mesh = int(os.environ.get('CWM_BENCH_MESH', 0) or 0)
+    mesh = None
+    if n_mesh > 1:
+        from counterfactualworldmodels_tpu.parallel.mesh import (
+            sample_parallel_mesh)
+        from counterfactualworldmodels_tpu.parallel.inference import (
+            sharded_imu_counterfactuals_fast)
+        if n_mesh > len(jax.devices()):
+            raise SystemExit(
+                f'CWM_BENCH_MESH={n_mesh} > {len(jax.devices())} devices')
+        mesh = sample_parallel_mesh(n_mesh)
+        if s % n_mesh:
+            s = max(n_mesh, s - s % n_mesh)
     n = model.main.num_patches
     n0 = n // 2
     rng = np.random.RandomState(args.seed)
@@ -123,9 +139,16 @@ def main():
         n_vis_c += 1
 
     def fast():
-        _, flows, _ = _imu_counterfactual_step_fast(
-            w, fast_params, raft, raft_params, x, passive, active, shifts,
-            keys, imu, mask_c, n_vis, True, raft_iters, on_tpu, two_source)
+        if mesh is not None:
+            _, flows, _ = sharded_imu_counterfactuals_fast(
+                mesh, w, fast_params, raft, raft_params, x, passive,
+                active, shifts, keys, imu, mask_c, n_vis, True, raft_iters,
+                on_tpu, two_source)
+        else:
+            _, flows, _ = _imu_counterfactual_step_fast(
+                w, fast_params, raft, raft_params, x, passive, active,
+                shifts, keys, imu, mask_c, n_vis, True, raft_iters, on_tpu,
+                two_source)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     def exact():
@@ -134,6 +157,8 @@ def main():
             jnp.repeat(imu, s, 0), jnp.repeat(mask_c, s, 0), n_vis,
             n_vis_c, True, raft_iters, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+
+    n_chips = n_mesh if mesh is not None else 1
 
     def rate(fn):
         float(fn())  # compile + warm (sync via scalar fetch — axon-safe)
@@ -146,10 +171,13 @@ def main():
                 acc = acc + fn()
             float(acc)
             best = min(best, (time.perf_counter() - t0) / iters)
-        return s / best
+        return s / best / n_chips
 
     fast_rate = rate(fast)
-    exact_rate = None if args.skip_exact else rate(exact)
+    # the exact engine has no sample-sharded conjoined path wired here;
+    # mesh runs report the fast engine only
+    exact_rate = None if (args.skip_exact or mesh is not None) \
+        else rate(exact)
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}
@@ -198,7 +226,7 @@ def main():
                              else round(fast_rate / exact_rate, 2)),
         'config': {'model': cfg, 's': s, 'hw': hw, 'raft_iters': raft_iters,
                    'two_source': two_source,
-                   'backend': jax.default_backend()},
+                   'backend': jax.default_backend(), 'mesh': n_chips},
         'stages': stages,
     }
     with open(args.out, 'w') as f:

@@ -172,9 +172,18 @@ def main():
         print(f'resumed from step {start_step}')
 
     n_dev = jax.device_count()
-    if n_dev > 1:
+    if args.dp:
+        dp = args.dp
+        if args.batch_size % dp:
+            raise SystemExit(f'--dp {dp} must divide --batch-size '
+                             f'{args.batch_size}')
+    else:
+        # largest divisor of the batch that fits the devices left over
+        # after tp (dp=1 with tp=1 -> plain single-device path)
+        dp = max(d for d in range(1, max(1, n_dev // args.tp) + 1)
+                 if args.batch_size % d == 0)
+    if dp * args.tp > 1:
         from counterfactualworldmodels_tpu import parallel
-        dp = args.dp or max(1, n_dev // args.tp)
         mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
         print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp}')
         step_fn, shard_state, data_sharding = \

@@ -43,6 +43,50 @@ def test_bench_mesh_dryrun():
 
 
 @pytest.mark.slow
+def test_bench_conjoined_mesh_dryrun():
+    """bench_conjoined.py CWM_BENCH_MESH: samples shard over a virtual
+    mesh through sharded_imu_counterfactuals_fast; per-chip sims/s."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'CWM_BENCH_MODEL': 'small', 'CWM_BENCH_RAFT_ITERS': '1',
+                'CWM_BENCH_MESH': '2',
+                'XLA_FLAGS': '--xla_force_host_platform_device_count=8'})
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, 'scripts',
+                                      'bench_conjoined.py'),
+         '--out', '/dev/null', '--skip-exact'],
+        env=env, capture_output=True, text=True, timeout=900)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith('{')]
+    assert lines, out.stderr[-2000:]
+    rec = json.loads(lines[-1])
+    assert rec['value'] > 0 and rec['config']['mesh'] == 2
+    assert rec['exact_sims_per_sec'] is None
+
+
+@pytest.mark.slow
+def test_train_conjoined_cli_mesh_smoke():
+    """train_conjoined.py --tp routes through the sharded step on a
+    virtual dp x tp mesh."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'XLA_FLAGS': '--xla_force_host_platform_device_count=4'})
+    cmd = [sys.executable, os.path.join(_REPO, 'scripts',
+                                        'train_conjoined.py'),
+           '--synthetic', '--steps', '4', '--log-every', '2',
+           '--batch-size', '4', '--img-size', '32', '--warmup-steps', '2',
+           '--tp', '2']
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert 'mesh=dp2 x tp2' in out.stdout, out.stdout[-500:]
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith('{')]
+    assert recs and recs[-1]['loss'] < recs[0]['loss']
+
+
+@pytest.mark.slow
 def test_train_conjoined_cli_smoke(tmp_path):
     """train_conjoined.py runs on synthetic video+IMU, loss decreases,
     checkpoints + resume work."""

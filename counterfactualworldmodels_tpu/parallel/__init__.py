@@ -4,6 +4,7 @@ from .mesh import (make_mesh, sample_parallel_mesh, param_shardings,
                    CONJOINED_PARTITION_RULES)
 from .tensor import tensor_parallel_blocks, make_tp_encoder_forward
 from .inference import (shard_counterfactual_batch, sharded_counterfactuals,
+                        sharded_imu_counterfactuals,
                         sharded_counterfactuals_fast,
                         sharded_imu_counterfactuals_fast)
 from .pipeline import (stack_block_params, unstack_block_params,

@@ -115,3 +115,35 @@ def sharded_imu_counterfactuals_fast(mesh: Mesh, wrapper, params, raft_model,
         wrapper, params, raft_model, raft_params, x, passive, active,
         shifts, keys, x_context, mask_context, n_vis, normalize, raft_iters,
         use_flash, two_source, prefix_cache)
+
+
+def sharded_imu_counterfactuals(mesh: Mesh, wrapper, params, raft_model,
+                                raft_params, x, passive, active, shifts,
+                                keys, x_context, mask_context, n_vis: int,
+                                n_vis_c: int, normalize: bool,
+                                raft_iters: int, fix_passive: bool = True):
+    """Sample-sharded EXACT conjoined (IMU-conditioned) counterfactual
+    step — S full conjoined forwards distributed over the 'samples' mesh
+    axis (the fallback/reference-numerics companion of
+    sharded_imu_counterfactuals_fast).
+
+    Same signature/returns as pipelines.imu._imu_counterfactual_step with
+    B=1: x_context/mask_context are the PER-SAMPLE tiled [S, ...] streams
+    (sharded over the mesh alongside the prompts); the scene and all
+    parameters replicate. S must be divisible by the mesh size.
+    """
+    from ..pipelines.imu import _imu_counterfactual_step
+
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    raft_params = jax.device_put(raft_params, repl)
+    x = jax.device_put(x, repl)
+    passive, active = shard_counterfactual_batch(mesh, passive, active,
+                                                 axis=2)
+    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
+    x_context, mask_context = shard_counterfactual_batch(
+        mesh, x_context, mask_context, axis=0)
+    return _imu_counterfactual_step(
+        wrapper, params, raft_model, raft_params, x, passive, active,
+        shifts, keys, x_context, mask_context, n_vis, n_vis_c, normalize,
+        raft_iters, fix_passive)

@@ -16,7 +16,7 @@ BENCH_CONJ_r{N}.json and prints one JSON line.
 
 Env knobs: CWM_BENCH_S (default 16), CWM_BENCH_RAFT_ITERS (default 24),
 CWM_BENCH_MODEL=small for an off-TPU plumbing dryrun; CWM_BENCH_MESH=N
-shards the S samples over an N-chip 'samples' mesh (fast engine only;
+shards the S samples over an N-chip 'samples' mesh (both engines;
 per-chip sims/s — dryrun off-TPU with JAX_PLATFORMS=cpu
 XLA_FLAGS=--xla_force_host_platform_device_count=8).
 """
@@ -98,7 +98,7 @@ def main():
         from counterfactualworldmodels_tpu.parallel.mesh import (
             sample_parallel_mesh)
         from counterfactualworldmodels_tpu.parallel.inference import (
-            sharded_imu_counterfactuals_fast)
+            sharded_imu_counterfactuals, sharded_imu_counterfactuals_fast)
         if n_mesh > len(jax.devices()):
             raise SystemExit(
                 f'CWM_BENCH_MESH={n_mesh} > {len(jax.devices())} devices')
@@ -152,10 +152,16 @@ def main():
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     def exact():
-        _, flows, _ = _imu_counterfactual_step(
-            w, params, raft, raft_params, x, passive, active, shifts, keys,
-            jnp.repeat(imu, s, 0), jnp.repeat(mask_c, s, 0), n_vis,
-            n_vis_c, True, raft_iters, True)
+        if mesh is not None:
+            _, flows, _ = sharded_imu_counterfactuals(
+                mesh, w, params, raft, raft_params, x, passive, active,
+                shifts, keys, jnp.repeat(imu, s, 0),
+                jnp.repeat(mask_c, s, 0), n_vis, n_vis_c, True, raft_iters)
+        else:
+            _, flows, _ = _imu_counterfactual_step(
+                w, params, raft, raft_params, x, passive, active, shifts,
+                keys, jnp.repeat(imu, s, 0), jnp.repeat(mask_c, s, 0),
+                n_vis, n_vis_c, True, raft_iters, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     n_chips = n_mesh if mesh is not None else 1
@@ -174,10 +180,7 @@ def main():
         return s / best / n_chips
 
     fast_rate = rate(fast)
-    # the exact engine has no sample-sharded conjoined path wired here;
-    # mesh runs report the fast engine only
-    exact_rate = None if (args.skip_exact or mesh is not None) \
-        else rate(exact)
+    exact_rate = None if args.skip_exact else rate(exact)
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}

@@ -55,13 +55,13 @@ def test_bench_conjoined_mesh_dryrun():
     out = subprocess.run(
         [sys.executable, os.path.join(_REPO, 'scripts',
                                       'bench_conjoined.py'),
-         '--out', '/dev/null', '--skip-exact'],
+         '--out', '/dev/null'],
         env=env, capture_output=True, text=True, timeout=900)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith('{')]
     assert lines, out.stderr[-2000:]
     rec = json.loads(lines[-1])
     assert rec['value'] > 0 and rec['config']['mesh'] == 2
-    assert rec['exact_sims_per_sec'] is None
+    assert rec['exact_sims_per_sec'] > 0
 
 
 @pytest.mark.slow

@@ -483,3 +483,21 @@ def test_sharded_imu_counterfactuals_fast_match_single_device():
     np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
+
+    # the EXACT conjoined path, sample-sharded (per-sample tiled context)
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        _imu_counterfactual_step)
+    n_vis_c = w._static_n_vis(np.asarray(mask_c), model.context)
+    imu_s = jnp.repeat(imu, s, 0)
+    mask_c_s = jnp.repeat(mask_c, s, 0)
+    ye, fe, me = _imu_counterfactual_step(
+        w, params, raft, raft_params, x, passive, active, shifts, keys,
+        imu_s, mask_c_s, n_vis, n_vis_c, True, 1, True)
+    ye_sh, fe_sh, me_sh = parallel.sharded_imu_counterfactuals(
+        mesh, w, params, raft, raft_params, x, passive, active, shifts,
+        keys, imu_s, mask_c_s, n_vis, n_vis_c, True, 1)
+    np.testing.assert_allclose(np.asarray(ye_sh), np.asarray(ye),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fe_sh), np.asarray(fe),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(me_sh), np.asarray(me))

@@ -20,6 +20,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=50)
     ap.add_argument('--model', default='large', choices=['large', 'base'])
+    ap.add_argument('--imu', action='store_true',
+                    help='also time the IMU-conditioned warm-prefix click '
+                         'path off-TPU (small config; on TPU it always '
+                         'runs at the imu400 flagship config)')
     args = ap.parse_args()
 
     from counterfactualworldmodels_tpu.utils.backend_guard import (
@@ -101,6 +105,62 @@ def main():
     rec['warm_prefix'] = timed(run_warm)
     rec['warm_prefix']['note'] = ('S=1 suffix pass against a cached '
                                   'frame-0 prefix (PrefixLru hit)')
+
+    # IMU-conditioned click path (the flagship movability interface):
+    # warm ConjoinedPrefixLru hit -> S=1 conjoined suffix. TPU-only by
+    # default (the flagship conjoined model is too slow to time on the
+    # 1-core CPU box); --imu forces it with a small config off-TPU.
+    if on_tpu or args.imu:
+        from counterfactualworldmodels_tpu.models import conjoined as conj
+        from counterfactualworldmodels_tpu.models import fast_conjoined as fc
+        if on_tpu:
+            cmodel = conj.imu400_base_4x4patch_2frames_1tube(
+                dtype=dtype, attn_impl='flash')
+            chw = 224
+        else:
+            ctx = conj.StreamSpec(
+                is_imu=True, in_chans=6, sequence_length=400,
+                imu_tubelet=16, encoder_embed_dim=64, encoder_depth=2,
+                encoder_num_heads=4, decoder_embed_dim=32, decoder_depth=2,
+                decoder_num_heads=4, decoder_num_classes=96, mlp_ratio=2.0,
+                concat_dummy_token=False, padded=True,
+                max_padding_tokens=25)
+            main_s = conj.StreamSpec(
+                img_size=(112, 112), patch_size=(8, 8), in_chans=3,
+                num_frames=2, encoder_embed_dim=96, encoder_depth=2,
+                encoder_num_heads=4, decoder_embed_dim=64, decoder_depth=2,
+                decoder_num_heads=4, mlp_ratio=2.0, padded=True,
+                max_padding_tokens=64)
+            cmodel = conj.ConjoinedVMAE(
+                main=main_s, context=ctx,
+                conjoin_encoder_layers=((0, 0), (1, 1)),
+                conjoin_decoder_layers=((0, 0),), dtype=dtype,
+                attn_impl='dense')
+            chw = 112
+        cparams = conj.init_conjoined_params(cmodel, jax.random.PRNGKey(2))
+        cfp = (cparams if dtype == jnp.float32
+               else fc.cast_params(cparams, dtype))
+        cn0 = cmodel.main.num_patches // 2
+        cx = jnp.asarray(rng.rand(1, 2, 3, chw, chw).astype(np.float32))
+        cimu = jnp.asarray((rng.randn(1, 6, cmodel.context.sequence_length)
+                            * 0.1).astype(np.float32))
+        cxm = jnp.swapaxes(imagenet_normalize(cx, temporal_dim=1), 1, 2)
+        ccache = fc.encode_conjoined_prefix(cmodel, cfp, cxm[0:1, :, 0],
+                                            cimu, on_tpu)
+        cvis1 = jnp.asarray(rng.choice(cn0, 33, replace=False)[None],
+                            jnp.int32)
+
+        def run_warm_imu():
+            y1 = fc.predict_frame1_conjoined(cmodel, cfp, ccache,
+                                             cxm[:, :, 1], cvis1, on_tpu,
+                                             two_source)
+            return float(jnp.sum(jnp.abs(y1).astype(jnp.float32)))
+
+        rec['warm_prefix_imu'] = timed(run_warm_imu)
+        rec['warm_prefix_imu']['note'] = (
+            'S=1 conjoined suffix against a cached scene prefix '
+            '(ConjoinedPrefixLru hit; '
+            + ('imu400 flagship' if on_tpu else 'small config') + ')')
     print(json.dumps(rec))
 
 

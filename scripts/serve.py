@@ -194,7 +194,7 @@ def _png_b64(arr):
 
 class CwmService:
     def __init__(self, G, img_size, engine='fast', prefix_cache_size=4,
-                 seed=0):
+                 seed=0, batch_window_ms=5.0, max_batch_samples=64):
         self.G = G
         self.img_size = img_size
         self.engine = engine
@@ -206,6 +206,16 @@ class CwmService:
         self._fp = None
         self._lru = None
         self.prefix_cache_size = prefix_cache_size
+        # micro-batch concurrent same-scene counterfactuals into one
+        # S-dispatch (fast engine only; S buckets bound compile count)
+        self._batcher = None
+        if batch_window_ms > 0:
+            from counterfactualworldmodels_tpu.utils.batching import (
+                MicroBatcher)
+            self._batcher = MicroBatcher(self._dispatch_cf_batch,
+                                         window_s=batch_window_ms / 1e3,
+                                         max_items=max_batch_samples)
+        self._s_buckets = (1, 2, 4, 8, 16, 32, 64)
 
     @property
     def prefix_hits(self):
@@ -299,42 +309,95 @@ class CwmService:
     def _counterfactual_fast(self, req):
         """Shared-prefix engine route: per-image PrefixCache LRU + the
         fused fast pipeline (segmentation.counterfactual_videos_and_flows
-        _fast). Same request/response schema as the exact route."""
+        _fast). Same request/response schema as the exact route.
+
+        Concurrent requests on the same (image, n_vis) are micro-batched:
+        their prompt columns concatenate along the engine's S axis and run
+        as ONE dispatch (utils/batching.py), so serving throughput rides
+        the S-amortization of the shared-prefix engine."""
+        import hashlib
         import numpy as np
-        import jax
-        import jax.numpy as jnp
-        from counterfactualworldmodels_tpu.pipelines.segmentation import (
-            counterfactual_videos_and_flows_fast)
         x, active_np, passive_np, shift, s = self._parse_cf_request(req)
-        G = self.G
         # visible = union of the two prompt sets (matches the exact route's
         # _n_vis_target; a sum would double-count patches listed in both and
         # make the rectangularizer leak extra ground-truth patches)
         n_vis = int((~(active_np & passive_np)).sum())
-        active = jnp.asarray(np.repeat(active_np[..., None], s, axis=-1))
-        passive = jnp.asarray(np.repeat(passive_np[..., None], s, axis=-1))
-        shifts = jnp.asarray(np.tile(np.asarray(shift, np.int32)[None, None],
-                                     (1, s, 1)))
+        item = (x, active_np, passive_np, shift, s)
+        if self._batcher is None:
+            return self._dispatch_cf_batch((None, n_vis), [item])[0]
+        img_key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
+        return self._batcher.run((img_key, n_vis), item)
+
+    def _dispatch_cf_batch(self, key, items):
+        """One fused fast dispatch for a batch of same-scene requests;
+        returns one response per item. items: (x, active_np, passive_np,
+        shift, s) with identical x across the batch (the batch key)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.models.fast_vmae import (
+            resolve_two_source)
+        from counterfactualworldmodels_tpu.pipelines.segmentation import (
+            counterfactual_videos_and_flows_fast)
+        from counterfactualworldmodels_tpu.utils.batching import (
+            pad_to_bucket)
+        _, n_vis = key
+        G = self.G
+        x = items[0][0]
+        counts = [s for (_, _, _, _, s) in items]
+        s_total = sum(counts)
+        s_pad = (s_total if self._batcher is None
+                 else pad_to_bucket(s_total, self._s_buckets))
+        act = np.concatenate(
+            [np.repeat(a[..., None], s, axis=-1)
+             for (_, a, _, _, s) in items], axis=-1)
+        pas = np.concatenate(
+            [np.repeat(p[..., None], s, axis=-1)
+             for (_, _, p, _, s) in items], axis=-1)
+        shf = np.concatenate(
+            [np.tile(np.asarray(shift, np.int32)[None, None], (1, s, 1))
+             for (_, _, _, shift, s) in items], axis=1)
+        if s_pad > s_total:                      # repeat the last column
+            act = np.concatenate(
+                [act, np.repeat(act[..., -1:], s_pad - s_total, -1)], -1)
+            pas = np.concatenate(
+                [pas, np.repeat(pas[..., -1:], s_pad - s_total, -1)], -1)
+            shf = np.concatenate(
+                [shf, np.repeat(shf[:, -1:], s_pad - s_total, 1)], 1)
+        active = jnp.asarray(act)
+        passive = jnp.asarray(pas)
+        shifts = jnp.asarray(shf)
         with self.lock:
             self._req_counter += 1
+            # keys split by s_total (not s_pad) and padded by repetition:
+            # the pad bucket never changes the real samples' numerics
             keys = jax.random.split(
-                jax.random.PRNGKey(self.seed + self._req_counter),
-                s).reshape(1, s, 2)
+                jax.random.PRNGKey(self.seed + self._req_counter), s_total)
+            if s_pad > s_total:
+                keys = jnp.concatenate(
+                    [keys, jnp.repeat(keys[-1:], s_pad - s_total, 0)], 0)
+            keys = keys.reshape(1, s_pad, 2)
             cache, hit = self._prefix_for(x)
             video = jnp.broadcast_to(x[:, None], (1, 2, *x.shape[1:]))
-            from counterfactualworldmodels_tpu.models.fast_vmae import (
-                resolve_two_source)
             use_flash = jax.default_backend() == 'tpu'
             ys, flows, _ = counterfactual_videos_and_flows_fast(
                 G.predictor, self._fp, G.flow_model, G.flow_params, video,
                 passive, active, shifts, keys, n_vis,
                 G.imagenet_normalize_inputs, G.raft_iters, True, use_flash,
                 resolve_two_source(use_flash), prefix_cache=cache)
-            flows_s = jnp.moveaxis(flows[:, 0], 0, -1)[None]  # [1,2,H,W,S]
-            seg = G.compute_mean_motion_map(flows_s)[0, 0]
-            return self._cf_response(
-                np.asarray(ys[0, 1], np.float32).transpose(1, 2, 0),
-                flows[0, 0], seg, prefix_cache_hit=hit, engine='fast')
+            extra = ({} if self._batcher is None
+                     else {'batched_samples': s_pad})
+            out, off = [], 0
+            for s in counts:
+                fl = flows[off:off + s]          # [s, 1, 2, H, W]
+                flows_s = jnp.moveaxis(fl[:, 0], 0, -1)[None]
+                seg = G.compute_mean_motion_map(flows_s)[0, 0]
+                out.append(self._cf_response(
+                    np.asarray(ys[off, 1], np.float32).transpose(1, 2, 0),
+                    fl[0, 0], seg, prefix_cache_hit=hit, engine='fast',
+                    **extra))
+                off += s
+        return out
 
     def counterfactual(self, req):
         import numpy as np
@@ -453,12 +516,18 @@ def make_handler(service, backend):
             if self.path == '/health':
                 self._send(200, {'status': 'ok', 'backend': backend})
             elif self.path == '/stats':
+                b = service._batcher
                 self._send(200, {
                     'engine': service.engine,
                     'requests': service._req_counter,
                     'prefix_cache': {'hits': service.prefix_hits,
                                      'misses': service.prefix_misses,
-                                     'size': service.prefix_cache_size}})
+                                     'size': service.prefix_cache_size},
+                    'micro_batching': (
+                        None if b is None else
+                        {'dispatches': b.batches,
+                         'requests_batched': b.batched_items,
+                         'window_ms': round(b.window_s * 1e3, 2)})})
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
 
@@ -509,6 +578,13 @@ def main():
     ap.add_argument('--prefix-cache-size', type=int, default=4,
                     help='PrefixCache LRU entries (each pins the per-layer '
                          'prefix KV of one image in device memory)')
+    ap.add_argument('--batch-window-ms', type=float, default=5.0,
+                    help='micro-batch window: concurrent counterfactual '
+                         'requests on the same (image, n_vis) within this '
+                         'window merge into one S-dispatch (fast engine '
+                         'only; 0 disables)')
+    ap.add_argument('--max-batch-samples', type=int, default=64,
+                    help='max total samples per micro-batched dispatch')
     ap.add_argument('--engine', default='fast',
                     choices=['fast', 'exact'],
                     help='fast = shared-prefix engine with a per-image '
@@ -526,12 +602,16 @@ def main():
         G = build_imu_generator(args)
         service = ImuCwmService(G, args.img_size, engine=args.engine,
                                 prefix_cache_size=args.prefix_cache_size,
-                                seed=args.seed)
+                                seed=args.seed,
+                                batch_window_ms=args.batch_window_ms,
+                                max_batch_samples=args.max_batch_samples)
     else:
         G = build_generator(args)
         service = CwmService(G, args.img_size, engine=args.engine,
                              prefix_cache_size=args.prefix_cache_size,
-                             seed=args.seed)
+                             seed=args.seed,
+                             batch_window_ms=args.batch_window_ms,
+                             max_batch_samples=args.max_batch_samples)
     backend = jax.default_backend()
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, backend))

@@ -59,7 +59,7 @@ def test_serve_end_to_end(server):
     assert code == 200
     expect = {'simulation', 'flow_rgb', 'segment', 'segment_raw'}
     if engine == 'fast':
-        expect |= {'prefix_cache_hit', 'engine'}
+        expect |= {'prefix_cache_hit', 'engine', 'batched_samples'}
         assert out['prefix_cache_hit'] is False
         assert out['engine'] == 'fast'
     assert set(out) == expect
@@ -137,3 +137,62 @@ def test_serve_imu_conditioned(engine):
         assert m.shape == (32, 32) and np.isfinite(m).all()
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_micro_batching():
+    """Micro-batching of concurrent same-scene counterfactuals:
+
+    1. padding parity — a single request through a batching service
+       matches the unbatched service to float tolerance (keys split by
+       s_total so pad columns don't perturb sampling; XLA may still
+       re-vectorize reductions for the padded batch shape);
+    2. concurrent requests merge into ONE dispatch and every caller gets
+       a well-formed response."""
+    import serve
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    G = serve.build_generator(args)
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    req = {'image': img, 'active': [[2, 2]], 'shift': [0, 1],
+           'num_samples': 3}
+
+    plain = serve.CwmService(G, 32, engine='fast', batch_window_ms=0)
+    batched = serve.CwmService(G, 32, engine='fast', batch_window_ms=1)
+    out_plain = plain.counterfactual(dict(req))
+    out_batched = batched.counterfactual(dict(req))   # padded 3 -> 4
+    assert out_batched['batched_samples'] == 4
+    assert 'batched_samples' not in out_plain
+    np.testing.assert_allclose(np.asarray(out_plain['segment_raw']),
+                               np.asarray(out_batched['segment_raw']),
+                               atol=2e-3)
+
+    # concurrent same-image requests merge into one dispatch
+    svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=1000)
+    outs, errors = {}, []
+
+    def worker(i):
+        try:
+            outs[i] = svc.counterfactual(
+                {'image': img, 'active': [[i, i]], 'shift': [0, 1],
+                 'num_samples': 2})
+        except Exception as e:       # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+        import time
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert not errors
+    assert svc._batcher.batches == 1 and svc._batcher.batched_items == 3
+    for i in range(3):
+        assert outs[i]['batched_samples'] == 8   # 3*2 -> bucket 8
+        seg = np.asarray(outs[i]['segment_raw'])
+        assert seg.shape == (32, 32) and np.isfinite(seg).all()

@@ -147,3 +147,83 @@ def test_interface_events_end_to_end(engine):
         assert G._prefix_lru is not None
         assert G._prefix_lru.misses == 1 and G._prefix_lru.hits >= 1
     plt.close(fig)
+
+
+def test_micro_batcher_merges_and_propagates():
+    """utils/batching.MicroBatcher: same-key requests within the window
+    merge into one dispatch; results map back per item; errors propagate
+    to every member; max_items closes a batch early."""
+    import threading
+    import time
+    from counterfactualworldmodels_tpu.utils.batching import (
+        MicroBatcher, pad_to_bucket)
+
+    calls = []
+
+    def dispatch(key, items):
+        calls.append((key, list(items)))
+        return [x * 10 for x in items]
+
+    mb = MicroBatcher(dispatch, window_s=0.25, max_items=8)
+    results = {}
+
+    def worker(i, key):
+        results[i] = mb.run(key, i)
+
+    ts = [threading.Thread(target=worker, args=(i, 'k')) for i in range(4)]
+    for t in ts:
+        t.start()
+        time.sleep(0.01)  # all within the leader's window
+    for t in ts:
+        t.join()
+    assert results == {i: i * 10 for i in range(4)}
+    assert len(calls) == 1 and sorted(calls[0][1]) == [0, 1, 2, 3]
+    assert mb.batches == 1 and mb.batched_items == 4
+
+    # distinct keys never merge
+    calls.clear()
+    ts = [threading.Thread(target=worker, args=(i, f'k{i}'))
+          for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(calls) == 2
+
+    # a dispatch error reaches followers and the leader
+    def boom(key, items):
+        raise RuntimeError('nope')
+
+    mb2 = MicroBatcher(boom, window_s=0.2)
+    errs = []
+
+    def worker2():
+        try:
+            mb2.run('k', 1)
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    ts = [threading.Thread(target=worker2) for _ in range(3)]
+    for t in ts:
+        t.start()
+        time.sleep(0.01)
+    for t in ts:
+        t.join()
+    assert errs == ['nope'] * 3
+
+    # max_items closes the batch before the window elapses
+    mb3 = MicroBatcher(dispatch, window_s=5.0, max_items=2)
+    calls.clear()
+    t0 = time.monotonic()
+    ts = [threading.Thread(target=lambda i=i: mb3.run('k', i))
+          for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert time.monotonic() - t0 < 4.0
+    assert len(calls) == 1 and len(calls[0][1]) == 2
+
+    assert pad_to_bucket(3, (1, 2, 4, 8)) == 4
+    assert pad_to_bucket(4, (1, 2, 4, 8)) == 4
+    assert pad_to_bucket(9, (1, 2, 4, 8)) == 8  # capped at the largest

@@ -196,3 +196,26 @@ def test_serve_micro_batching():
         assert outs[i]['batched_samples'] == 8   # 3*2 -> bucket 8
         seg = np.asarray(outs[i]['segment_raw'])
         assert seg.shape == (32, 32) and np.isfinite(seg).all()
+
+
+@pytest.mark.slow
+def test_loadgen_smoke():
+    """scripts/loadgen.py runs the batched-vs-serial serving trial and
+    emits the JSON artifact line."""
+    import subprocess
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                      'loadgen.py'),
+         '--clients', '3', '--requests', '9', '--scenes', '2',
+         '--samples', '2'],
+        env=env, capture_output=True, text=True, timeout=900)
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith('{')]
+    assert lines, out.stderr[-2000:]
+    rec = json.loads(lines[-1])
+    assert rec['value'] > 0 and rec['unit'] == 'requests/sec'
+    assert rec['trials']['batched']['micro_batching']['dispatches'] > 0
+    assert rec['trials']['serial']['micro_batching'] is None

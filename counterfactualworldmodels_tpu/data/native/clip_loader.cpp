@@ -41,6 +41,7 @@ struct ShardHeader {
 
 struct Batch {
   std::vector<float> data;
+  std::vector<uint32_t> clip_ids;  // source clip index per batch row
   uint64_t epoch;
   uint64_t index;
 };
@@ -104,8 +105,10 @@ class ClipLoader {
   }
 
   // Blocking: copy the next ready batch (f32, [B, T, C, crop_h, crop_w])
-  // into out. Returns the global batch index, or -1 on shutdown.
-  int64_t next_batch(float* out) {
+  // into out; if ids != nullptr also write the B source clip indices
+  // (aligns sidecar streams, e.g. the IMU sidecar, with shuffled rows).
+  // Returns the global batch index, or -1 on shutdown.
+  int64_t next_batch(float* out, uint32_t* ids) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_data_.wait(lk, [this] { return !ready_.empty() || stop_.load(); });
     if (ready_.empty()) return -1;
@@ -114,6 +117,10 @@ class ClipLoader {
     lk.unlock();
     cv_space_.notify_one();
     std::memcpy(out, b.data.data(), b.data.size() * sizeof(float));
+    if (ids != nullptr) {
+      std::memcpy(ids, b.clip_ids.data(),
+                  b.clip_ids.size() * sizeof(uint32_t));
+    }
     return static_cast<int64_t>(b.index);
   }
 
@@ -164,6 +171,7 @@ class ClipLoader {
       b.index = my_index;
       b.epoch = epoch;
       b.data.resize(batch_elems());
+      b.clip_ids.resize(batch_size_);
       std::mt19937_64 rng(seed_ ^ (my_index * 0xda942042e4dd58b5ULL));
       for (int i = 0; i < batch_size_; ++i) {
         uint64_t flat = my_index * batch_size_ + i;
@@ -187,6 +195,7 @@ class ClipLoader {
                      ? static_cast<int>(rng() % (hdr_.w - crop_w_ + 1))
                      : 0;
         bool flip = hflip_ && (rng() & 1);
+        b.clip_ids[i] = clip;
         decode_clip(clip, b.data.data() + clip_elems * i, oy, ox, flip);
       }
       std::unique_lock<std::mutex> lk(mu_);
@@ -242,7 +251,12 @@ void clip_loader_destroy(void* handle) {
 }
 
 int64_t clip_loader_next(void* handle, float* out) {
-  return static_cast<ClipLoader*>(handle)->next_batch(out);
+  return static_cast<ClipLoader*>(handle)->next_batch(out, nullptr);
+}
+
+// As clip_loader_next, plus the B source clip indices of the batch rows.
+int64_t clip_loader_next_ids(void* handle, float* out, uint32_t* ids) {
+  return static_cast<ClipLoader*>(handle)->next_batch(out, ids);
 }
 
 void clip_loader_shape(void* handle, int* out5) {

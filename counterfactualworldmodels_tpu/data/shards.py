@@ -19,6 +19,8 @@ import numpy as np
 
 MAGIC = b'CWMSHARD'
 _HEADER = struct.Struct('<8sIIIIII')
+IMU_MAGIC = b'CWMIMUSD'
+_IMU_HEADER = struct.Struct('<8sIIII')
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), 'native')
 _SRC = os.path.join(_NATIVE_DIR, 'clip_loader.cpp')
@@ -37,6 +39,37 @@ def write_shard(path: str, clips: np.ndarray) -> None:
         f.write(clips.tobytes())
 
 
+def imu_sidecar_path(path: str) -> str:
+    return path + '.imu'
+
+
+def write_imu_sidecar(shard_path: str, imu: np.ndarray) -> None:
+    """Per-clip IMU streams aligned with a clip shard: float32 [N, C, L]
+    at ``<shard>.imu``. Loaders surface the source clip index of every
+    batch row (``last_indices``) so sidecar rows follow the shuffle."""
+    imu = np.ascontiguousarray(imu, dtype=np.float32)
+    assert imu.ndim == 3, imu.shape
+    n, c, l = imu.shape
+    with open(imu_sidecar_path(shard_path), 'wb') as f:
+        f.write(_IMU_HEADER.pack(IMU_MAGIC, 1, n, c, l))
+        f.write(imu.tobytes())
+
+
+def read_imu_sidecar(shard_path: str) -> Optional[np.ndarray]:
+    """Memory-mapped [N, C, L] float32 IMU sidecar, or None if absent."""
+    p = imu_sidecar_path(shard_path)
+    if not os.path.exists(p):
+        return None
+    with open(p, 'rb') as f:
+        magic, version, n, c, l = _IMU_HEADER.unpack(f.read(_IMU_HEADER.size))
+    assert magic == IMU_MAGIC, magic
+    n_clips = read_shard_header(shard_path)[0]
+    assert n == n_clips, (f'IMU sidecar has {n} rows for a shard of '
+                          f'{n_clips} clips')
+    return np.memmap(p, dtype=np.float32, mode='r',
+                     offset=_IMU_HEADER.size, shape=(n, c, l))
+
+
 def read_shard_header(path: str) -> Tuple[int, int, int, int, int]:
     with open(path, 'rb') as f:
         magic, version, n, t, h, w, c = _HEADER.unpack(
@@ -48,7 +81,8 @@ def read_shard_header(path: str) -> Tuple[int, int, int, int, int]:
 def build_native(force: bool = False) -> Optional[str]:
     """Compile the C++ loader once; returns the .so path or None."""
     so_path = os.path.join(_NATIVE_DIR, 'clip_loader.so')
-    if os.path.exists(so_path) and not force:
+    if (os.path.exists(so_path) and not force
+            and os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
         return so_path
     try:
         subprocess.run(
@@ -83,6 +117,10 @@ class NativeClipLoader:
         self._lib.clip_loader_next.restype = ctypes.c_int64
         self._lib.clip_loader_next.argtypes = [ctypes.c_void_p,
                                                ctypes.POINTER(ctypes.c_float)]
+        self._lib.clip_loader_next_ids.restype = ctypes.c_int64
+        self._lib.clip_loader_next_ids.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint32)]
         self._lib.clip_loader_destroy.argtypes = [ctypes.c_void_p]
         self._lib.clip_loader_shape.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
@@ -102,10 +140,14 @@ class NativeClipLoader:
 
     def next_batch(self) -> np.ndarray:
         out = np.empty(self.batch_shape, dtype=np.float32)
-        idx = self._lib.clip_loader_next(
-            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        ids = np.empty(self.batch_shape[0], dtype=np.uint32)
+        idx = self._lib.clip_loader_next_ids(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
         if idx < 0:
             raise StopIteration
+        # source clip index per batch row (aligns sidecar streams)
+        self.last_indices = ids
         return out
 
     def __iter__(self) -> Iterator[np.ndarray]:
@@ -145,15 +187,18 @@ class PythonClipLoader:
         n, t, h, w, c = (self.num_clips, *self.clips.shape[1:])
         ch, cw = self.crop
         out = np.empty(self.batch_shape, dtype=np.float32)
+        ids = np.empty(self.batch_size, dtype=np.uint32)
         for i in range(self.batch_size):
             k = (self.rng.randint(n) if self.shuffle
                  else (i % n))
+            ids[i] = k
             oy = self.rng.randint(h - ch + 1) if ch < h else 0
             ox = self.rng.randint(w - cw + 1) if cw < w else 0
             clip = self.clips[k, :, oy:oy + ch, ox:ox + cw]
             if self.hflip and self.rng.randint(2):
                 clip = clip[:, :, ::-1]
             out[i] = clip.transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+        self.last_indices = ids
         return out
 
     def __iter__(self):

@@ -105,8 +105,8 @@ def make_data(args, model):
                        ).astype(np.float32)[..., None, None]
                 yield video.astype(np.float32), imu
         return gen()
-    from counterfactualworldmodels_tpu.data.shards import (NativeClipLoader,
-                                                           PythonClipLoader)
+    from counterfactualworldmodels_tpu.data.shards import (
+        NativeClipLoader, PythonClipLoader, read_imu_sidecar)
     crop = (sz, sz)
     try:
         loader = NativeClipLoader(args.shard, batch_size=args.batch_size,
@@ -115,13 +115,27 @@ def make_data(args, model):
         print(f'native loader unavailable ({e}); python fallback')
         loader = PythonClipLoader(args.shard, batch_size=args.batch_size,
                                   crop_size=crop)
+    # real per-clip IMU when the shard carries the sidecar (<shard>.imu,
+    # data/shards.write_imu_sidecar); synthesized placeholder otherwise
+    sidecar = read_imu_sidecar(args.shard)
+    if sidecar is not None:
+        if sidecar.shape[2] != L:
+            raise SystemExit(
+                f'IMU sidecar length {sidecar.shape[2]} != the model '
+                f'context sequence_length {L}')
+        print(f'imu sidecar: {sidecar.shape[0]} clips x '
+              f'{sidecar.shape[1]}ch x {sidecar.shape[2]}')
     rng = np.random.RandomState(args.seed + 1)
 
     def gen():
         for clips in iter(loader):  # [B, T, C, H, W]
             video = np.moveaxis(np.asarray(clips, np.float32), 1, 2)
-            imu = (rng.randn(video.shape[0], 6, L) * 0.1
-                   ).astype(np.float32)[..., None, None]
+            if sidecar is not None:
+                imu = np.asarray(sidecar[loader.last_indices],
+                                 np.float32)[..., None, None]
+            else:
+                imu = (rng.randn(video.shape[0], 6, L) * 0.1
+                       ).astype(np.float32)[..., None, None]
             yield video, imu
     return gen()
 

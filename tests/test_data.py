@@ -66,6 +66,59 @@ def test_python_loader_fallback(tmp_path):
         batch[0], clips[0].transpose(0, 3, 1, 2) / 255.0, atol=1e-6)
 
 
+def test_imu_sidecar_roundtrip_and_alignment(tmp_path):
+    """Sidecar rows follow the shuffle via loader.last_indices."""
+    from counterfactualworldmodels_tpu.data.shards import (
+        write_imu_sidecar, read_imu_sidecar)
+    path, clips = _shard(tmp_path, n=6)
+    assert read_imu_sidecar(path) is None
+    rng = np.random.RandomState(3)
+    imu = rng.randn(6, 6, 8).astype(np.float32)
+    write_imu_sidecar(path, imu)
+    back = read_imu_sidecar(path)
+    np.testing.assert_array_equal(np.asarray(back), imu)
+
+    loader = PythonClipLoader(path, batch_size=4, seed=0, shuffle=True)
+    batch = loader.next_batch()
+    ids = loader.last_indices
+    assert ids.shape == (4,) and ids.max() < 6
+    # each batch row's sidecar row is the IMU of its source clip
+    np.testing.assert_array_equal(np.asarray(back[ids]), imu[ids])
+    # row content really comes from clip ids[i] (full-frame, no crop)
+    for i in range(4):
+        expect = clips[ids[i]].transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+        np.testing.assert_allclose(batch[i], expect, atol=1e-6)
+
+
+def test_imu_sidecar_length_mismatch(tmp_path):
+    from counterfactualworldmodels_tpu.data.shards import write_imu_sidecar
+    path, _ = _shard(tmp_path, n=6)
+    with pytest.raises(AssertionError):
+        write_imu_sidecar(path, np.zeros((6, 6), np.float32))  # 2-D
+    # wrong clip count caught at read time
+    write_imu_sidecar(path, np.zeros((5, 6, 8), np.float32))
+    from counterfactualworldmodels_tpu.data.shards import read_imu_sidecar
+    with pytest.raises(AssertionError):
+        read_imu_sidecar(path)
+
+
+def test_native_loader_ids_match_rows(tmp_path):
+    if build_native() is None:
+        pytest.skip('no g++')
+    path, clips = _shard(tmp_path, n=6)
+    loader = NativeClipLoader(path, batch_size=3, num_threads=2, prefetch=2,
+                              seed=7, shuffle=True)
+    for _ in range(4):
+        batch = loader.next_batch()
+        ids = loader.last_indices
+        assert ids.shape == (3,) and ids.max() < 6
+        for i in range(3):
+            expect = (clips[ids[i]].transpose(0, 3, 1, 2)
+                      .astype(np.float32) / 255.0)
+            np.testing.assert_allclose(batch[i], expect, atol=1e-6)
+    loader.close()
+
+
 def test_flow_rgb_inverse():
     rng = np.random.RandomState(0)
     flow = jnp.asarray((rng.rand(2, 8, 8).astype(np.float32) - 0.5) * 2)

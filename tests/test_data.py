@@ -1,4 +1,6 @@
 """Native clip loader + flow RGB inverse tests."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -117,6 +119,46 @@ def test_native_loader_ids_match_rows(tmp_path):
                       .astype(np.float32) / 255.0)
             np.testing.assert_allclose(batch[i], expect, atol=1e-6)
     loader.close()
+
+
+def test_make_shards_cli(tmp_path):
+    """scripts/make_shards.py: frame-dir + npy sources -> loadable shard
+    with an aligned IMU sidecar (real stream for the dir, zeros for the
+    IMU-less npy rows)."""
+    import subprocess
+    import sys as _sys
+    from PIL import Image
+    from counterfactualworldmodels_tpu.data.shards import read_imu_sidecar
+    rng = np.random.RandomState(0)
+    fdir = tmp_path / 'framesA'
+    fdir.mkdir()
+    for i in range(20):
+        Image.fromarray(rng.randint(0, 256, (40, 48, 3), np.uint8)).save(
+            str(fdir / f'f{i:03d}.png'))
+    np.save(str(tmp_path / 'framesA.imu.npy'),
+            rng.randn(6, 900).astype(np.float32))
+    np.save(str(tmp_path / 'clips.npy'),
+            rng.randint(0, 256, (3, 2, 36, 36, 3), np.uint8))
+    out = tmp_path / 'out'
+    script = os.path.join(os.path.dirname(__file__), '..', 'scripts',
+                          'make_shards.py')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    r = subprocess.run(
+        [_sys.executable, script, str(fdir), str(tmp_path / 'clips.npy'),
+         '--out-dir', str(out), '--size', '32', '--clips-per-video', '4',
+         '--imu-suffix', '.imu.npy'], capture_output=True, text=True,
+        env=env)
+    assert r.returncode == 0, r.stderr
+    shard = str(out / 'clips-00000.shard')
+    assert read_shard_header(shard) == (7, 2, 32, 32, 3)
+    imu = read_imu_sidecar(shard)
+    assert imu.shape == (7, 6, 400)
+    # frame-dir rows carry the real stream, npy rows the zero fallback
+    assert np.abs(np.asarray(imu[:4])).sum() > 0
+    np.testing.assert_array_equal(np.asarray(imu[4:]), 0)
+    loader = PythonClipLoader(shard, batch_size=3, seed=0)
+    assert loader.next_batch().shape == (3, 2, 3, 32, 32)
 
 
 def test_flow_rgb_inverse():

@@ -265,6 +265,9 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     int32 [S, n_sfx] visible patch indices within frame 1 (row-major
     order). Returns [S, N1, out_dim] predictions for ALL frame-1 patches.
     two_source: see resolve_two_source (None -> env default).
+
+    ``cache`` may be a stacked multi-scene cache (stack_prefix_caches,
+    batch dim S): sample i then attends scene i's own prefix.
     """
     return _predict_frame1_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
@@ -315,6 +318,23 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     return (jnp.dot(y1, fp.head_kernel,
                     preferred_element_type=jnp.float32).astype(dtype)
             + fp.head_bias)
+
+
+def stack_prefix_caches(caches) -> PrefixCache:
+    """Stack the per-scene caches of S different scenes into ONE cache
+    whose batch dim is S: the multi-scene batched warm path.
+
+    ``predict_frame1_from_prefix`` with a stacked cache and S per-sample
+    frames runs all S suffixes (each attending its OWN scene's prefix) as
+    one dispatch — concurrent S=1 warm-prefix requests on different
+    images batch into a single program instead of serializing. The
+    two-source flash kernel reads the per-sample prefix panels in place
+    (ops/flash_attention.flash_attention_prefix, s0=S path)."""
+    caches = list(caches)
+    if len(caches) == 1:
+        return caches[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *caches)
 
 
 def make_prefix_cache(model: PretrainVisionTransformer, fp: FastParams,

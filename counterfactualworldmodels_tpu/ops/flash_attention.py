@@ -233,10 +233,17 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     BlockSpec index map); k1, v1 [S, H, N1, D]. Equivalent to
     flash_attention(q, concat([broadcast(k0), k1], 2), ...) but skips the
     S-fold broadcast+concat HBM writes of the prefix panels.
+
+    k0, v0 may instead be [S, H, N0, D]: a PER-SAMPLE prefix (stacked
+    caches of S different scenes — the multi-scene batched warm path,
+    fast_vmae.stack_prefix_caches). Panel b then maps to sample b//H's
+    own prefix instead of the shared one.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
     s, h, nq, d = q.shape
+    s0 = k0.shape[0]
+    assert s0 in (1, s), (s0, s)
     n0 = k0.shape[2]
     n1 = k1.shape[2]
 
@@ -247,8 +254,10 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     n0_p = -(-n0 // block_k0) * block_k0
     n1_p = -(-n1 // block_k1) * block_k1
     qp = jnp.pad(q.reshape(s * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
-    k0p = jnp.pad(k0[0], ((0, 0), (0, n0_p - n0), (0, 0)))
-    v0p = jnp.pad(v0[0], ((0, 0), (0, n0_p - n0), (0, 0)))
+    k0p = jnp.pad(k0.reshape(s0 * h, n0, d),
+                  ((0, 0), (0, n0_p - n0), (0, 0)))
+    v0p = jnp.pad(v0.reshape(s0 * h, n0, d),
+                  ((0, 0), (0, n0_p - n0), (0, 0)))
     k1p = jnp.pad(k1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
     v1p = jnp.pad(v1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
 
@@ -260,11 +269,16 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            # shared prefix panels: block index b % H -> every sample of a
-            # head reads the SAME panel, nothing is materialized per sample
-            pl.BlockSpec((1, n0_p, d), lambda b, i, _h=h: (b % _h, 0, 0),
+            # prefix panels: shared (s0=1) -> block index b % H, every
+            # sample of a head reads the SAME panel, nothing materialized
+            # per sample; per-sample (s0=S, stacked scenes) -> panel b
+            pl.BlockSpec((1, n0_p, d),
+                         (lambda b, i, _h=h: (b % _h, 0, 0)) if s0 == 1
+                         else (lambda b, i: (b, 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n0_p, d), lambda b, i, _h=h: (b % _h, 0, 0),
+            pl.BlockSpec((1, n0_p, d),
+                         (lambda b, i, _h=h: (b % _h, 0, 0)) if s0 == 1
+                         else (lambda b, i: (b, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n1_p, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -653,3 +653,48 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                              prefix_cache)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 8, 9, 10, 11, 12, 13))
+def counterfactual_videos_and_flows_fast_multi(vmae_model, fast_params,
+                                               raft_model, raft_params,
+                                               x, passive, active,
+                                               shifts, n_vis: int,
+                                               normalize: bool,
+                                               raft_iters: int,
+                                               fix_passive: bool,
+                                               use_flash: bool,
+                                               two_source: bool,
+                                               keys, prefix_cache):
+    """Multi-SCENE fast dispatch: each sample carries its OWN scene.
+
+    x [S, T, C, H, W] per-sample scene videos; passive/active [S, N];
+    shifts [S, 2]; keys [S] PRNG keys; prefix_cache a REQUIRED stacked
+    per-sample cache (fast_vmae.stack_prefix_caches — scene i's cache at
+    row i). Used by the serving layer to merge concurrent warm-prefix
+    requests on DIFFERENT images into one program: the per-sample-prefix
+    route of the two-source kernel (flash_attention_prefix, s0=S) reads
+    each row's panels in place. RAFT runs the standard per-sample path
+    (frame 0 differs per sample, nothing to share). Returns as
+    counterfactual_videos_and_flows_fast.
+
+    HBM note: the stacked cache materializes one prefix KV set per sample
+    (~0.3 GB/sample at ViT-L) — callers cap the distinct-scene batch
+    (scripts/serve.py --max-scene-batch).
+    """
+    from ..models.fast_vmae import _predict_videos_core
+    from ..models.raft.raft import apply_raft_video
+
+    def one(xb, p, a, shift, key):
+        return perturb.make_motion_counterfactual(
+            xb, p, a, shift, key, vmae_model.full_patch_size,
+            n_vis_target=n_vis, fix_passive=fix_passive)
+
+    x_mocos, mask_mocos = jax.vmap(one)(x, passive, active, shifts, keys)
+
+    y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
+                             n_vis, normalize, x_mocos, mask_mocos,
+                             prefix_cache)
+    flows = apply_raft_video(raft_model, raft_params, y, iters=raft_iters,
+                             scale_inputs=True)
+    return y, flows, mask_mocos

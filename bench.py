@@ -243,40 +243,44 @@ def main():
     sims_per_sec = (b * s) / dt / n_chips
 
     # S-scaling probe: scene-level work amortizes with S (PERF.md), so the
-    # headline takes the better of S=16 and S=64 when S wasn't pinned.
-    # Failures (OOM/compile) keep the already-measured base-S number.
+    # headline takes the best over S in {base, 64, 128} when S wasn't
+    # pinned (CWM_BENCH_SBIG: comma-separated list to override). Failures
+    # (OOM/compile) keep the best already-measured number.
     s_scaling = None
-    s_big = int(os.environ.get('CWM_BENCH_SBIG', 64))
-    if ((on_tpu or 'CWM_BENCH_SBIG' in os.environ) and s_big
+    s_bigs = [int(v) for v in
+              os.environ.get('CWM_BENCH_SBIG', '64,128').split(',') if v]
+    if ((on_tpu or 'CWM_BENCH_SBIG' in os.environ) and s_bigs
             and mesh is None and 'CWM_BENCH_S' not in os.environ
             and engine.startswith('shared-prefix')):
-        try:
-            p2, a2, sh2, k2 = build_prompts(s_big)
+        s_scaling = {f's{s}': round(sims_per_sec, 3)}
+        for s_big in s_bigs:
+            try:
+                p2, a2, sh2, k2 = build_prompts(s_big)
 
-            def dispatch_big():
-                _, flows, _ = counterfactual_videos_and_flows_fast(
-                    model, fp, raft, raft_params, x, p2, a2, sh2, k2,
-                    n_vis, True, raft_iters, True, on_tpu, two_source)
-                return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+                def dispatch_big():
+                    _, flows, _ = counterfactual_videos_and_flows_fast(
+                        model, fp, raft, raft_params, x, p2, a2, sh2, k2,
+                        n_vis, True, raft_iters, True, on_tpu, two_source)
+                    return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
-            float(dispatch_big())  # compile + warm
-            times2 = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                acc = jnp.float32(0)
+                float(dispatch_big())  # compile + warm
+                times2 = []
                 for _ in range(3):
-                    acc = acc + dispatch_big()
-                float(acc)
-                times2.append((time.perf_counter() - t0) / 3)
-            rate_big = (b * s_big) / min(times2)
-            s_scaling = {f's{s}': round(sims_per_sec, 3),
-                         f's{s_big}': round(rate_big, 3)}
-            if rate_big > sims_per_sec:
-                sims_per_sec, s, dt = rate_big, s_big, min(times2)
-        except Exception:
-            traceback.print_exc()
-            print('S=64 probe failed; keeping the base-S headline',
-                  file=sys.stderr)
+                    t0 = time.perf_counter()
+                    acc = jnp.float32(0)
+                    for _ in range(3):
+                        acc = acc + dispatch_big()
+                    float(acc)
+                    times2.append((time.perf_counter() - t0) / 3)
+                rate_big = (b * s_big) / min(times2)
+                s_scaling[f's{s_big}'] = round(rate_big, 3)
+                if rate_big > sims_per_sec:
+                    sims_per_sec, s, dt = rate_big, s_big, min(times2)
+            except Exception:
+                traceback.print_exc()
+                print(f'S={s_big} probe failed; keeping the best measured '
+                      'headline', file=sys.stderr)
+                jax.clear_caches()
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}

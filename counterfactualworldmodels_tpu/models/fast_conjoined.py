@@ -245,18 +245,29 @@ def _cross_suffix(pc, h, src, ckv, num_heads: int):
                  jnp.swapaxes(y, 1, 2).reshape(s, n, inner))
 
     # context <- main over [cached prefix ; own suffix] keys (full set;
-    # the scale rides the main-side keys here, so pre-scale the queries)
+    # the scale rides the main-side keys here, so pre-scale the queries).
+    # k_pre/v_pre are [1, H, N0, d] (shared scene) or [S, H, N0, d]
+    # (stacked multi-scene caches: sample i reads scene i's prefix rows)
     q_s = qk_s[..., d:] * scale
-    sim_pre = jnp.einsum('shmd,hkd->shmk', q_s, k_pre[0],
-                         preferred_element_type=jnp.float32)
+    if k_pre.shape[0] == 1:
+        sim_pre = jnp.einsum('shmd,hkd->shmk', q_s, k_pre[0],
+                             preferred_element_type=jnp.float32)
+    else:
+        sim_pre = jnp.einsum('shmd,shkd->shmk', q_s, k_pre,
+                             preferred_element_type=jnp.float32)
     sim_sfx = jnp.einsum('shmd,shnd->shmn', q_s, qk_x[..., d:],
                          preferred_element_type=jnp.float32)
     attn_src = jax.nn.softmax(
         jnp.concatenate([sim_pre, sim_sfx], axis=-1), -1)
     n_pre = k_pre.shape[2]
-    y_src = (jnp.einsum('shmk,hkd->shmd',
-                        attn_src[..., :n_pre].astype(v_pre.dtype), v_pre[0],
-                        preferred_element_type=jnp.float32)
+    a_pre = attn_src[..., :n_pre].astype(v_pre.dtype)
+    if v_pre.shape[0] == 1:
+        y_pre = jnp.einsum('shmk,hkd->shmd', a_pre, v_pre[0],
+                           preferred_element_type=jnp.float32)
+    else:
+        y_pre = jnp.einsum('shmk,shkd->shmd', a_pre, v_pre,
+                           preferred_element_type=jnp.float32)
+    y_src = (y_pre
              + jnp.einsum('shmn,shnd->shmd',
                           attn_src[..., n_pre:].astype(v_x.dtype), v_x,
                           preferred_element_type=jnp.float32)
@@ -599,6 +610,21 @@ def make_conjoined_prefix_cache(wrapper, params, x, x_context,
     """x: [1, 2, C, H, W] raw scene; x_context: [1, C, L] raw IMU."""
     return _encode_prefix_entry(wrapper, params, x, x_context, normalize,
                                 use_flash)
+
+
+def stack_conjoined_prefix_caches(caches):
+    """Stack per-(scene, IMU) caches of S different scenes into ONE cache
+    with batch dim S: the conjoined multi-scene batched warm path
+    (mirror of fast_vmae.stack_prefix_caches). predict_frame1_conjoined /
+    _conjoined_videos_core with a stacked cache and per-sample inputs run
+    all S suffixes as one dispatch, each attending its OWN scene's main
+    prefix and cross-prefix rows (_cross_suffix per-sample route,
+    _block_suffix_one / flash_attention_prefix s0=S route)."""
+    caches = list(caches)
+    if len(caches) == 1:
+        return caches[0]
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *caches)
 
 
 class ConjoinedPrefixLru(HashLru):

@@ -485,6 +485,41 @@ def _imu_counterfactual_step_fast(wrapper, params, raft_model, raft_params,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
+def _imu_counterfactual_multi_step_fast(wrapper, params, raft_model,
+                                        raft_params, x, passive, active,
+                                        shifts, keys, x_context,
+                                        mask_context, n_vis: int,
+                                        normalize: bool, raft_iters: int,
+                                        use_flash: bool, two_source: bool,
+                                        prefix_cache):
+    """Multi-SCENE variant of _imu_counterfactual_step_fast: each sample
+    carries its OWN (scene, IMU context) pair.
+
+    x [S, T, C, H, W] per-sample scenes; passive/active [S, N]; shifts
+    [S, 2]; keys [S]; x_context per-sample IMU [S, ...]; mask_context
+    [S, M] all-False; prefix_cache a REQUIRED stacked cache
+    (fast_conjoined.stack_conjoined_prefix_caches — scene i's cache at
+    row i). RAFT runs the standard per-sample path (frame 0 differs per
+    sample). Used by the serving layer to merge concurrent warm-prefix
+    IMU-conditioned requests on different images into one program."""
+    from ..models.fast_conjoined import _conjoined_videos_core
+
+    def one(xb, p, a, shift, key):
+        return perturb.make_motion_counterfactual(
+            xb, p, a, shift, key, wrapper.patch_size, n_vis_target=n_vis,
+            fix_passive=True)
+
+    x_mocos, mask_mocos = jax.vmap(one)(x, passive, active, shifts, keys)
+
+    y = _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos,
+                               x_context, mask_context, n_vis, normalize,
+                               use_flash, two_source, prefix_cache)
+    flows = apply_raft_video(raft_model, raft_params, y, iters=raft_iters,
+                             scale_inputs=True)
+    return y, flows, mask_mocos
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
 def _imu_counterfactual_step(wrapper, params, raft_model, raft_params, x,
                              passive, active, shifts, keys, x_context,
                              mask_context, n_vis: int, n_vis_c: int,

@@ -572,9 +572,126 @@ class ImuCwmService(CwmService):
         return int(vis_f0 + vis_f1)
 
     def _dispatch_cf_batch(self, key, items):
-        """IMU route: same image guaranteed by the batch key."""
-        _, _, n_vis = key
-        return self._dispatch_imu_scene(items)
+        """IMU route: all-same-image batches take the public-API
+        S-dispatch; mixed images merge via stacked conjoined caches
+        (engine='fast' only), chunked under max_scene_batch."""
+        import numpy as np
+        _, n_vis = key
+        imgs = [np.asarray(x) for (x, *_r) in items]
+        same = all(i.shape == imgs[0].shape and (i == imgs[0]).all()
+                   for i in imgs[1:])
+        if same:
+            return self._dispatch_imu_scene(items)
+        if self.engine != 'fast' or not self._imu_fast_ready():
+            # no stacked-cache route: serve per image, preserving order
+            out, group = [], [items[0]]
+            for it in items[1:]:
+                a = np.asarray(it[0])
+                g0 = np.asarray(group[0][0])
+                if a.shape == g0.shape and (a == g0).all():
+                    group.append(it)
+                else:
+                    out.extend(self._dispatch_imu_scene(group))
+                    group = [it]
+            out.extend(self._dispatch_imu_scene(group))
+            return out
+        out, chunk, cnt = [], [], 0
+        for it in items:
+            s = it[4]
+            if chunk and cnt + s > self.max_scene_batch:
+                out.extend(self._dispatch_imu_chunk(n_vis, chunk))
+                chunk, cnt = [], 0
+            chunk.append(it)
+            cnt += s
+        if chunk:
+            out.extend(self._dispatch_imu_chunk(n_vis, chunk))
+        return out
+
+    def _imu_fast_ready(self):
+        """True when the conjoined shared-prefix engine supports the
+        model (fast_conjoined.conjoined_fast_supported)."""
+        from counterfactualworldmodels_tpu.models.fast_conjoined import (
+            conjoined_fast_supported)
+        return conjoined_fast_supported(self.G.predictor.model)
+
+    def _dispatch_imu_chunk(self, n_vis, items):
+        import numpy as np
+        imgs = [np.asarray(x) for (x, *_r) in items]
+        if len(items) == 1 or all(
+                i.shape == imgs[0].shape and (i == imgs[0]).all()
+                for i in imgs[1:]):
+            return self._dispatch_imu_scene(items)
+        return self._dispatch_imu_multi_scene(n_vis, items)
+
+    def _dispatch_imu_multi_scene(self, n_vis, items):
+        """ONE fused conjoined dispatch for concurrent IMU-conditioned
+        prompts on DIFFERENT images: per-sample (scene, IMU) pairs +
+        stacked conjoined caches (fast_conjoined.
+        stack_conjoined_prefix_caches); RAFT per-sample."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from counterfactualworldmodels_tpu.models.fast_conjoined import (
+            resolve_two_source, stack_conjoined_prefix_caches)
+        from counterfactualworldmodels_tpu.pipelines.imu import (
+            _imu_counterfactual_multi_step_fast)
+        from counterfactualworldmodels_tpu.utils.batching import (
+            pad_to_bucket)
+        G = self.G
+        counts = [s for (_, _, _, _, s) in items]
+        s_total = sum(counts)
+        buckets = ([b for b in self._s_buckets if b <= self.max_scene_batch]
+                   or [self.max_scene_batch])
+        s_pad = pad_to_bucket(s_total, buckets)
+        rows = []                       # per-sample (x, act, pas, shift)
+        for (x, a, p, shift, s) in items:
+            rows.extend([(x, a[0], p[0], shift)] * s)
+        rows.extend([rows[-1]] * (s_pad - s_total))
+        act = np.stack([r[1] for r in rows])
+        pas = np.stack([r[2] for r in rows])
+        shf = np.asarray([r[3] for r in rows], np.int32)
+        with self.lock:
+            self._req_counter += 1
+            keys = jax.random.split(
+                jax.random.PRNGKey(self.seed + self._req_counter), s_total)
+            if s_pad > s_total:
+                keys = jnp.concatenate(
+                    [keys, jnp.repeat(keys[-1:], s_pad - s_total, 0)], 0)
+            G._ensure_conj_fast()
+            caches, ctxs = [], []
+            for r in rows:
+                video = jnp.broadcast_to(r[0][:, None],
+                                         (1, 2, *r[0].shape[1:]))
+                ctx = G.reshape_output(self._static_imu_for(r[0]))
+                cache, _ = G._conj_prefix_lru.get(video, ctx)
+                caches.append(cache)
+                ctxs.append(ctx)
+            stacked = stack_conjoined_prefix_caches(caches)
+            xs = jnp.concatenate(
+                [jnp.broadcast_to(r[0][:, None], (1, 2, *r[0].shape[1:]))
+                 for r in rows])
+            x_context = jnp.concatenate(ctxs)
+            mask_context = jnp.zeros(
+                (s_pad, self.G.num_head_tokens), dtype=bool)
+            use_flash = G._use_flash
+            ys, flows, _ = _imu_counterfactual_multi_step_fast(
+                G.predictor, G._conj_params, G.flow_model, G.flow_params,
+                xs, jnp.asarray(pas), jnp.asarray(act), jnp.asarray(shf),
+                keys, x_context, mask_context, n_vis,
+                G.imagenet_normalize_inputs, G.raft_iters, use_flash,
+                resolve_two_source(use_flash), stacked)
+            self.scene_batches += 1
+            out, off = [], 0
+            for s in counts:
+                fl = flows[off:off + s]          # [s, 1, 2, H, W]
+                flows_s = jnp.moveaxis(fl[:, 0], 0, -1)[None]
+                seg = G.compute_mean_motion_map(flows_s)[0, 0]
+                out.append(self._cf_response(
+                    np.asarray(ys[off, 1], np.float32).transpose(1, 2, 0),
+                    fl[0, 0], seg, engine=self.engine, imu_conditioned=True,
+                    batched_samples=s_pad, scene_batched=len(items)))
+                off += s
+        return out
 
     def _dispatch_imu_scene(self, items):
         """One generator call for a batch of same-scene IMU-conditioned
@@ -628,16 +745,14 @@ class ImuCwmService(CwmService):
         return out
 
     def counterfactual(self, req):
-        import hashlib
         import numpy as np
         import jax.numpy as jnp
         x, active, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
         if self._batcher is not None:
             item = (x, active, passive_np, shift, s)
-            img_key = hashlib.sha1(np.asarray(x).tobytes()).hexdigest()
             n_vis = self._imu_n_vis(active, passive_np)
-            return self._batcher.run(('imu', img_key, n_vis), item)
+            return self._batcher.run(('imu', n_vis), item)
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
             self._req_counter += 1

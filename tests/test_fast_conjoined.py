@@ -422,6 +422,40 @@ def test_prefix_cache_injection_and_lru():
     assert not hit and lru.misses == 2
 
 
+@pytest.mark.parametrize('use_flash,two_source', [(False, False),
+                                                  (True, True)])
+def test_multi_scene_stacked_conjoined_caches(use_flash, two_source):
+    """stack_conjoined_prefix_caches: S=1 suffixes of DIFFERENT
+    (scene, IMU) pairs batched into one dispatch == the per-scene serial
+    calls (exercises _cross_suffix's per-sample prefix route and the
+    s0=S two-source kernel path when two_source)."""
+    model, params, w = _tiny()
+    scenes, serial = [], []
+    for seed in (11, 12, 13):
+        rng = np.random.RandomState(seed)
+        x_mocos, mask, imu, vis1, n_vis = _workload(rng, s=1)
+        mask_c = jnp.zeros((1, IMU_TOK), bool)
+        cache = fc.make_conjoined_prefix_cache(w, params, x_mocos[0:1],
+                                               imu, True, use_flash)
+        y = fc.predict_videos_conjoined_prefix(
+            w, params, x_mocos, mask, imu, mask_c, n_vis, True, use_flash,
+            cache=cache, two_source=two_source)
+        serial.append(y)
+        scenes.append((x_mocos, mask, imu, mask_c, cache))
+
+    stacked = fc.stack_conjoined_prefix_caches([s[-1] for s in scenes])
+    y_b = fc.predict_videos_conjoined_prefix(
+        w, params,
+        jnp.concatenate([s[0] for s in scenes]),
+        jnp.concatenate([s[1] for s in scenes]),
+        jnp.concatenate([s[2] for s in scenes]),
+        jnp.concatenate([s[3] for s in scenes]),
+        n_vis, True, use_flash, cache=stacked, two_source=two_source)
+    np.testing.assert_allclose(np.asarray(y_b),
+                               np.asarray(jnp.concatenate(serial)),
+                               atol=2e-5)
+
+
 def test_cast_params_dtypes():
     """cast_params maps every leaf to the requested dtype (the engine
     reads its compute dtype off the leaves)."""

@@ -240,6 +240,33 @@ def test_serve_imu_micro_batching():
     # the conjoined prefix LRU was built once for the shared scene
     assert svc.prefix_misses == 1
 
+    # mixed-image IMU requests merge into ONE stacked-cache dispatch
+    imgs = [rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+            for _ in range(2)]
+    outs2, errors2 = {}, []
+
+    def worker2(i):
+        try:
+            outs2[i] = svc.counterfactual(
+                {'image': imgs[i], 'active': [[2, 2]], 'shift': [0, 1],
+                 'num_samples': 1})
+        except Exception as e:       # pragma: no cover
+            errors2.append(e)
+
+    ts = [threading.Thread(target=worker2, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert not errors2, errors2
+    assert svc.scene_batches == 1
+    for i in range(2):
+        assert outs2[i]['imu_conditioned'] is True
+        assert outs2[i]['scene_batched'] == 2
+        seg = np.asarray(outs2[i]['segment_raw'])
+        assert seg.shape == (32, 32) and np.isfinite(seg).all()
+
 
 @pytest.mark.slow
 def test_serve_mixed_scene_batching():

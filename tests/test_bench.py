@@ -112,3 +112,49 @@ def test_train_conjoined_cli_smoke(tmp_path):
                           timeout=900)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert 'resumed from step 4' in out2.stdout, out2.stdout[-500:]
+
+
+@pytest.mark.slow
+def test_train_cmae_cli_smoke(tmp_path):
+    """train_cmae.py: synthetic smoke with checkpoints + resume, and the
+    shard + RAFT-flow channel-group path."""
+    import numpy as np
+    from counterfactualworldmodels_tpu.data.shards import write_shard
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    ckdir = str(tmp_path / 'ck')
+    cmd = [sys.executable, os.path.join(_REPO, 'scripts', 'train_cmae.py'),
+           '--synthetic', '--steps', '4', '--log-every', '2',
+           '--batch-size', '2', '--img-size', '64', '--patch-size', '16',
+           '--model', 'tiny', '--warmup-steps', '2',
+           '--checkpoint-dir', ckdir, '--checkpoint-every', '2']
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith('{')]
+    assert recs and recs[-1]['loss'] < recs[0]['loss']
+    out2 = subprocess.run(cmd[:-4] + ['--checkpoint-dir', ckdir,
+                                      '--steps', '6'],
+                          env=env, capture_output=True, text=True,
+                          timeout=900)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert 'resumed from step 4' in out2.stdout, out2.stdout[-500:]
+
+    # shard + flow group: partition gains the 2 flow channels
+    rng = np.random.RandomState(0)
+    shard = str(tmp_path / 'clips.shard')
+    write_shard(shard, rng.randint(0, 256, (4, 2, 32, 32, 3), np.uint8))
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(_REPO, 'scripts', 'train_cmae.py'),
+         '--shard', shard, '--steps', '2', '--log-every', '1',
+         '--batch-size', '2', '--img-size', '32', '--patch-size', '16',
+         '--model', 'tiny', '--warmup-steps', '1', '--with-flow',
+         '--raft-iters', '2'],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    assert 'partition=(3, 2)' in out3.stdout, out3.stdout[-500:]
+    recs3 = [json.loads(ln) for ln in out3.stdout.splitlines()
+             if ln.startswith('{')]
+    assert recs3 and all(np.isfinite(r['loss']) for r in recs3)

@@ -165,6 +165,31 @@ def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
                       optimizer.init(params))
 
 
+def make_sharded_cmae_train_step(model, optimizer, mesh: Mesh, n_vis: int,
+                                 group_masked_counts, remat: bool = True):
+    """dp x tp sharded ChannelMae training: batches shard over 'dp';
+    the encoder/decoder blocks share the VMAE Block parameter layout so
+    VMAE_PARTITION_RULES apply unchanged (channel heads / patch embeds
+    replicate via the catch-all). Returns (jitted_step, shard_state,
+    data_sharding) with step(state, x, mask) like the unsharded one."""
+    step_fn = make_cmae_train_step(model, optimizer, n_vis,
+                                   group_masked_counts, remat=remat)
+    data_sharding = NamedSharding(mesh, P('dp'))
+    repl = NamedSharding(mesh, P())
+
+    def shard_state(state: TrainState) -> TrainState:
+        p_sh = parallel.param_shardings(state.params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
+        o_sh = parallel.opt_state_shardings(state.opt_state, p_sh, mesh)
+        opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state,
+                                           o_sh)
+        return TrainState(jax.device_put(state.step, repl), params,
+                          opt_state)
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    return jitted, shard_state, data_sharding
+
+
 def conjoined_prediction_loss(model, params, x, mask, x_context,
                               mask_context, n_vis: int, n_vis_context: int,
                               normalize_inputs: bool = True,

@@ -59,6 +59,10 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--dp', type=int, default=0,
+                    help='data-parallel mesh size (0 = all devices / tp)')
+    ap.add_argument('--tp', type=int, default=1,
+                    help='tensor-parallel mesh size')
     return ap.parse_args()
 
 
@@ -172,11 +176,16 @@ def main():
     from counterfactualworldmodels_tpu.utils.profiling import MetricsLogger
 
     enable_persistent_cache()
+    from counterfactualworldmodels_tpu import parallel
     model = build_model(args, partition)
     optimizer = T.make_optimizer(learning_rate=args.lr,
                                  warmup_steps=args.warmup_steps,
                                  total_steps=args.steps)
+    n_dev = jax.device_count()
+    dp = args.dp or max(1, n_dev // args.tp)
+    mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
     print(f'partition={partition} mask_size={model.mask_size} '
+          f'devices={n_dev} mesh=dp{dp} x tp{args.tp} '
           f'backend={jax.default_backend()}')
 
     key = jax.random.PRNGKey(args.seed)
@@ -197,16 +206,28 @@ def main():
         start_step = int(state.step)
         print(f'resumed from step {start_step}')
 
-    step_fn = jax.jit(T.make_cmae_train_step(model, optimizer, n_vis,
-                                             counts,
-                                             remat=not args.no_remat),
-                      donate_argnums=(0,))
+    if n_dev > 1:
+        step_fn, shard_state, data_sharding = T.make_sharded_cmae_train_step(
+            model, optimizer, mesh, n_vis, counts,
+            remat=not args.no_remat)
+        state = shard_state(state)
+
+        def put(x):
+            return jax.device_put(x, data_sharding)
+    else:
+        step_fn = jax.jit(T.make_cmae_train_step(model, optimizer, n_vis,
+                                                 counts,
+                                                 remat=not args.no_remat),
+                          donate_argnums=(0,))
+
+        def put(x):
+            return jnp.asarray(x)
 
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     data = make_data(args, partition)
     t0 = time.time()
     for step in range(start_step, args.steps):
-        batch = jnp.asarray(np.asarray(next(data), np.float32))
+        batch = put(np.asarray(next(data), np.float32))
         key, mk = jax.random.split(key)
         mask, counts_k = group_uniform_mask(mk, model.mask_size,
                                             args.mask_ratio,

@@ -169,6 +169,48 @@ def test_sharded_conjoined_train_step_runs_and_matches():
     np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
 
 
+def test_sharded_cmae_train_step_runs_and_matches():
+    """dp x tp ChannelMae training matches the single-device step (the
+    Block layout is shared with VMAE, so VMAE_PARTITION_RULES apply)."""
+    from counterfactualworldmodels_tpu.models import cmae as jcmae
+
+    mesh = parallel.make_mesh({'dp': 2, 'tp': 2})
+    model = jcmae.ChannelMae(
+        image_size=(32, 32), patch_size=(16, 16), in_channels=3,
+        channel_partition=(3,), encoder_embed_dim=64, encoder_depth=2,
+        encoder_num_heads=4, decoder_embed_dim=48, decoder_depth=1,
+        decoder_num_heads=4, mlp_ratio=2.0)
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    mask, counts = jcmae.group_uniform_mask(jax.random.PRNGKey(1),
+                                            model.mask_size, 0.5,
+                                            batch_size=4)
+    n_vis = mask.shape[1] - sum(counts)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(4, 3, 32, 32).astype(np.float32))
+    state = jtrain.init_cmae_train_state(model, opt, jax.random.PRNGKey(0),
+                                         x.shape, mask, n_vis, counts)
+
+    step = jtrain.make_cmae_train_step(model, opt, n_vis, counts)
+    ref_state, ref_metrics = step(state, x, mask)
+
+    jitted, shard_state, data_sharding = \
+        jtrain.make_sharded_cmae_train_step(model, opt, mesh, n_vis, counts)
+    st = shard_state(state)
+    # encoder qkv really shards over tp (head-aligned out axis)
+    qkv = st.params['encoder']['blocks_0']['attn']['qkv_kernel']
+    assert qkv.sharding.shard_shape(qkv.shape) == (64, 3, 32), \
+        qkv.sharding.shard_shape(qkv.shape)
+    new_state, metrics = jitted(st, jax.device_put(x, data_sharding),
+                                jax.device_put(mask, data_sharding))
+    assert np.isfinite(float(metrics['loss']))
+    np.testing.assert_allclose(float(metrics['loss']),
+                               float(ref_metrics['loss']), rtol=1e-4)
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(ref_state.params)[0])
+    sh_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
+    np.testing.assert_allclose(sh_leaf, ref_leaf, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_train_loss_decreases():
     model = _tiny_model()

@@ -6,6 +6,7 @@ from .tensor import tensor_parallel_blocks, make_tp_encoder_forward
 from .inference import (shard_counterfactual_batch, sharded_counterfactuals,
                         sharded_imu_counterfactuals,
                         sharded_counterfactuals_fast,
+                        sharded_counterfactuals_fast_multi,
                         sharded_imu_counterfactuals_fast)
 from .pipeline import (stack_block_params, unstack_block_params,
                        pipelined_blocks, make_pp_encoder_forward)

@@ -80,6 +80,42 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
         two_source)
 
 
+def sharded_counterfactuals_fast_multi(mesh: Mesh, vmae_model, fast_params,
+                                       raft_model, raft_params, x, passive,
+                                       active, shifts, keys, n_vis: int,
+                                       normalize: bool, raft_iters: int,
+                                       use_flash: bool = False,
+                                       two_source: bool = False,
+                                       prefix_cache=None):
+    """Sample-sharded MULTI-SCENE shared-prefix engine
+    (segmentation.counterfactual_videos_and_flows_fast_multi): every
+    per-sample operand INCLUDING the stacked prefix cache shards over the
+    'samples' axis, so each chip holds only its own scenes' prefix KV
+    (the stacked-cache HBM cost divides by the mesh) and runs its slice
+    of the suffix + RAFT work — pod-scale serving of concurrent prompts
+    on different images. x [S, T, C, H, W]; passive/active [S, N];
+    shifts [S, 2]; keys [S]; prefix_cache a REQUIRED stacked cache
+    (fast_vmae.stack_prefix_caches, leaf batch axis 1). S must be
+    divisible by the mesh size.
+    """
+    from ..pipelines.segmentation import (
+        counterfactual_videos_and_flows_fast_multi)
+
+    repl = NamedSharding(mesh, P())
+    fast_params = jax.device_put(fast_params, repl)
+    raft_params = jax.device_put(raft_params, repl)
+    x, passive, active, shifts, keys = shard_counterfactual_batch(
+        mesh, x, passive, active, shifts, keys, axis=0)
+    cache = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(
+            mesh, P(*([None, 'samples'] + [None] * (a.ndim - 2))))),
+        prefix_cache)
+    return counterfactual_videos_and_flows_fast_multi(
+        vmae_model, fast_params, raft_model, raft_params, x, passive,
+        active, shifts, n_vis, normalize, raft_iters, True, use_flash,
+        two_source, keys, cache)
+
+
 def sharded_imu_counterfactuals_fast(mesh: Mesh, wrapper, params, raft_model,
                                      raft_params, x, passive, active, shifts,
                                      keys, x_context, mask_context,

@@ -465,6 +465,49 @@ def test_sharded_fast_counterfactuals_match_single_device():
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
 
 
+def test_sharded_fast_multi_scene_matches_single_device():
+    """Sample-sharded multi-scene engine (stacked per-sample caches
+    sharded over 'samples') == the single-device multi-scene dispatch."""
+    from counterfactualworldmodels_tpu.models import fast_vmae as fv
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        counterfactual_videos_and_flows_fast_multi)
+    mesh = parallel.sample_parallel_mesh(4)
+    model = _tiny_model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    rng = np.random.RandomState(3)
+    s = 4
+    n = model.num_patches
+    x = jnp.asarray(rng.rand(s, 2, 3, 32, 32).astype(np.float32))
+    passive = np.ones((s, n), dtype=bool)
+    passive[:, :n // 2] = False
+    active = passive.copy()
+    for i in range(s):
+        active[i, n // 2 + rng.randint(n // 2)] = False
+    passive, active = jnp.asarray(passive), jnp.asarray(active)
+    shifts = jnp.asarray(rng.randint(-1, 2, size=(s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(4), s)
+    n_vis = n // 2 + 1
+    cache = fv.stack_prefix_caches(
+        [fv.make_prefix_cache(model, fp, False, True, x[i:i + 1, 0])
+         for i in range(s)])
+
+    y_ref, f_ref, m_ref = counterfactual_videos_and_flows_fast_multi(
+        model, fp, raft, raft_params, x, passive, active, shifts, n_vis,
+        True, 1, True, False, False, keys, cache)
+    y_sh, f_sh, m_sh = parallel.sharded_counterfactuals_fast_multi(
+        mesh, model, fp, raft, raft_params, x, passive, active, shifts,
+        keys, n_vis, True, 1, False, False, prefix_cache=cache)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_ref),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
+
+
 @pytest.mark.slow
 def test_sharded_imu_counterfactuals_fast_match_single_device():
     """Sample-sharded conjoined (IMU) shared-prefix engine == single-device

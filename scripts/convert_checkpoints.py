@@ -55,7 +55,8 @@ def main():
         if only and out_name not in only:
             continue
         path = os.path.join(args.ckpt_dir, fname)
-        if not os.path.exists(path):
+        if not os.path.exists(path) or os.path.getsize(path) == 0:
+            # 0-byte = a failed download's -O target, not a checkpoint
             print(f'skip {out_name}: {path} not found')
             continue
         sd = torch.load(path, map_location='cpu', weights_only=False)

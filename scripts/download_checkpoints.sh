@@ -16,7 +16,12 @@ for f in cwm_baseVMAE_224px_8x8patches_2frames.pth \
          cwm_IMUcond_conjVMAE_224px_4x4patches_2frames.pth \
          flow2imu_conjVMAE_224px.pth \
          raft_consolidated_keypoint_predictor.pth; do
-    [ -f "${ckpt_dir}/${f}" ] || wget -O "${ckpt_dir}/${f}" "${S3}/${f}"
+    # skip only non-empty files; a failed wget leaves a 0-byte -O target,
+    # which must not defeat the retry on the next round
+    if [ ! -s "${ckpt_dir}/${f}" ]; then
+        wget -O "${ckpt_dir}/${f}" "${S3}/${f}" \
+            || rm -f "${ckpt_dir}/${f}"
+    fi
 done
 
 # RAFT weights (princeton-vl release, via the reference's dropbox mirror)

@@ -222,6 +222,16 @@ class CwmService:
         self.max_scene_batch = int(max_scene_batch)
         self.scene_batches = 0      # mixed-scene dispatches run
 
+    def _scene_buckets(self):
+        """Pad buckets for MIXED-scene dispatches: the standard powers of
+        two up to the cap, plus the cap itself — mixed chunks never
+        exceed max_scene_batch samples (single over-cap items route
+        through the same-scene path), so padding never clamps BELOW the
+        chunk size for any --max-scene-batch value."""
+        return sorted({b for b in self._s_buckets
+                       if b < self.max_scene_batch}
+                      | {self.max_scene_batch})
+
     @property
     def prefix_hits(self):
         return self._lru.hits if self._lru else 0
@@ -381,9 +391,8 @@ class CwmService:
         G = self.G
         counts = [s for (_, _, _, _, s) in items]
         s_total = sum(counts)
-        buckets = ([b for b in self._s_buckets if b <= self.max_scene_batch]
-                   or [self.max_scene_batch])
-        s_pad = pad_to_bucket(s_total, buckets)
+        s_pad = pad_to_bucket(s_total, self._scene_buckets())
+        assert s_pad >= s_total, (s_pad, s_total)
         rows = []                       # per-sample (x, act, pas, shift)
         for (x, a, p, shift, s) in items:
             rows.extend([(x, a[0], p[0], shift)] * s)
@@ -640,9 +649,8 @@ class ImuCwmService(CwmService):
         G = self.G
         counts = [s for (_, _, _, _, s) in items]
         s_total = sum(counts)
-        buckets = ([b for b in self._s_buckets if b <= self.max_scene_batch]
-                   or [self.max_scene_batch])
-        s_pad = pad_to_bucket(s_total, buckets)
+        s_pad = pad_to_bucket(s_total, self._scene_buckets())
+        assert s_pad >= s_total, (s_pad, s_total)
         rows = []                       # per-sample (x, act, pas, shift)
         for (x, a, p, shift, s) in items:
             rows.extend([(x, a[0], p[0], shift)] * s)

@@ -525,6 +525,112 @@ class CwmService:
             return self._cf_response(
                 np.asarray(ys[0, 1]).transpose(1, 2, 0), flows[0, 0], seg)
 
+    # ---- startup warmup (pre-compile the serving programs) ----
+
+    def _snapshot_counters(self):
+        b = self._batcher
+        return {'req': self._req_counter, 'scene': self.scene_batches,
+                'batches': b.batches if b else 0,
+                'batched_items': b.batched_items if b else 0}
+
+    def _restore_counters(self, s):
+        self._req_counter = s['req']
+        self.scene_batches = s['scene']
+        if self._batcher is not None:
+            self._batcher.batches = s['batches']
+            self._batcher.batched_items = s['batched_items']
+
+    def _clear_prefix_state(self):
+        """Drop the synthetic warmup scenes from the prefix LRU (frees
+        their pinned device KV) and zero its hit/miss counters."""
+        if self._lru is not None:
+            self._lru._entries.clear()
+            self._lru.hits = self._lru.misses = 0
+
+    def _mixed_warm_ready(self):
+        return True
+
+    def _warm_mixed_dispatch(self, n_vis, items):
+        return self._dispatch_multi_scene(n_vis, items)
+
+    def warmup(self, buckets=(1, 4, 16), active_counts=(1,), log=print):
+        """Pre-compile the serving programs before accepting traffic.
+
+        Runs one dispatch per (route, padded batch size) on synthetic
+        scenes: the /predict program, the counterfactual dispatch at each
+        S bucket in ``buckets``, and — fast engine with micro-batching on
+        — the mixed-scene stacked-cache dispatch at each scene bucket up
+        to max(buckets). On TPU the first compile per shape costs tens of
+        seconds; paying all of them at startup (under the persistent XLA
+        compilation cache) keeps the first real requests at steady-state
+        latency. Programs are additionally keyed by the visible-patch
+        count: ``active_counts`` lists the prompt sizes to warm (k active
+        patches -> n_vis = n_patches//2 + k for the plain service).
+
+        Service counters are restored and the prefix caches cleared
+        afterwards (``_req_counter`` resets, so request numerics match an
+        un-warmed server). Returns [(route, batch_size, seconds), ...].
+        """
+        import time
+        import numpy as np
+        g = self.img_size
+        yy, xx = np.meshgrid(np.linspace(0., 1., g, dtype=np.float32),
+                             np.linspace(0., 1., g, dtype=np.float32),
+                             indexing='ij')
+
+        def synth(i):
+            base = (yy * (i + 1) + xx) % 1.0
+            return np.stack([base, 0.25 + 0.5 * base, 1.0 - base],
+                            -1).round(3).tolist()
+
+        saved = self._snapshot_counters()
+        warmed = []
+
+        def run(route, batch, fn):
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as e:   # warmup must not kill startup
+                if log:
+                    log(f'warmup {route} batch={batch} SKIPPED: '
+                        f'{type(e).__name__}: {e}')
+                return
+            dt = time.perf_counter() - t0
+            warmed.append((route, int(batch), round(dt, 3)))
+            if log:
+                log(f'warmup {route} batch={batch}: {dt:.1f}s')
+
+        img0 = synth(0)
+        run('predict', 1,
+            lambda: self.predict({'image': img0, 'active': [[0, 0]]}))
+        for b in buckets:
+            for k in active_counts:
+                req = {'image': img0,
+                       'active': [[(j + 1) % 4, (j + 2) % 4]
+                                  for j in range(int(k))],
+                       'shift': [0, 1], 'num_samples': int(b)}
+                run(f'counterfactual[{self.engine}]', b,
+                    lambda req=req: self.counterfactual(dict(req)))
+        if (self.engine == 'fast' and self._batcher is not None
+                and self._mixed_warm_ready()):
+            # mixed-scene dispatches only arise from >=2 merged items, so
+            # their programs are keyed by scene buckets >= 2
+            for sb in [s for s in self._scene_buckets()
+                       if 2 <= s <= max(max(buckets), 2)]:
+                items = []
+                for i in range(int(sb)):
+                    x, a, p, shift, _ = self._parse_cf_request(
+                        {'image': synth(i), 'active': [[1, 2]],
+                         'shift': [0, 1], 'num_samples': 1})
+                    items.append((x, a, p, shift, 1))
+                n_vis = int((~(items[0][1] & items[0][2])).sum())
+                run('mixed-scene', sb,
+                    lambda it=items, nv=n_vis:
+                        self._warm_mixed_dispatch(nv, it))
+        self._restore_counters(saved)
+        self._clear_prefix_state()
+        return warmed
+
 
 class ImuCwmService(CwmService):
     """Serving surface over the IMU-conditioned movability predictor.
@@ -622,6 +728,20 @@ class ImuCwmService(CwmService):
         from counterfactualworldmodels_tpu.models.fast_conjoined import (
             conjoined_fast_supported)
         return conjoined_fast_supported(self.G.predictor.model)
+
+    def _clear_prefix_state(self):
+        lru = getattr(self.G, '_conj_prefix_lru', None)
+        if lru is not None:
+            lru._entries.clear()
+            lru.hits = lru.misses = 0
+        if hasattr(self, '_imu_cache'):
+            self._imu_cache.clear()
+
+    def _mixed_warm_ready(self):
+        return self._imu_fast_ready()
+
+    def _warm_mixed_dispatch(self, n_vis, items):
+        return self._dispatch_imu_multi_scene(n_vis, items)
 
     def _dispatch_imu_chunk(self, n_vis, items):
         import numpy as np
@@ -895,6 +1015,14 @@ def main():
                          '(unreachable offline — PARITY_CHECKPOINTS.md). '
                          'Use --engine exact for bit-parity with the '
                          'reference forward.')
+    ap.add_argument('--warmup', action='store_true',
+                    help='pre-compile the serving programs before binding '
+                         'the port: one dispatch per route x batch bucket '
+                         'on synthetic scenes (first TPU compile per shape '
+                         'is tens of seconds; pay it at startup under the '
+                         'persistent XLA cache, not on the first users)')
+    ap.add_argument('--warmup-buckets', default='1,4,16',
+                    help='comma-separated S buckets to warm (--warmup)')
     args = ap.parse_args()
 
     import jax
@@ -915,6 +1043,14 @@ def main():
                              max_batch_samples=args.max_batch_samples,
                              max_scene_batch=args.max_scene_batch)
     backend = jax.default_backend()
+    if args.warmup:
+        buckets = tuple(int(v) for v in args.warmup_buckets.split(',') if v)
+        print(f'warming up {len(buckets)} buckets (backend={backend})...',
+              flush=True)
+        warmed = service.warmup(buckets=buckets)
+        total = sum(dt for (_, _, dt) in warmed)
+        print(f'warmup done: {len(warmed)} programs in {total:.1f}s',
+              flush=True)
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, backend))
     mode = 'imu-conditioned ' if args.imu_conditioned else ''

@@ -344,3 +344,134 @@ def test_loadgen_smoke():
     assert rec['value'] > 0 and rec['unit'] == 'requests/sec'
     assert rec['trials']['batched']['micro_batching']['dispatches'] > 0
     assert rec['trials']['serial']['micro_batching'] is None
+
+def test_scene_buckets_include_cap():
+    """_scene_buckets must contain max_scene_batch itself: mixed-scene
+    chunks are built up to the cap, and a non-power-of-two cap (e.g. 3)
+    must never pad a full chunk BELOW its own size (regression: a
+    3-sample chunk was padded down to bucket 2, truncating a request)."""
+    import serve
+    svc = object.__new__(serve.CwmService)
+    svc._s_buckets = (1, 2, 4, 8, 16, 32, 64)
+    svc.max_scene_batch = 3
+    assert svc._scene_buckets() == [1, 2, 3]
+    svc.max_scene_batch = 8
+    assert svc._scene_buckets() == [1, 2, 4, 8]
+    svc.max_scene_batch = 1
+    assert svc._scene_buckets() == [1]
+
+
+@pytest.mark.slow
+def test_serve_mixed_scene_nonpow2_cap():
+    """End-to-end: concurrent different-image requests with
+    --max-scene-batch=3 merge into ONE mixed-scene dispatch padded to
+    exactly 3 samples (the cap bucket), for both the plain and the
+    IMU-conditioned services."""
+    import serve
+    import time
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+            for _ in range(3)]
+
+    def run(svc):
+        outs, errors = {}, []
+
+        def worker(i):
+            try:
+                outs[i] = svc.counterfactual(
+                    {'image': imgs[i], 'active': [[2, 2]],
+                     'shift': [0, 1], 'num_samples': 1})
+            except Exception as e:   # pragma: no cover
+                errors.append((i, e))
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+            time.sleep(0.05)
+        for t in ts:
+            t.join()
+        assert not errors, errors
+        assert svc.scene_batches == 1
+        for i in range(3):
+            assert outs[i]['scene_batched'] == 3
+            assert outs[i]['batched_samples'] == 3   # cap bucket, no down-pad
+            seg = np.asarray(outs[i]['segment_raw'])
+            assert seg.shape == (32, 32) and np.isfinite(seg).all()
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    run(serve.CwmService(serve.build_generator(args), 32, engine='fast',
+                         batch_window_ms=1500, seed=0, max_scene_batch=3))
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        flow2imu_params=None, raft_iters=1, port=0, host='127.0.0.1',
+        seed=0, engine='fast', movability_samples=2, movability_iters=1)
+    run(serve.ImuCwmService(serve.build_imu_generator(args), 32,
+                            engine='fast', batch_window_ms=1500, seed=0,
+                            max_scene_batch=3))
+
+def test_serve_warmup():
+    """warmup() pre-runs one dispatch per route x bucket, then restores
+    all counters and clears the prefix cache: a warmed server is
+    indistinguishable from a cold one except its programs are already
+    compiled (request numerics must match an un-warmed server)."""
+    import serve
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    G = serve.build_generator(args)
+    svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=5,
+                           seed=0, max_scene_batch=4)
+    warmed = svc.warmup(buckets=(1, 2), log=None)
+    routes = [r for (r, _, _) in warmed]
+    assert routes.count('predict') == 1
+    assert routes.count('counterfactual[fast]') == 2     # buckets 1, 2
+    assert routes.count('mixed-scene') == 1              # scene bucket 2
+    assert all(dt >= 0 for (_, _, dt) in warmed)
+    # counters restored, caches cleared -> cold-server semantics
+    assert svc._req_counter == 0 and svc.scene_batches == 0
+    assert svc._batcher.batches == 0 and svc._batcher.batched_items == 0
+    assert svc.prefix_hits == 0 and svc.prefix_misses == 0
+    assert not svc._lru._entries
+    # a real request after warmup behaves exactly like on a cold server
+    rng = np.random.RandomState(11)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    out = svc.counterfactual({'image': img, 'active': [[2, 2]],
+                              'shift': [0, 1], 'num_samples': 1})
+    assert out['prefix_cache_hit'] is False and svc.prefix_misses == 1
+    seg = np.asarray(out['segment_raw'])
+    assert seg.shape == (32, 32) and np.isfinite(seg).all()
+
+
+@pytest.mark.slow
+def test_serve_imu_warmup():
+    """ImuCwmService.warmup: warms the IMU-conditioned dispatch per
+    bucket and the stacked-conjoined-cache mixed-scene route, then
+    restores counters and clears the conjoined prefix LRU + the
+    static-IMU cache."""
+    import serve
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        flow2imu_params=None, raft_iters=1, port=0, host='127.0.0.1',
+        seed=0, engine='fast', movability_samples=2, movability_iters=1)
+    svc = serve.ImuCwmService(serve.build_imu_generator(args), 32,
+                              engine='fast', batch_window_ms=5, seed=0,
+                              max_scene_batch=4)
+    warmed = svc.warmup(buckets=(1, 2), log=None)
+    routes = [r for (r, _, _) in warmed]
+    assert routes.count('counterfactual[fast]') == 2
+    assert routes.count('mixed-scene') == 1
+    assert svc._req_counter == 0 and svc.scene_batches == 0
+    assert svc.prefix_hits == 0 and svc.prefix_misses == 0
+    assert not getattr(svc, '_imu_cache', {})
+    # warmed server still serves a real IMU-conditioned request
+    rng = np.random.RandomState(13)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    out = svc.counterfactual({'image': img, 'active': [[2, 2]],
+                              'shift': [0, 1], 'num_samples': 1})
+    assert out['imu_conditioned'] is True and svc.prefix_misses == 1

@@ -32,8 +32,15 @@ class MicroBatcher:
 
     dispatch(key, items) runs on the leader's thread and must return one
     result per item, in order. A batch closes when the window elapses or
-    ``max_items`` accumulate; requests arriving after close start a new
-    batch. A dispatch error propagates to every member of the batch.
+    its total weight reaches ``max_items``; requests arriving after close
+    start a new batch. ``weight`` maps an item to its batch weight
+    (default 1 per item — then ``max_items`` counts items; serving passes
+    the per-request sample count so the cap bounds SAMPLES per dispatch).
+    An item that would push a batch past the cap does not join it: the
+    full batch closes and the item leads a fresh one, so no dispatch ever
+    exceeds ``max_items`` total weight (callers must reject single items
+    heavier than the cap). A dispatch error propagates to every member of
+    the batch.
 
     window_s=0 keeps the grouping semantics (requests racing the leader's
     lock acquisition still merge) with no added latency.
@@ -41,27 +48,38 @@ class MicroBatcher:
 
     def __init__(self, dispatch: Callable[[Hashable, Sequence[Any]],
                                           List[Any]],
-                 window_s: float = 0.005, max_items: int = 64):
+                 window_s: float = 0.005, max_items: int = 64,
+                 weight: Callable[[Any], int] = None):
         self.dispatch = dispatch
         self.window_s = float(window_s)
         self.max_items = int(max_items)
+        self.weight = weight or (lambda item: 1)
         self._lock = threading.Lock()
-        self._pending = {}          # key -> {'entries': [...], 'closed': bool}
+        self._pending = {}          # key -> {'entries', 'closed', 'weight'}
         self.batches = 0            # dispatches run
         self.batched_items = 0      # items served through them
 
     def run(self, key: Hashable, item: Any):
         entry = _Entry(item)
+        w = max(1, int(self.weight(item)))
         with self._lock:
             batch = self._pending.get(key)
+            if (batch is not None
+                    and batch['weight'] + w > self.max_items):
+                # joining would exceed the cap: close the open batch for
+                # its leader and start a new one with this item
+                batch['closed'] = True
+                self._pending.pop(key, None)
+                batch = None
             if batch is None:
-                batch = {'entries': [entry], 'closed': False}
+                batch = {'entries': [entry], 'closed': False, 'weight': w}
                 self._pending[key] = batch
                 leader = True
             else:
                 batch['entries'].append(entry)
+                batch['weight'] += w
                 leader = False
-                if len(batch['entries']) >= self.max_items:
+                if batch['weight'] >= self.max_items:
                     batch['closed'] = True
                     self._pending.pop(key, None)
 

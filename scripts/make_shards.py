@@ -63,8 +63,14 @@ def parse_args():
     ap.add_argument('--imu-len', type=int, default=400,
                     help='IMU samples per clip window (imu400 models: 400)')
     ap.add_argument('--fps', type=float, default=30.0,
-                    help='assumed fps for frame-dir / array sources '
-                         '(IMU window alignment only)')
+                    help='assumed fps for frame-dir / array sources; '
+                         'only affects IMU alignment when --imu-rate is '
+                         'given (otherwise the IMU rate is inferred from '
+                         'the stream spanning the video and fps cancels)')
+    ap.add_argument('--imu-rate', type=float, default=None,
+                    help='IMU samples per second; set this when the IMU '
+                         'stream does NOT span exactly the video duration '
+                         '(window start = clip_start/fps * imu_rate)')
     return ap.parse_args()
 
 
@@ -141,8 +147,14 @@ def _load_imu(video_path: str, suffix: str):
 def sample_clips(frames: np.ndarray, rng: np.random.RandomState, *,
                  num_frames: int, gap: int, size: int, k: int,
                  imu: np.ndarray = None, imu_len: int = 400,
-                 fps: float = 30.0):
-    """Sample k [T,size,size,3] clips (+ aligned [C,imu_len] windows)."""
+                 fps: float = 30.0, imu_rate: float = None):
+    """Sample k [T,size,size,3] clips (+ aligned [C,imu_len] windows).
+
+    IMU alignment: with ``imu_rate`` (samples/sec) the window starts at
+    clip_start_seconds * imu_rate = s / fps * imu_rate — use this when
+    the IMU stream does NOT span exactly the video's duration. Without
+    it, the rate is inferred proportionally (stream assumed to span the
+    video), where fps cancels: i0 = s * L_total / t_total."""
     t_total = frames.shape[0]
     span = (num_frames - 1) * gap + 1
     if t_total < span:  # short source (e.g. pre-cut clips): contiguous
@@ -157,9 +169,11 @@ def sample_clips(frames: np.ndarray, rng: np.random.RandomState, *,
         clip = np.stack([_resize_center(frames[i], size) for i in idx])
         clips.append(clip)
         if imu is not None:
-            # IMU window starts at the clip's start time; rate inferred
-            # from the stream spanning the whole video
-            i0 = int(round(s / fps * imu.shape[1] / (t_total / fps)))
+            if imu_rate is not None:
+                i0 = int(round(s / fps * imu_rate))
+            else:
+                # rate inferred from the stream spanning the whole video
+                i0 = int(round(s * imu.shape[1] / t_total))
             i0 = min(i0, max(0, imu.shape[1] - imu_len))
             w = imu[:, i0:i0 + imu_len]
             if w.shape[1] < imu_len:  # stream shorter than a window
@@ -227,7 +241,7 @@ def main():
             clips, imus = sample_clips(
                 frames, rng, num_frames=args.num_frames, gap=args.frame_gap,
                 size=args.size, k=args.clips_per_video, imu=imu,
-                imu_len=args.imu_len, fps=fps)
+                imu_len=args.imu_len, fps=fps, imu_rate=args.imu_rate)
             if not clips:
                 print(f'skip (too short, <{(args.num_frames-1)*args.frame_gap+1}'
                       f' frames): {src}', file=sys.stderr)

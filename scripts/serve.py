@@ -74,9 +74,15 @@ def build_generator(args):
     else:
         raft_params = init_raft_params(raft, jax.random.PRNGKey(1),
                                        hw=max(64, args.img_size))
+    # engine/prefix_cache_size flow into the generator so its OWN fast
+    # routes (FlowGenerator.predict per-click shared-prefix path + LRU)
+    # engage, not just the service-level dispatches
     return FlowGenerator(predictor=model, params=params, flow_model=raft,
                          flow_params=raft_params, raft_iters=args.raft_iters,
-                         imagenet_normalize_inputs=True, seed=args.seed)
+                         imagenet_normalize_inputs=True, seed=args.seed,
+                         engine=getattr(args, 'engine', 'fast'),
+                         prefix_cache_size=getattr(args, 'prefix_cache_size',
+                                                   4))
 
 
 def build_imu_generator(args):
@@ -210,17 +216,33 @@ class CwmService:
         # micro-batch concurrent same-scene counterfactuals into one
         # S-dispatch (fast engine only; S buckets bound compile count)
         self._batcher = None
+        self.max_batch_samples = int(max_batch_samples)
         if batch_window_ms > 0:
             from counterfactualworldmodels_tpu.utils.batching import (
                 MicroBatcher)
+            # weight = the request's sample count, so max_batch_samples
+            # caps SAMPLES per merged dispatch (not request count)
             self._batcher = MicroBatcher(self._dispatch_cf_batch,
                                          window_s=batch_window_ms / 1e3,
-                                         max_items=max_batch_samples)
-        self._s_buckets = (1, 2, 4, 8, 16, 32, 64)
+                                         max_items=self.max_batch_samples,
+                                         weight=lambda item: item[4])
+        # powers of two up to the sample cap, plus the cap itself: every
+        # legal s_total (<= max_batch_samples) pads UP to a bucket
+        self._s_buckets = self._pow2_buckets(self.max_batch_samples)
         # mixed-scene dispatches stack one prefix KV set PER SAMPLE
         # (~0.3 GB/sample at ViT-L) -> cap their batch separately
         self.max_scene_batch = int(max_scene_batch)
         self.scene_batches = 0      # mixed-scene dispatches run
+
+    @staticmethod
+    def _pow2_buckets(cap):
+        """(1, 2, 4, ..., cap) — cap included even when not a power of
+        two, so padding never clamps below a legal batch size."""
+        b, v = {1, int(cap)}, 1
+        while v < cap:
+            v *= 2
+            b.add(min(v, int(cap)))
+        return tuple(sorted(b))
 
     def _scene_buckets(self):
         """Pad buckets for MIXED-scene dispatches: the standard powers of
@@ -305,8 +327,13 @@ class CwmService:
         grid = self.G.mask_shape[-1]
         active = self._patch_mask(req.get('active'), grid, n)
         passive = self._patch_mask(req.get('passive'), grid, n)
-        return (x, active, passive, req.get('shift', [0, 2]),
-                int(req.get('num_samples', 1)))
+        s = int(req.get('num_samples', 1))
+        if not 1 <= s <= self.max_batch_samples:
+            # over-cap requests would exceed every compile bucket (and the
+            # per-dispatch HBM budget); the cap is the documented contract
+            raise ValueError(f'num_samples must be in '
+                             f'[1, {self.max_batch_samples}], got {s}')
+        return (x, active, passive, req.get('shift', [0, 2]), s)
 
     def _cf_response(self, sim, flow0, seg, **extra):
         """Shared response assembly: simulation/flow/segment PNGs + raw."""
@@ -407,11 +434,15 @@ class CwmService:
             if s_pad > s_total:
                 keys = jnp.concatenate(
                     [keys, jnp.repeat(keys[-1:], s_pad - s_total, 0)], 0)
+            # one LRU probe (sha1 over the image bytes) per distinct
+            # request, expanded to its samples — not one per row
             caches, hits = [], []
-            for r in rows:
-                c, h = self._prefix_for(r[0])
-                caches.append(c)
-                hits.append(h)
+            for (x_i, *_r), s in zip(items, counts):
+                c, h = self._prefix_for(x_i)
+                caches.extend([c] * s)
+                hits.extend([h] * s)
+            caches.extend([caches[-1]] * (s_pad - s_total))
+            hits.extend([hits[-1]] * (s_pad - s_total))
             stacked = stack_prefix_caches(caches)
             xs = jnp.concatenate(
                 [jnp.broadcast_to(r[0][:, None], (1, 2, *r[0].shape[1:]))
@@ -455,6 +486,9 @@ class CwmService:
         s_total = sum(counts)
         s_pad = (s_total if self._batcher is None
                  else pad_to_bucket(s_total, self._s_buckets))
+        # per-request cap + sample-weighted batching keep s_total within
+        # max_batch_samples, whose bucket list includes the cap itself
+        assert s_pad >= s_total, (s_pad, s_total)
         act = np.concatenate(
             [np.repeat(a[..., None], s, axis=-1)
              for (_, a, _, _, s) in items], axis=-1)
@@ -531,7 +565,11 @@ class CwmService:
         b = self._batcher
         return {'req': self._req_counter, 'scene': self.scene_batches,
                 'batches': b.batches if b else 0,
-                'batched_items': b.batched_items if b else 0}
+                'batched_items': b.batched_items if b else 0,
+                # routes through the generator API advance its internal
+                # PRNG (next_key); restore it so post-warmup requests use
+                # the same sample keys as on a cold server
+                'g_key': getattr(self.G, '_key', None)}
 
     def _restore_counters(self, s):
         self._req_counter = s['req']
@@ -539,13 +577,21 @@ class CwmService:
         if self._batcher is not None:
             self._batcher.batches = s['batches']
             self._batcher.batched_items = s['batched_items']
+        if s['g_key'] is not None:
+            self.G._key = s['g_key']
 
     def _clear_prefix_state(self):
-        """Drop the synthetic warmup scenes from the prefix LRU (frees
-        their pinned device KV) and zero its hit/miss counters."""
-        if self._lru is not None:
-            self._lru._entries.clear()
-            self._lru.hits = self._lru.misses = 0
+        """Drop the synthetic warmup scenes from the prefix LRUs (the
+        service-level one AND any generator-internal ones, e.g. the
+        per-click predict route's) — frees their pinned device KV — and
+        zero the hit/miss counters."""
+        lrus = [self._lru]
+        lrus += [getattr(self.G, a, None)
+                 for a in ('_prefix_lru', '_conj_prefix_lru')]
+        for lru in lrus:
+            if lru is not None:
+                lru._entries.clear()
+                lru.hits = lru.misses = 0
 
     def _mixed_warm_ready(self):
         return True
@@ -730,10 +776,7 @@ class ImuCwmService(CwmService):
         return conjoined_fast_supported(self.G.predictor.model)
 
     def _clear_prefix_state(self):
-        lru = getattr(self.G, '_conj_prefix_lru', None)
-        if lru is not None:
-            lru._entries.clear()
-            lru.hits = lru.misses = 0
+        super()._clear_prefix_state()
         if hasattr(self, '_imu_cache'):
             self._imu_cache.clear()
 
@@ -786,14 +829,18 @@ class ImuCwmService(CwmService):
                 keys = jnp.concatenate(
                     [keys, jnp.repeat(keys[-1:], s_pad - s_total, 0)], 0)
             G._ensure_conj_fast()
+            # one static-IMU + conjoined-LRU probe per distinct request
+            # (both sha1 the full image), expanded to its samples
             caches, ctxs = [], []
-            for r in rows:
-                video = jnp.broadcast_to(r[0][:, None],
-                                         (1, 2, *r[0].shape[1:]))
-                ctx = G.reshape_output(self._static_imu_for(r[0]))
+            for (x_i, *_r), s in zip(items, counts):
+                video = jnp.broadcast_to(x_i[:, None],
+                                         (1, 2, *x_i.shape[1:]))
+                ctx = G.reshape_output(self._static_imu_for(x_i))
                 cache, _ = G._conj_prefix_lru.get(video, ctx)
-                caches.append(cache)
-                ctxs.append(ctx)
+                caches.extend([cache] * s)
+                ctxs.extend([ctx] * s)
+            caches.extend([caches[-1]] * (s_pad - s_total))
+            ctxs.extend([ctxs[-1]] * (s_pad - s_total))
             stacked = stack_conjoined_prefix_caches(caches)
             xs = jnp.concatenate(
                 [jnp.broadcast_to(r[0][:, None], (1, 2, *r[0].shape[1:]))
@@ -837,6 +884,8 @@ class ImuCwmService(CwmService):
         s_total = sum(counts)
         s_pad = (s_total if self._batcher is None
                  else pad_to_bucket(s_total, self._s_buckets))
+        # cap + sample-weighted batching guarantee one padded dispatch
+        assert s_pad >= s_total, (s_pad, s_total)
         act = np.concatenate(
             [np.repeat(a[..., None], s, axis=-1)
              for (_, a, _, _, s) in items], axis=-1)

@@ -123,7 +123,15 @@ def main():
                                  total_steps=args.steps)
 
     n_dev = jax.device_count()
-    dp = args.dp or max(1, n_dev // args.tp)
+    if args.dp:
+        dp = args.dp
+        if args.batch_size % dp:
+            raise SystemExit(f'--dp {dp} must divide --batch-size '
+                             f'{args.batch_size}')
+    else:
+        # largest divisor of the batch that fits the devices left over
+        dp = max(d for d in range(1, max(1, n_dev // args.tp) + 1)
+                 if args.batch_size % d == 0)
     mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
     print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp} '
           f'backend={jax.default_backend()}')

@@ -359,6 +359,11 @@ def test_scene_buckets_include_cap():
     assert svc._scene_buckets() == [1, 2, 4, 8]
     svc.max_scene_batch = 1
     assert svc._scene_buckets() == [1]
+    # sample buckets likewise include the cap itself
+    assert serve.CwmService._pow2_buckets(64) == (1, 2, 4, 8, 16, 32, 64)
+    assert serve.CwmService._pow2_buckets(100) == (
+        1, 2, 4, 8, 16, 32, 64, 100)
+    assert serve.CwmService._pow2_buckets(1) == (1,)
 
 
 @pytest.mark.slow
@@ -445,6 +450,16 @@ def test_serve_warmup():
     assert out['prefix_cache_hit'] is False and svc.prefix_misses == 1
     seg = np.asarray(out['segment_raw'])
     assert seg.shape == (32, 32) and np.isfinite(seg).all()
+    # the generator's own fast routes are wired (engine flows through
+    # build_generator) and over-cap sample counts are rejected up front
+    assert svc.G.engine == 'fast'
+    with pytest.raises(ValueError, match='num_samples'):
+        svc.counterfactual({'image': img, 'active': [[2, 2]],
+                            'shift': [0, 1],
+                            'num_samples': svc.max_batch_samples + 1})
+    with pytest.raises(ValueError, match='num_samples'):
+        svc.counterfactual({'image': img, 'active': [[2, 2]],
+                            'shift': [0, 1], 'num_samples': 0})
 
 
 @pytest.mark.slow

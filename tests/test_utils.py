@@ -227,3 +227,50 @@ def test_micro_batcher_merges_and_propagates():
     assert pad_to_bucket(3, (1, 2, 4, 8)) == 4
     assert pad_to_bucket(4, (1, 2, 4, 8)) == 4
     assert pad_to_bucket(9, (1, 2, 4, 8)) == 8  # capped at the largest
+
+def test_micro_batcher_weight():
+    """With a weight function, max_items caps total WEIGHT per batch
+    (serving passes per-request sample counts): an item that would push
+    a batch over the cap closes it and leads a fresh one, so no dispatch
+    ever exceeds the cap."""
+    import threading
+    import time
+    from counterfactualworldmodels_tpu.utils.batching import MicroBatcher
+
+    calls = []
+
+    def dispatch(key, items):
+        calls.append(list(items))
+        return list(items)
+
+    # items are (id, weight); cap 4
+    mb = MicroBatcher(dispatch, window_s=0.4, max_items=4,
+                      weight=lambda it: it[1])
+    out = {}
+
+    def worker(i, w):
+        out[i] = mb.run('k', (i, w))
+
+    # 3 + 3 > 4: the second request must NOT join the first batch
+    ts = [threading.Thread(target=worker, args=(0, 3)),
+          threading.Thread(target=worker, args=(1, 3))]
+    for t in ts:
+        t.start()
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert len(calls) == 2 and all(len(c) == 1 for c in calls)
+    assert out == {0: (0, 3), 1: (1, 3)}
+
+    # 2 + 2 == 4 merges and closes exactly at the cap (early, pre-window)
+    calls.clear()
+    t0 = time.monotonic()
+    ts = [threading.Thread(target=worker, args=(2, 2)),
+          threading.Thread(target=worker, args=(3, 2))]
+    for t in ts:
+        t.start()
+        time.sleep(0.05)
+    for t in ts:
+        t.join()
+    assert len(calls) == 1 and sorted(calls[0]) == [(2, 2), (3, 2)]
+    assert time.monotonic() - t0 < 0.39

@@ -60,8 +60,17 @@ def masked_prediction_loss(model: PretrainVisionTransformer, params, x, mask,
 
 def make_train_step(model: PretrainVisionTransformer, optimizer,
                     n_vis: int, normalize_inputs: bool = True,
-                    normalize_targets: bool = True, remat: bool = True):
-    """Returns a pure train_step(state, x, mask) -> (state, metrics)."""
+                    normalize_targets: bool = True, remat: bool = True,
+                    mask_fn=None):
+    """Returns a pure train_step(state, x, mask) -> (state, metrics).
+
+    mask_fn: optional ``(key, batch_size) -> bool [B, N]`` mask sampler
+    (e.g. a partial of ``rotated_table_uniform_mask``). When given, the
+    returned step takes a PRNG key in place of a mask and samples the
+    mask INSIDE the jitted program: one XLA dispatch per step instead of
+    dozens of eager mask ops (each a host round-trip on the axon
+    remote-dispatch path) plus a host->device mask transfer.
+    """
     loss_fn = functools.partial(
         masked_prediction_loss, model,
         n_vis=n_vis, normalize_inputs=normalize_inputs,
@@ -79,7 +88,13 @@ def make_train_step(model: PretrainVisionTransformer, optimizer,
         return (TrainState(state.step + 1, params, opt_state),
                 {'loss': loss, 'grad_norm': gnorm})
 
-    return train_step
+    if mask_fn is None:
+        return train_step
+
+    def train_step_keyed(state: TrainState, x, key):
+        return train_step(state, x, mask_fn(key, x.shape[0]))
+
+    return train_step_keyed
 
 
 def init_train_state(model: PretrainVisionTransformer, optimizer, key,
@@ -92,14 +107,18 @@ def init_train_state(model: PretrainVisionTransformer, optimizer, key,
 
 def make_sharded_train_step(model: PretrainVisionTransformer, optimizer,
                             mesh: Mesh, n_vis: int, remat: bool = True,
-                            **loss_kwargs):
+                            mask_fn=None, **loss_kwargs):
     """jit the train step with dp sharding on data and tp sharding on
     parameters; XLA inserts the psum/all-gather collectives.
+
+    mask_fn as in make_train_step: step takes (state, x, key) and the
+    replicated key yields an identical mask on every dp shard, sliced by
+    the data sharding inside the program.
 
     Returns (jitted_step, shard_state, data_sharding).
     """
     step_fn = make_train_step(model, optimizer, n_vis, remat=remat,
-                              **loss_kwargs)
+                              mask_fn=mask_fn, **loss_kwargs)
     data_sharding = NamedSharding(mesh, P('dp'))
     repl = NamedSharding(mesh, P())
 
@@ -131,10 +150,14 @@ def make_batch_masks(key, model: PretrainVisionTransformer, batch_size: int,
 
 
 def make_cmae_train_step(model, optimizer, n_vis: int,
-                         group_masked_counts, remat: bool = True):
+                         group_masked_counts, remat: bool = True,
+                         mask_fn=None):
     """Train step for ChannelMae (masked channel-group reconstruction,
     reference cmae.py:526-547 objective). Returns
-    train_step(state, x, mask) -> (state, metrics)."""
+    train_step(state, x, mask) -> (state, metrics); with mask_fn
+    (``(key, batch_size) -> mask``, e.g. a group_uniform_mask partial)
+    the step takes a PRNG key and samples the mask in-program
+    (see make_train_step)."""
     from ..models.cmae import channel_mae_train_loss
 
     def loss_fn(params, x, mask):
@@ -152,7 +175,13 @@ def make_cmae_train_step(model, optimizer, n_vis: int,
         return (TrainState(state.step + 1, params, opt_state),
                 {'loss': loss, 'grad_norm': optax.global_norm(grads)})
 
-    return train_step
+    if mask_fn is None:
+        return train_step
+
+    def train_step_keyed(state: TrainState, x, key):
+        return train_step(state, x, mask_fn(key, x.shape[0]))
+
+    return train_step_keyed
 
 
 def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
@@ -166,14 +195,16 @@ def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
 
 
 def make_sharded_cmae_train_step(model, optimizer, mesh: Mesh, n_vis: int,
-                                 group_masked_counts, remat: bool = True):
+                                 group_masked_counts, remat: bool = True,
+                                 mask_fn=None):
     """dp x tp sharded ChannelMae training: batches shard over 'dp';
     the encoder/decoder blocks share the VMAE Block parameter layout so
     VMAE_PARTITION_RULES apply unchanged (channel heads / patch embeds
     replicate via the catch-all). Returns (jitted_step, shard_state,
     data_sharding) with step(state, x, mask) like the unsharded one."""
     step_fn = make_cmae_train_step(model, optimizer, n_vis,
-                                   group_masked_counts, remat=remat)
+                                   group_masked_counts, remat=remat,
+                                   mask_fn=mask_fn)
     data_sharding = NamedSharding(mesh, P('dp'))
     repl = NamedSharding(mesh, P())
 
@@ -218,9 +249,12 @@ def conjoined_prediction_loss(model, params, x, mask, x_context,
 
 def make_conjoined_train_step(model, optimizer, n_vis: int,
                               n_vis_context: int, remat: bool = True,
-                              **loss_kwargs):
+                              mask_fn=None, **loss_kwargs):
     """Train step for ConjoinedVMAE: step(state, x, mask, x_context,
-    mask_context) -> (state, metrics)."""
+    mask_context) -> (state, metrics); with mask_fn
+    (``(key, batch_size) -> (mask, mask_context)``) the step takes
+    (state, x, x_context, key) and samples both masks in-program
+    (see make_train_step)."""
     def loss_fn(params, x, mask, xc, mc):
         return conjoined_prediction_loss(model, params, x, mask, xc, mc,
                                          n_vis, n_vis_context, **loss_kwargs)
@@ -236,12 +270,20 @@ def make_conjoined_train_step(model, optimizer, n_vis: int,
         return (TrainState(state.step + 1, params, opt_state),
                 {'loss': loss, 'grad_norm': optax.global_norm(grads)})
 
-    return train_step
+    if mask_fn is None:
+        return train_step
+
+    def train_step_keyed(state: TrainState, x, xc, key):
+        mask, mc = mask_fn(key, x.shape[0])
+        return train_step(state, x, mask, xc, mc)
+
+    return train_step_keyed
 
 
 def make_sharded_conjoined_train_step(model, optimizer, mesh: Mesh,
                                       n_vis: int, n_vis_context: int,
-                                      remat: bool = True, **loss_kwargs):
+                                      remat: bool = True, mask_fn=None,
+                                      **loss_kwargs):
     """dp x tp sharded training for the conjoined (IMU-conditioned) family:
     batches shard over 'dp', per-stream block and cross-block parameters
     over 'tp' (parallel.CONJOINED_PARTITION_RULES); XLA inserts the
@@ -252,7 +294,7 @@ def make_sharded_conjoined_train_step(model, optimizer, mesh: Mesh,
     """
     step_fn = make_conjoined_train_step(model, optimizer, n_vis,
                                         n_vis_context, remat=remat,
-                                        **loss_kwargs)
+                                        mask_fn=mask_fn, **loss_kwargs)
     data_sharding = NamedSharding(mesh, P('dp'))
     repl = NamedSharding(mesh, P())
 

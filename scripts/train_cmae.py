@@ -215,10 +215,15 @@ def main():
         start_step = int(state.step)
         print(f'resumed from step {start_step}')
 
+    # sample the group-uniform mask INSIDE the jitted step (the popcounts
+    # are static functions of the ratio, so `counts` stays valid)
+    def mask_fn(k, b):
+        return group_uniform_mask(k, model.mask_size, args.mask_ratio, b)[0]
+
     if n_dev > 1:
         step_fn, shard_state, data_sharding = T.make_sharded_cmae_train_step(
             model, optimizer, mesh, n_vis, counts,
-            remat=not args.no_remat)
+            remat=not args.no_remat, mask_fn=mask_fn)
         state = shard_state(state)
 
         def put(x):
@@ -226,7 +231,8 @@ def main():
     else:
         step_fn = jax.jit(T.make_cmae_train_step(model, optimizer, n_vis,
                                                  counts,
-                                                 remat=not args.no_remat),
+                                                 remat=not args.no_remat,
+                                                 mask_fn=mask_fn),
                           donate_argnums=(0,))
 
         def put(x):
@@ -238,11 +244,7 @@ def main():
     for step in range(start_step, args.steps):
         batch = put(np.asarray(next(data), np.float32))
         key, mk = jax.random.split(key)
-        mask, counts_k = group_uniform_mask(mk, model.mask_size,
-                                            args.mask_ratio,
-                                            args.batch_size)
-        assert counts_k == counts
-        state, metrics = step_fn(state, batch, mask)
+        state, metrics = step_fn(state, batch, mk)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics['loss'])  # host sync
             dt = (time.time() - t0) / args.log_every

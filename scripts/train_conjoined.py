@@ -196,30 +196,10 @@ def main():
         # after tp (dp=1 with tp=1 -> plain single-device path)
         dp = max(d for d in range(1, max(1, n_dev // args.tp) + 1)
                  if args.batch_size % d == 0)
-    if dp * args.tp > 1:
-        from counterfactualworldmodels_tpu import parallel
-        mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
-        print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp}')
-        step_fn, shard_state, data_sharding = \
-            T.make_sharded_conjoined_train_step(model, optimizer, mesh,
-                                                n_vis, n_vis_c,
-                                                remat=not args.no_remat)
-        state = shard_state(state)
-
-        def put(x):
-            return jax.device_put(jnp.asarray(x), data_sharding)
-    else:
-        step_fn = jax.jit(
-            T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
-                                        remat=not args.no_remat),
-            donate_argnums=(0,))
-
-        def put(x):
-            return jnp.asarray(x)
-
     def make_masks(mk, b):
         # uniform fixed-popcount masks over the main stream; IMU fully
-        # visible (the IMU-conditioned training regime)
+        # visible (the IMU-conditioned training regime). Runs INSIDE the
+        # jitted step (mask_fn), one XLA dispatch per step.
         scores = jax.random.uniform(mk, (b, n))
         order = jnp.argsort(scores, axis=-1)
         mask = jnp.ones((b, n), bool)
@@ -228,15 +208,36 @@ def main():
         mask_c = jnp.zeros((b, model.context.num_patches), bool)
         return mask, mask_c
 
+    if dp * args.tp > 1:
+        from counterfactualworldmodels_tpu import parallel
+        mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
+        print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp}')
+        step_fn, shard_state, data_sharding = \
+            T.make_sharded_conjoined_train_step(model, optimizer, mesh,
+                                                n_vis, n_vis_c,
+                                                remat=not args.no_remat,
+                                                mask_fn=make_masks)
+        state = shard_state(state)
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), data_sharding)
+    else:
+        step_fn = jax.jit(
+            T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
+                                        remat=not args.no_remat,
+                                        mask_fn=make_masks),
+            donate_argnums=(0,))
+
+        def put(x):
+            return jnp.asarray(x)
+
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     data = make_data(args, model)
     t0 = time.time()
     for step in range(start_step, args.steps):
         video, imu = next(data)
         key, mk = jax.random.split(key)
-        mask, mask_c = make_masks(mk, video.shape[0])
-        state, metrics = step_fn(state, put(video), put(mask),
-                                 put(imu), put(mask_c))
+        state, metrics = step_fn(state, put(video), put(imu), mk)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics['loss'])  # host sync
             dt = (time.time() - t0) / args.log_every

@@ -150,16 +150,23 @@ def main():
         start_step = int(state.step)
         print(f'resumed from step {start_step}')
 
+    # sample the mask INSIDE the jitted step (one XLA dispatch per step;
+    # eager mask ops each pay a host round-trip on the axon TPU path)
+    def mask_fn(k, b):
+        return T.make_batch_masks(k, model, b, args.mask_ratio)[0]
+
     if n_dev > 1:
         step_fn, shard_state, data_sharding = T.make_sharded_train_step(
-            model, optimizer, mesh, n_vis, remat=not args.no_remat)
+            model, optimizer, mesh, n_vis, remat=not args.no_remat,
+            mask_fn=mask_fn)
         state = shard_state(state)
 
         def put(x):
             return jax.device_put(x, data_sharding)
     else:
         step_fn = jax.jit(T.make_train_step(model, optimizer, n_vis,
-                                            remat=not args.no_remat),
+                                            remat=not args.no_remat,
+                                            mask_fn=mask_fn),
                           donate_argnums=(0,))
 
         def put(x):
@@ -171,9 +178,7 @@ def main():
     for step in range(start_step, args.steps):
         batch = put(np.asarray(next(data), np.float32))
         key, mk = jax.random.split(key)
-        mask, _ = T.make_batch_masks(mk, model, args.batch_size,
-                                     args.mask_ratio)
-        state, metrics = step_fn(state, batch, mask)
+        state, metrics = step_fn(state, batch, mk)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics['loss'])  # host sync
             dt = (time.time() - t0) / args.log_every

@@ -274,3 +274,30 @@ def test_micro_batcher_weight():
         t.join()
     assert len(calls) == 1 and sorted(calls[0]) == [(2, 2), (3, 2)]
     assert time.monotonic() - t0 < 0.39
+
+def test_train_step_in_program_masks():
+    """A step built with mask_fn (mask sampled INSIDE the jitted program
+    from a PRNG key) produces bit-identical updates to the external-mask
+    step fed the same key's mask — for the plain VMAE and the cmae/
+    conjoined variants' keyed signatures."""
+    model = _tiny_model()
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    state = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 2, 3, 32, 32))
+    mk = jax.random.PRNGKey(3)
+    mask, n_vis = jtrain.make_batch_masks(mk, model, batch_size=2,
+                                          mask_ratio=0.5)
+
+    step_ext = jax.jit(jtrain.make_train_step(model, opt, n_vis,
+                                              remat=False))
+    step_key = jax.jit(jtrain.make_train_step(
+        model, opt, n_vis, remat=False,
+        mask_fn=lambda k, b: jtrain.make_batch_masks(k, model, b, 0.5)[0]))
+    s1, m1 = step_ext(state, x, mask)
+    s2, m2 = step_key(state, x, mk)
+    np.testing.assert_array_equal(np.asarray(m1['loss']),
+                                  np.asarray(m2['loss']))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

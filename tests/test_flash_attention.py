@@ -59,3 +59,42 @@ def test_flash_attention_prefix_matches_concat():
     ref = flash_attention(q, kf, vf)
     out = flash_attention_prefix(q, k0, v0, k1, v1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_flagship_shapes_interpret():
+    """Kernel correctness at the FLAGSHIP workload shapes (ViT-L 4x4
+    @224, S=16 suffix decode: q 1568 rows vs kv 4704, head_dim 64 —
+    PERF.md): exercises the divisor-aware block choice at the real
+    sizes, in interpret mode off-TPU. Catches shape/divisibility bugs
+    the tiny-shape tests cannot."""
+    rng = np.random.RandomState(0)
+    b, h, nq, nk, d = 1, 2, 1568, 4704, 64
+    q = jnp.asarray(rng.randn(b, h, nq, d).astype(np.float32)) * (d ** -0.5)
+    k = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32))
+    ref = np.asarray(dense_attention(q, k, v))
+    out = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_flash_prefix_flagship_shapes_interpret():
+    """Two-source kernel at flagship suffix-decode shapes: shared prefix
+    panels n0=3136 (frame-0 KV), per-sample suffix n1=1568, q 1568 —
+    both the shared-prefix (s0=1) and the stacked per-sample-prefix
+    (s0=S, the multi-scene route) layouts."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention_prefix)
+    rng = np.random.RandomState(1)
+    s, h, nq, n0, n1, d = 2, 2, 1568, 3136, 1568, 64
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32)) * (d ** -0.5)
+    k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    for s0 in (1, s):   # shared prefix / stacked per-sample prefixes
+        k0 = jnp.asarray(rng.randn(s0, h, n0, d).astype(np.float32))
+        v0 = jnp.asarray(rng.randn(s0, h, n0, d).astype(np.float32))
+        kf = jnp.concatenate([jnp.broadcast_to(k0, (s, h, n0, d)), k1], 2)
+        vf = jnp.concatenate([jnp.broadcast_to(v0, (s, h, n0, d)), v1], 2)
+        ref = np.asarray(flash_attention(q, kf, vf))
+        out = np.asarray(flash_attention_prefix(q, k0, v0, k1, v1))
+        np.testing.assert_allclose(out, ref, atol=3e-5,
+                                   err_msg=f's0={s0}')

@@ -192,3 +192,25 @@ def test_lanes_pyramid_matches_standard():  # test_lanes_window_lookup_…
     c = jcorr.lookup_pyramid_lanes(jcorr.build_pyramid_lanes(corr5, 3),
                                    coords, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_lookup_kernels_flagship_resolution():
+    """Both TPU lookup kernels at the FLAGSHIP RAFT geometry: 224px ->
+    28x28 eighth-res grid, n = 784 query pixels (the full per-sample
+    correlation lookup), r=4. Tiny-n tests cannot catch grid/blocking
+    bugs at the real pixel count."""
+    from counterfactualworldmodels_tpu.models.raft import corr as jcorr
+    rng = np.random.RandomState(8)
+    n, h, w, r = 784, 28, 28, 4
+    level = jnp.asarray(rng.randn(n, h, w).astype(np.float32))
+    lp = jcorr.pad_pyramid([level], r)[0]
+    x = jnp.asarray((rng.rand(n) * 44 - 8).astype(np.float32))
+    y = jnp.asarray((rng.rand(n) * 44 - 8).astype(np.float32))
+    ref = jcorr._window_lookup(lp, x, y, r, h, w)
+    out_w = jcorr._window_lookup_tpu(lp, x, y, r, h, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref),
+                               atol=1e-5)
+    out_l = jcorr._window_lookup_lanes(jnp.transpose(level, (1, 2, 0)),
+                                       x, y, r, nb=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref),
+                               atol=1e-5)

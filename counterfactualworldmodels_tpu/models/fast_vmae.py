@@ -351,11 +351,18 @@ class HashLru:
     """sha1-keyed LRU over arrays; subclasses define ``_build(*arrays)``
     (and optionally ``_key_arrays`` to key on a subset of the inputs).
     Keys cover shape + dtype + bytes so reinterpreted buffers never
-    collide."""
+    collide.
+
+    Thread-safe: get() holds an internal lock across lookup AND build,
+    so concurrent cold-key callers (threaded serving) cannot double-run
+    the expensive _build (two full prefix encodes) or corrupt the
+    eviction order."""
 
     def __init__(self, size: int = 4):
+        import threading
         self.size = size
         self._entries = collections.OrderedDict()
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
@@ -374,15 +381,16 @@ class HashLru:
     def get(self, *arrays):
         """-> (entry, hit: bool)."""
         key = self._key(*self._key_arrays(*arrays))
-        if key in self._entries:
-            self._entries.move_to_end(key)
-            self.hits += 1
-            return self._entries[key], True
-        entry = self._build(*arrays)
-        self._entries[key] = entry
-        if len(self._entries) > self.size:
-            self._entries.popitem(last=False)
-        self.misses += 1
+        with self._lock:
+            if key in self._entries:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return self._entries[key], True
+            entry = self._build(*arrays)
+            self._entries[key] = entry
+            if len(self._entries) > self.size:
+                self._entries.popitem(last=False)
+            self.misses += 1
         return entry, False
 
 
@@ -414,7 +422,23 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  cache: Optional[PrefixCache] = None,
                                  two_source: Optional[bool] = None):
     """See _predict_videos_core; two_source as in resolve_two_source
-    (resolved here, outside jit, so the knob is part of the cache key)."""
+    (resolved here, outside jit, so the knob is part of the cache key).
+
+    Unlike the jitted core (which can only check n_vis >= n0), this
+    public entry point also verifies that no frame-0 patch is masked —
+    a tube/forward-backward mask with the right popcount would otherwise
+    silently leak the masked frame-0 pixels through the prefix cache and
+    drop visible frame-1 tokens. Eager-path only (one small host fetch);
+    the fused dispatch pipelines build their masks correct-by-
+    construction and call the core directly."""
+    import numpy as np
+    n0 = model.num_patches_per_frame
+    if bool(np.asarray(mask_mocos[..., :n0]).any()):
+        raise ValueError(
+            'predict_videos_shared_prefix: mask touches frame 0; the '
+            'shared-prefix engine requires frame 0 fully visible — use '
+            'the exact path (pipelines.prediction.predict_video) for '
+            'such prompts')
     return _predict_videos_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
                                 n_vis, normalize, x_mocos, mask_mocos, cache)

@@ -83,7 +83,9 @@ def _window_lookup(level_padded: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     shifted views with the separable bilinear weights. Zero padding + coord
     pre-clipping reproduce grid_sample's zero out-of-bounds exactly.
 
-    level_padded: [N, h+2p, w+2p] (p = radius+2); x, y: [N] float coords in
+    level_padded: [N, h+2p, w+2p] (p = 2*radius+2, what pad_pyramid
+    applies — the window slice reaches up to 4r+3 rows past a clipped
+    coord); x, y: [N] float coords in
     the UNPADDED frame. Returns [N, 2r+1, 2r+1] where out[:, a, b] is the
     sample at (x - r + a, y - r + b) — the reference's offset ordering
     (corr.py:43-49: first axis offsets x, second offsets y).

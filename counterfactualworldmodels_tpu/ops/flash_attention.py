@@ -47,7 +47,22 @@ def _tuned_blocks(n: int, nk: int, d: int = 64):
     return (rec['block_q'], rec['block_k']) if rec else None
 
 
-def _pick_blocks(n: int, nk: int):
+def _panel_budget_check(nk_resident: int, d: int, itemsize: int,
+                        interpret: bool, what: str):
+    """Refuse K/V panels beyond the VMEM budget with a clear error rather
+    than failing deep inside Mosaic (both kernels keep whole panels
+    resident; the workload's sequences are <=6.3k tokens)."""
+    panel_bytes = 2 * nk_resident * d * itemsize
+    if not interpret and panel_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f'{what}: K/V panels of {panel_bytes / 2 ** 20:.0f} MiB '
+            f'(keys={nk_resident}, d={d}) exceed the VMEM budget of this '
+            'kernel, which keeps whole panels resident; use '
+            'attn_impl="dense" or a k-streaming kernel for sequences '
+            'this long')
+
+
+def _pick_blocks(n: int, nk: int, d: int = 64):
     """Choose (block_q, block_k) minimizing padding + loop overhead.
 
     A measured table (scripts/tune_flash.py -> ops/flash_tuned.json) wins
@@ -58,13 +73,13 @@ def _pick_blocks(n: int, nk: int):
     eliminating pad flops and the inner-loop carry dependency is worth more
     than tile reuse.
     """
-    tuned = _tuned_blocks(n, nk)
+    tuned = _tuned_blocks(n, nk, d)
     if tuned:
         return tuned
     block_q = None
-    for d in range(min(448, n) - min(448, n) % 8, 127, -8):
-        if n % d == 0:  # d is a multiple of 8 by loop construction
-            block_q = d
+    for cand in range(min(448, n) - min(448, n) % 8, 127, -8):
+        if n % cand == 0:  # cand is a multiple of 8 by loop construction
+            block_q = cand
             break
     if block_q is None:
         block_q = min(DEFAULT_BLOCK_Q, -(-n // 8) * 8)
@@ -74,28 +89,32 @@ def _pick_blocks(n: int, nk: int):
     else:
         block_k = None
         cap = _SCORE_TILE_BYTES // (4 * block_q)
-        for d in range(min(cap - cap % 8, nk8), 255, -8):
-            if nk8 % d == 0:
-                block_k = d
+        for cand in range(min(cap - cap % 8, nk8), 255, -8):
+            if nk8 % cand == 0:
+                block_k = cand
                 break
         block_k = block_k or DEFAULT_BLOCK_K
     return block_q, block_k
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
-    # matmuls run in the input dtype (bf16 inputs hit the MXU at bf16 rate)
-    # with f32 accumulation; softmax statistics stay f32 throughout
-    q = q_ref[0]                               # [BQ, D]
+def _init_softmax_carry(bq: int, d: int):
+    return (jnp.full((bq, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bq, 1), jnp.float32),
+            jnp.zeros((bq, d), jnp.float32))
+
+
+def _attend_panel(q, k_ref, v_ref, block_k: int, n_valid: int, carry):
+    """Fold one resident K/V panel into the online-softmax state.
+
+    Shared by the single-source and two-source kernels. Matmuls run in
+    the input dtype (bf16 inputs hit the MXU at bf16 rate) with f32
+    accumulation; softmax statistics (m, l) stay f32 throughout. Keys
+    at index >= n_valid are padding and masked to -inf.
+    """
     n_pad = k_ref.shape[1]
-    num_kb = n_pad // block_k
-    bq, d = q.shape
 
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-
-    def body(i, carry):
-        m, l, acc = carry
+    def body(i, c):
+        m, l, acc = c
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -111,7 +130,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
                                         preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
+    q = q_ref[0]                               # [BQ, D]
+    bq, d = q.shape
+    m, l, acc = _attend_panel(q, k_ref, v_ref, block_k, n_valid,
+                              _init_softmax_carry(bq, d))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -120,16 +146,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
 def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     bh, n, d = q.shape
     nk = k.shape[1]
-    # the kernel pins the full per-(batch, head) K/V panels in VMEM (the
-    # workload's sequences are <=6.3k tokens); refuse clearly beyond that
-    # rather than failing deep inside Mosaic
-    panel_bytes = 2 * nk * d * q.dtype.itemsize
-    if not interpret and panel_bytes > 8 * 1024 * 1024:
-        raise ValueError(
-            f'flash_attention: K/V panels of {panel_bytes / 2 ** 20:.0f} MiB '
-            f'(nk={nk}, d={d}) exceed the VMEM budget of this kernel, which '
-            'keeps whole panels resident; use attn_impl="dense" or a '
-            'k-streaming kernel for sequences this long')
+    _panel_budget_check(nk, d, q.dtype.itemsize, interpret,
+                        'flash_attention')
     n_pad_q = -(-n // block_q) * block_q
     n_pad_k = -(-nk // block_k) * block_k
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
@@ -174,7 +192,7 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
     b, h, n, d = q.shape
     nk = k.shape[2]
     if block_q is None or block_k is None:
-        auto_q, auto_k = _pick_blocks(n, nk)
+        auto_q, auto_k = _pick_blocks(n, nk, d)
         block_q = block_q or auto_q
         block_k = block_k or auto_k
     q3 = q.reshape(b * h, n, d)
@@ -188,37 +206,12 @@ def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                    block_k0: int, block_k1: int, n0_valid: int,
                    n1_valid: int):
     """Two-source online softmax: shared prefix K/V panels then per-sample
-    own panels, one softmax state across both."""
+    own panels, one softmax state across both (_attend_panel twice)."""
     q = q_ref[0]
     bq, d = q.shape
-
-    def phase(k_ref, v_ref, block_k, n_valid, carry):
-        n_pad = k_ref.shape[1]
-
-        def body(i, c):
-            m, l, acc = c
-            k = k_ref[0, pl.ds(i * block_k, block_k), :]
-            v = v_ref[0, pl.ds(i * block_k, block_k), :]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            key_idx = jax.lax.broadcasted_iota(
-                jnp.int32, (1, block_k), 1) + i * block_k
-            s = jnp.where(key_idx < n_valid, s, -jnp.inf)
-            m_new = jnp.maximum(m, s.max(-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = l * alpha + p.sum(-1, keepdims=True)
-            acc_new = acc * alpha + jnp.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-            return m_new, l_new, acc_new
-
-        return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
-
-    carry = (jnp.full((bq, 1), -jnp.inf, jnp.float32),
-             jnp.zeros((bq, 1), jnp.float32),
-             jnp.zeros((bq, d), jnp.float32))
-    carry = phase(k0_ref, v0_ref, block_k0, n0_valid, carry)
-    m, l, acc = phase(k1_ref, v1_ref, block_k1, n1_valid, carry)
+    carry = _attend_panel(q, k0_ref, v0_ref, block_k0, n0_valid,
+                          _init_softmax_carry(bq, d))
+    m, l, acc = _attend_panel(q, k1_ref, v1_ref, block_k1, n1_valid, carry)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -243,12 +236,22 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
         interpret = jax.default_backend() != 'tpu'
     s, h, nq, d = q.shape
     s0 = k0.shape[0]
-    assert s0 in (1, s), (s0, s)
+    if s0 not in (1, s):
+        # a ValueError (not assert) so a mis-stacked prefix batch fails
+        # loudly even under python -O, instead of the BlockSpec index map
+        # silently reading wrong-scene panels
+        raise ValueError(
+            f'flash_attention_prefix: prefix batch dim {s0} must be 1 '
+            f'(shared scene) or match the sample dim {s} (stacked '
+            'per-sample prefixes)')
     n0 = k0.shape[2]
     n1 = k1.shape[2]
+    # this kernel keeps BOTH the prefix and the suffix K/V panels resident
+    _panel_budget_check(n0 + n1, d, q.dtype.itemsize, interpret,
+                        'flash_attention_prefix')
 
-    block_q, block_k0 = _pick_blocks(nq, n0)
-    _, block_k1 = _pick_blocks(nq, max(n1, 8))
+    block_q, block_k0 = _pick_blocks(nq, n0, d)
+    _, block_k1 = _pick_blocks(nq, max(n1, 8), d)
 
     nq_p = -(-nq // block_q) * block_q
     n0_p = -(-n0 // block_k0) * block_k0

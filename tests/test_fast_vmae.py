@@ -405,3 +405,25 @@ def test_prefix_lru_eviction():
     # the re-inserted oldest bumped imgs[1]; imgs[2] was refreshed above
     _, hit = lru.get(imgs[2])
     assert hit and lru.hits == 2
+
+
+def test_shared_prefix_rejects_frame0_masks():
+    """The public entry point must refuse masks touching frame 0 even
+    when n_vis >= n0 (e.g. tube masks with the right popcount): the
+    prefix cache would silently leak the masked frame-0 pixels and drop
+    visible frame-1 tokens."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params)
+    x_mocos, mask, n_vis = _workload(model, s=2, n_sfx=4)
+    mask = np.array(mask)   # writable copy
+    # mask one frame-0 patch and unmask one extra frame-1 patch: the
+    # total popcount keeps n_vis >= n0, so only the explicit frame-0
+    # check can catch it
+    n0 = model.num_patches_per_frame
+    mask[:, 0] = True
+    masked1 = np.where(mask[0, n0:])[0]
+    mask[:, n0 + masked1[0]] = False
+    with pytest.raises(ValueError, match='frame 0'):
+        fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
+                                        x_mocos, jnp.asarray(mask))

@@ -98,6 +98,14 @@ def sharded_counterfactuals_fast_multi(mesh: Mesh, vmae_model, fast_params,
     (fast_vmae.stack_prefix_caches, leaf batch axis 1). S must be
     divisible by the mesh size.
     """
+    if prefix_cache is None:
+        # without the stacked cache the core would silently encode sample
+        # 0's frame 0 once and apply scene 0's prefix to every scene
+        raise ValueError(
+            'sharded_counterfactuals_fast_multi requires the stacked '
+            'prefix_cache (fast_vmae.stack_prefix_caches over the S '
+            "scenes' caches); for a single shared scene use "
+            'sharded_counterfactuals_fast')
     from ..pipelines.segmentation import (
         counterfactual_videos_and_flows_fast_multi)
 
@@ -157,7 +165,8 @@ def sharded_imu_counterfactuals(mesh: Mesh, wrapper, params, raft_model,
                                 raft_params, x, passive, active, shifts,
                                 keys, x_context, mask_context, n_vis: int,
                                 n_vis_c: int, normalize: bool,
-                                raft_iters: int, fix_passive: bool = True):
+                                raft_iters: int, fix_passive: bool = True,
+                                shared0_ok: bool = False):
     """Sample-sharded EXACT conjoined (IMU-conditioned) counterfactual
     step — S full conjoined forwards distributed over the 'samples' mesh
     axis (the fallback/reference-numerics companion of
@@ -182,4 +191,4 @@ def sharded_imu_counterfactuals(mesh: Mesh, wrapper, params, raft_model,
     return _imu_counterfactual_step(
         wrapper, params, raft_model, raft_params, x, passive, active,
         shifts, keys, x_context, mask_context, n_vis, n_vis_c, normalize,
-        raft_iters, fix_passive)
+        raft_iters, fix_passive, shared0_ok)

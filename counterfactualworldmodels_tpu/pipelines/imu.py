@@ -56,6 +56,15 @@ def _conjoined_predict_video(wrapper: ConjoinedPredictorWrapper, params,
     return scatter_pred_patches(y, x, mask, n_vis, wrapper.patch_size)
 
 
+def _imu_tokens_to_stream(y, pt: int):
+    """[B, T, pt*c] IMU tokens -> [B, c, T*pt] channel-major stream (the
+    reference's reshape_output, segmentation.py:646-650); shared by both
+    generator classes so the layout cannot drift between them."""
+    c = y.shape[-1] // pt
+    return jnp.asarray(rearrange(np.asarray(y),
+                                 'b t (pt c) -> b c (t pt)', c=c, pt=pt))
+
+
 class ImuGenerator(FlowGenerator):
     """Wrap predictors that input/output IMU in addition to RGB
     (reference segmentation.py:549-754)."""
@@ -110,10 +119,64 @@ class ImuGenerator(FlowGenerator):
         return rearrange(np.asarray(x), 'b c (t pt) -> b t (pt c)', pt=pt)
 
     def reshape_output(self, y, tubelet_size=None):
-        pt = tubelet_size or self.head_tubelet_size
-        c = y.shape[-1] // pt
-        return jnp.asarray(rearrange(np.asarray(y),
-                                     'b t (pt c) -> b c (t pt)', c=c, pt=pt))
+        return _imu_tokens_to_stream(y, tubelet_size
+                                     or self.head_tubelet_size)
+
+    def predict(self, x=None, mask=None, frame=None, x_context=None,
+                mask_context=None, **kwargs):
+        """Factual main-stream prediction through the conjoined
+        two-stream wrapper. The inherited single-stream path
+        (prediction.predict_video) cannot drive a
+        ConjoinedPredictorWrapper; this override feeds the IMU context
+        stream, defaulting to a zeroed fully-masked IMU (the reference's
+        fake head motion, segmentation.py:818-832). The reference's own
+        ImuGenerator inherits an equally unusable single-stream predict."""
+        if x is None:
+            x = self.x
+        x = jnp.asarray(x)
+        if x.ndim == 4:
+            x = x[:, None]
+        w = self.predictor
+        if w.model.main.in_chans != x.shape[2]:
+            raise TypeError(
+                f'{type(self).__name__}.predict reconstructs the main '
+                'stream into the input video, which requires the conjoined '
+                f'main stream to consume the raw video (model in_chans '
+                f'{w.model.main.in_chans} != input channels {x.shape[2]}); '
+                'this wrapper preprocesses its main input — use '
+                'predict_imu / predict_imu_from_video instead')
+        if mask is None:
+            mask = (self.mask if self.mask is not None
+                    else self.generate_mask(x))
+        mask = jnp.asarray(mask).reshape(x.shape[0], -1)
+        mask, n_vis = self._equalize(mask)
+        b = x.shape[0]
+        if x_context is None:
+            x_context = jnp.zeros(
+                (b, self.head_motion_channels,
+                 self.head_tubelet_size * self.num_head_tokens),
+                jnp.float32)
+            if mask_context is None:
+                mask_context = jnp.ones((b, self.num_head_tokens),
+                                        dtype=bool)
+        if mask_context is None:
+            mask_context = jnp.zeros((b, self.num_head_tokens), dtype=bool)
+        n_vis_c = w._static_n_vis(mask_context, w.model.context)
+        if w.model.context.is_imu and w.model.context.concat_dummy_token:
+            n_vis_c += 1
+        vid = _conjoined_predict_video(
+            w, w.params, x, mask, x_context, mask_context, n_vis, n_vis_c,
+            self.imagenet_normalize_inputs)
+        if frame is not None:
+            f = frame % vid.shape[1]
+            vid = vid[:, f:f + 1]
+        return vid
+
+    def _counterfactual_chunk(self, *args, **kwargs):
+        raise TypeError(
+            'ImuGenerator wraps a conjoined predictor for IMU prediction '
+            '(predict_imu / predict); for IMU-conditioned counterfactual '
+            'generation use ImuConditionedFlowGenerator')
 
     # --------------------------------------------------------------------
     def _context_outputs(self, x, mask, imu, imu_mask):
@@ -140,6 +203,10 @@ class ImuGenerator(FlowGenerator):
             'imu_missing_data', jnp.zeros_like(imu, dtype=bool)))
         b = video.shape[0]
 
+        # deliberate raw reshape of the channel-major [B, 6, L] missing
+        # array (NOT the reshape_input token layout): bit-parity with the
+        # reference, which views it the same way without transposing
+        # (cwm/models/segmentation.py:631-633)
         missing_tok = missing.reshape(b, self.num_head_tokens, -1)
         self.missing_imu = missing_tok
         missing_frac = missing_tok.astype(jnp.float32).mean(-1) > missing_thresh
@@ -279,15 +346,21 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         return self.predict_imu_from_video(static, timestamps=timestamps)
 
     def get_zeros_imu(self, x=None, timestamps=None):
+        """Zeros in predict_imu_from_video's [B, M, pt*c] token layout.
+        The reference runs a full flow2imu forward (incl. RAFT
+        preprocessing) just to zeros_like it (segmentation.py:879-883);
+        the shape is static from the head-model config, so build it
+        directly."""
         if x is None:
             x = self.x
-        return jnp.zeros_like(self.predict_imu_from_video(jnp.asarray(x)))
+        return jnp.zeros(
+            (jnp.asarray(x).shape[0], self.num_head_tokens,
+             self.head_tubelet_size * self.head_motion_channels),
+            jnp.float32)
 
     def reshape_output(self, y, tubelet_size=None):
-        pt = tubelet_size or self.head_tubelet_size
-        c = y.shape[-1] // pt
-        return jnp.asarray(rearrange(np.asarray(y),
-                                     'b t (pt c) -> b c (t pt)', c=c, pt=pt))
+        return _imu_tokens_to_stream(y, tubelet_size
+                                     or self.head_tubelet_size)
 
     def _get_head_motion(self, x, head_motion=None, static_head_motion=True,
                          timestamps=None):
@@ -398,7 +471,17 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                                                 **kwargs):
         """Counterfactuals with IMU context injected
         (reference segmentation.py:931-963)."""
-        self.set_input(jnp.asarray(x))
+        # normalize to [B, 2, C, H, W] BEFORE set_input (the parent does
+        # this inside super(); doing it only there would crash set_input
+        # on 3-D inputs and hand _get_head_motion a 1-frame movie)
+        x = jnp.asarray(x)
+        if x.ndim == 3:
+            x = jnp.broadcast_to(x[None, None], (1, 2, *x.shape))
+        elif x.ndim == 4:
+            x = jnp.broadcast_to(x[:, None], (x.shape[0], 2, *x.shape[1:]))
+        elif x.ndim == 5 and x.shape[1] == 1:
+            x = jnp.broadcast_to(x, (x.shape[0], 2, *x.shape[2:]))
+        self.set_input(x)
         h = self._get_head_motion(self.x, head_motion, static_head_motion,
                                   timestamps)
         h_mask = jnp.zeros((h.shape[0], self.num_head_tokens), dtype=bool)
@@ -420,9 +503,10 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         s = keys.shape[1]
         w = self.predictor
         n0 = w.model.main.num_patches // w.model.main.num_frames
+        frame0_clear = not bool(np.asarray(
+            passive[:, :n0] & active[:, :n0]).any())
         fast_ok = (self.engine == 'fast' and x.shape[0] == 1 and fix_passive
-                   and not bool(np.asarray(
-                       passive[:, :n0] & active[:, :n0]).any())
+                   and frame0_clear
                    and not bool(np.asarray(self._mask_context).any()))
         if fast_ok:
             from ..models import fast_conjoined
@@ -444,7 +528,8 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         return _imu_counterfactual_step(
             w, w.params, self.flow_model, self.flow_params, x, passive,
             active, shifts, keys, x_context, mask_context, n_vis, n_vis_c,
-            self.imagenet_normalize_inputs, iters, fix_passive)
+            self.imagenet_normalize_inputs, iters, fix_passive,
+            x.shape[0] == 1 and fix_passive and frame0_clear)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
@@ -519,14 +604,21 @@ def _imu_counterfactual_multi_step_fast(wrapper, params, raft_model,
     return y, flows, mask_mocos
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
+@functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15, 16))
 def _imu_counterfactual_step(wrapper, params, raft_model, raft_params, x,
                              passive, active, shifts, keys, x_context,
                              mask_context, n_vis: int, n_vis_c: int,
                              normalize: bool, raft_iters: int,
-                             fix_passive: bool):
+                             fix_passive: bool, shared0_ok: bool = False):
     """Fused: build counterfactuals -> conjoined (IMU-conditioned) forward
-    -> scatter -> RAFT. The IMU context is pre-tiled over samples."""
+    -> scatter -> RAFT. The IMU context is pre-tiled over samples.
+
+    shared0_ok: the CALLER asserts every sample's reconstructed frame 0 is
+    identical (one scene, fix_passive, AND no frame-0 patch masked — this
+    exact path is also the fallback for frame-0-masking prompts, whose
+    per-sample frame-0 predictions differ, so b==1 and fix_passive alone
+    are NOT sufficient); only then may RAFT share the frame-0
+    feature/context encoder passes."""
     b, t, c, h, w_ = x.shape
     s = passive.shape[-1]
     patch_size = wrapper.patch_size
@@ -545,10 +637,10 @@ def _imu_counterfactual_step(wrapper, params, raft_model, raft_params, x,
     y = _conjoined_predict_video(
         wrapper, params, x_mocos, mask_mocos, x_context, mask_context,
         n_vis, n_vis_c, normalize)
-    if b == 1 and fix_passive:
-        # one scene, frame 0 identical across samples (the fix_passive
-        # paste): share the frame-0 fnet/cnet passes (numerics identical,
-        # see apply_raft_shared0)
+    if shared0_ok and b == 1 and fix_passive:
+        # frame 0 identical across samples (caller-verified): share the
+        # frame-0 fnet/cnet passes (numerics identical, see
+        # apply_raft_shared0)
         flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters,
                                    True)
     else:

@@ -96,6 +96,9 @@ def compute_flow_corrs(flow_samples: jnp.ndarray,
 
     def per_batch(fi):
         if do_spearman:
+            # deliberate single argsort (a permutation, not the rank
+            # vector true Spearman needs): bit-parity with the reference
+            # (cwm/models/segmentation.py:520-521 does exactly this)
             fi = jnp.argsort(fi, -1).astype(jnp.float32)
         if thresh is not None and not binarize:
             fi = fi * (fi > thresh).astype(fi.dtype)
@@ -518,6 +521,11 @@ class FlowGenerator(PredictorBasedGenerator):
         # microbatch over samples
         chunk = sample_batch_size or s
         chunk = max(1, chunk // b)
+        # backward=True replaces the chunks' forward flows wholesale (the
+        # post-loop predict_flow below); run the fused in-chunk RAFT at 1
+        # iteration so the discarded probe costs ~nothing instead of
+        # doubling the dominant RAFT work
+        chunk_iters = 1 if backward else iters
         ys, flows = [], []
         for i in range(int(np.ceil(s / chunk))):
             s0, s1 = i * chunk, min((i + 1) * chunk, s)
@@ -526,7 +534,7 @@ class FlowGenerator(PredictorBasedGenerator):
             sh = jnp.broadcast_to(shifts[None, s0:s1], (b, s1 - s0, 2))
             y, fl, _ = self._counterfactual_chunk(
                 x, passive_patches[..., s0:s1], active_patches[..., s0:s1],
-                sh, keys, n_vis, iters, fix_passive)
+                sh, keys, n_vis, chunk_iters, fix_passive)
             ys.append(y.reshape(b, s1 - s0, *y.shape[1:]))
             flows.append(fl.reshape(b, s1 - s0, *fl.shape[1:]))
         y = jnp.concatenate(ys, 1).reshape(b * s, 2, *x.shape[2:])

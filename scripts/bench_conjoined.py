@@ -152,16 +152,19 @@ def main():
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     def exact():
+        # bench prompts are flagship-shaped (one scene, fix_passive,
+        # frame 0 fully visible) -> shared frame-0 RAFT passes are valid
         if mesh is not None:
             _, flows, _ = sharded_imu_counterfactuals(
                 mesh, w, params, raft, raft_params, x, passive, active,
                 shifts, keys, jnp.repeat(imu, s, 0),
-                jnp.repeat(mask_c, s, 0), n_vis, n_vis_c, True, raft_iters)
+                jnp.repeat(mask_c, s, 0), n_vis, n_vis_c, True, raft_iters,
+                True, shared0_ok=True)
         else:
             _, flows, _ = _imu_counterfactual_step(
                 w, params, raft, raft_params, x, passive, active, shifts,
                 keys, jnp.repeat(imu, s, 0), jnp.repeat(mask_c, s, 0),
-                n_vis, n_vis_c, True, raft_iters, True)
+                n_vis, n_vis_c, True, raft_iters, True, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     n_chips = n_mesh if mesh is not None else 1

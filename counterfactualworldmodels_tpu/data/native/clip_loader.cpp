@@ -73,10 +73,10 @@ class ClipLoader {
     if (crop_h_ <= 0) crop_h_ = hdr_.h;
     if (crop_w_ <= 0) crop_w_ = hdr_.w;
     ok_ = (sizeof(ShardHeader) + clip_bytes_ * hdr_.num_clips <= size_) &&
+          hdr_.num_clips > 0 &&  // N=0 would divide by zero in the workers
           crop_h_ <= static_cast<int>(hdr_.h) &&
           crop_w_ <= static_cast<int>(hdr_.w);
     if (!ok_) return;
-    build_order(0);
     stop_.store(false);
     for (int i = 0; i < num_threads; ++i) {
       workers_.emplace_back([this, i] { worker_loop(i); });
@@ -125,14 +125,16 @@ class ClipLoader {
   }
 
  private:
-  void build_order(uint64_t epoch) {
-    order_.resize(hdr_.num_clips);
-    for (uint32_t i = 0; i < hdr_.num_clips; ++i) order_[i] = i;
-    if (shuffle_) {
-      std::mt19937_64 rng(seed_ + epoch * 0x9e3779b97f4a7c15ULL);
-      for (uint32_t i = hdr_.num_clips; i > 1; --i) {
-        std::swap(order_[i - 1], order_[rng() % i]);
-      }
+  // Materialize the epoch-seeded Fisher-Yates permutation: every epoch
+  // visits each clip exactly once in an independent uniform order (the
+  // identical permutation is derived by any worker from the epoch alone,
+  // so interleaved workers agree without sharing state).
+  void epoch_perm(uint64_t epoch, std::vector<uint32_t>& out) const {
+    out.resize(hdr_.num_clips);
+    for (uint32_t i = 0; i < hdr_.num_clips; ++i) out[i] = i;
+    std::mt19937_64 rng(seed_ + epoch * 0x9e3779b97f4a7c15ULL);
+    for (uint32_t i = hdr_.num_clips; i > 1; --i) {
+      std::swap(out[i - 1], out[rng() % i]);
     }
   }
 
@@ -164,6 +166,8 @@ class ClipLoader {
   void worker_loop(int /*tid*/) {
     const size_t clip_elems =
         static_cast<size_t>(hdr_.t) * hdr_.c * crop_h_ * crop_w_;
+    uint64_t cached_ep = ~0ULL;    // this worker's cached epoch_perm
+    std::vector<uint32_t> perm;
     while (!stop_.load()) {
       uint64_t my_index = next_index_.fetch_add(1);
       uint64_t epoch = my_index * batch_size_ / hdr_.num_clips;
@@ -179,12 +183,14 @@ class ClipLoader {
         uint32_t pos = static_cast<uint32_t>(flat % hdr_.num_clips);
         uint32_t clip;
         if (shuffle_) {
-          // epoch-seeded Fisher-Yates position without materializing the
-          // permutation per worker: reseed a local order per epoch change
-          std::mt19937_64 erng(seed_ + ep * 0x9e3779b97f4a7c15ULL);
-          // cheap per-sample pseudo-shuffle: position hashing
-          clip = static_cast<uint32_t>((pos * 2654435761ULL + erng()) %
-                                       hdr_.num_clips);
+          // real per-epoch Fisher-Yates order (a previous affine-hash
+          // "shuffle" repeated one fixed stride cycle every epoch);
+          // rebuilt only when this worker crosses an epoch boundary
+          if (ep != cached_ep) {
+            epoch_perm(ep, perm);
+            cached_ep = ep;
+          }
+          clip = perm[pos];
         } else {
           clip = pos;
         }
@@ -220,7 +226,6 @@ class ClipLoader {
   int batch_size_, crop_h_, crop_w_, prefetch_;
   bool hflip_, shuffle_;
   uint64_t seed_;
-  std::vector<uint32_t> order_;
 
   std::vector<std::thread> workers_;
   std::mutex mu_;

@@ -34,6 +34,10 @@ def write_shard(path: str, clips: np.ndarray) -> None:
     n, t, h, w, c = clips.shape
     assert c <= 4, (f'clips must be [N, T, H, W, C] (channels last), got '
                     f'C={c}; transpose [N, T, C, H, W] input first')
+    if n == 0:
+        # an N=0 shard would pass the native loader's size checks and
+        # then divide by num_clips on a worker thread (SIGFPE)
+        raise ValueError('refusing to write an empty shard (0 clips)')
     with open(path, 'wb') as f:
         f.write(_HEADER.pack(MAGIC, 1, n, t, h, w, c))
         f.write(clips.tobytes())
@@ -137,8 +141,15 @@ class NativeClipLoader:
         self._lib.clip_loader_shape(self._handle, shape)
         self.batch_shape = tuple(shape)  # (B, T, C, H, W)
         self.num_clips = int(self._lib.clip_loader_num_clips(self._handle))
+        if self.num_clips == 0:
+            self.close()
+            raise RuntimeError(f'shard {shard_path} contains 0 clips')
 
     def next_batch(self) -> np.ndarray:
+        if not self._handle:
+            # never hand a NULL handle to the C side (it would be
+            # dereferenced); a closed loader is simply exhausted
+            raise StopIteration
         out = np.empty(self.batch_shape, dtype=np.float32)
         ids = np.empty(self.batch_shape[0], dtype=np.uint32)
         idx = self._lib.clip_loader_next_ids(
@@ -152,7 +163,13 @@ class NativeClipLoader:
 
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
-            yield self.next_batch()
+            try:
+                batch = self.next_batch()
+            except StopIteration:
+                # PEP 479: letting StopIteration escape a generator body
+                # raises RuntimeError instead of ending iteration
+                return
+            yield batch
 
     def close(self):
         if getattr(self, '_handle', None):
@@ -173,6 +190,8 @@ class PythonClipLoader:
                  crop_size: Optional[Tuple[int, int]] = None, seed: int = 0,
                  hflip: bool = False, shuffle: bool = True, **unused):
         n, t, h, w, c = read_shard_header(shard_path)
+        if n == 0:
+            raise RuntimeError(f'shard {shard_path} contains 0 clips')
         self.clips = np.memmap(shard_path, dtype=np.uint8, mode='r',
                                offset=_HEADER.size, shape=(n, t, h, w, c))
         self.batch_size = batch_size
@@ -182,6 +201,7 @@ class PythonClipLoader:
         self.shuffle = shuffle
         self.num_clips = n
         self.batch_shape = (batch_size, t, c, *self.crop)
+        self._pos = 0       # sequential cursor (shuffle=False)
 
     def next_batch(self) -> np.ndarray:
         n, t, h, w, c = (self.num_clips, *self.clips.shape[1:])
@@ -189,8 +209,14 @@ class PythonClipLoader:
         out = np.empty(self.batch_shape, dtype=np.float32)
         ids = np.empty(self.batch_size, dtype=np.uint32)
         for i in range(self.batch_size):
-            k = (self.rng.randint(n) if self.shuffle
-                 else (i % n))
+            if self.shuffle:
+                k = self.rng.randint(n)
+            else:
+                # advance through the shard across batches (the native
+                # loader steps its flat cursor the same way); i%n froze
+                # sequential runs on the first batch_size clips forever
+                k = self._pos % n
+                self._pos += 1
             ids[i] = k
             oy = self.rng.randint(h - ch + 1) if ch < h else 0
             ox = self.rng.randint(w - cw + 1) if cw < w else 0

@@ -42,13 +42,21 @@ def save_train_state(path: str, state) -> None:
 
 def restore_train_state(path: str, template):
     """Restore a TrainState; ``template`` supplies the structure (e.g. a
-    freshly initialized state) so optimizer pytrees rebuild correctly."""
-    import orbax.checkpoint as ocp
+    freshly initialized state) so optimizer pytrees rebuild correctly.
+    Only the template's STRUCTURE is used: leaves are passed as
+    shape/dtype stubs, not device_get copies — materializing host copies
+    of params + both Adam moments just to describe the tree would double
+    peak host memory at resume."""
+    def as_stub(a):
+        a = np.asarray(a) if np.isscalar(a) else a
+        return jax.ShapeDtypeStruct(np.shape(a), np.result_type(a))
+
     restored = _checkpointer().restore(
         os.path.abspath(path),
-        item={'step': np.asarray(template.step),
-              'params': jax.device_get(template.params),
-              'opt_state': jax.device_get(template.opt_state)})
+        item=jax.tree_util.tree_map(
+            as_stub, {'step': np.asarray(template.step),
+                      'params': template.params,
+                      'opt_state': template.opt_state}))
     from ..training.train import TrainState
     return TrainState(restored['step'], restored['params'],
                       jax.tree_util.tree_map(
@@ -70,8 +78,15 @@ class CheckpointManager:
     def all_steps(self):
         steps = []
         for name in os.listdir(self.directory):
-            if name.startswith('step_'):
+            if not name.startswith('step_'):
+                continue
+            try:
                 steps.append(int(name.split('_')[1]))
+            except ValueError:
+                # e.g. an interrupted save's orbax temp dir
+                # (step_000000123.orbax-checkpoint-tmp-<ts>): not a
+                # restorable step; must not break resume/save forever
+                continue
         return sorted(steps)
 
     def latest_step(self) -> Optional[int]:
@@ -82,7 +97,11 @@ class CheckpointManager:
         save_train_state(self._step_dir(step), state)
         steps = self.all_steps()
         import shutil
-        for old in steps[:-self.max_to_keep]:
+        # steps[:-0] would be the FULL list reversed into keep-everything;
+        # keep at least the checkpoint just written
+        drop = steps[:-self.max_to_keep] if self.max_to_keep > 0 else \
+            steps[:-1]
+        for old in drop:
             shutil.rmtree(self._step_dir(old), ignore_errors=True)
 
     def restore_latest(self, template):

@@ -75,13 +75,20 @@ def parse_args():
 
 
 def _resize_center(frame: np.ndarray, size: int) -> np.ndarray:
-    """uint8 HWC RGB -> [size, size] short-side resize + center crop."""
-    import cv2
+    """uint8 HWC RGB -> [size, size] short-side resize + center crop.
+    cv2 when available, PIL otherwise (frame-dir/array/imageio sources
+    never needed OpenCV for decoding, so packing must not either)."""
     h, w = frame.shape[:2]
     scale = size / min(h, w)
     nh, nw = max(size, int(round(h * scale))), max(size, int(round(w * scale)))
-    frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA
-                       if scale < 1 else cv2.INTER_LINEAR)
+    try:
+        import cv2
+        frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA
+                           if scale < 1 else cv2.INTER_LINEAR)
+    except ImportError:
+        from PIL import Image
+        frame = np.asarray(Image.fromarray(frame).resize((nw, nh),
+                                                         Image.BILINEAR))
     oy, ox = (nh - size) // 2, (nw - size) // 2
     return frame[oy:oy + size, ox:ox + size]
 
@@ -194,7 +201,10 @@ def main():
         sources.extend(sorted(glob.glob(s)) or [s])
 
     pend_clips, pend_imus, shard_idx, total = [], [], 0, 0
-    any_imu = False
+    # sidecars follow the user's intent (--imu-suffix), not whether an
+    # IMU-bearing source happened to appear before the first shard
+    # boundary — otherwise earlier shards silently ship without sidecars
+    any_imu = args.imu_suffix is not None
 
     def flush():
         nonlocal pend_clips, pend_imus, shard_idx, total
@@ -235,7 +245,6 @@ def main():
         fps = fps or args.fps
         imu = _load_imu(src, args.imu_suffix) if args.imu_suffix else None
         if imu is not None:
-            any_imu = True
             pend_imus_c[0] = imu.shape[0]
         for frames in batches:
             clips, imus = sample_clips(

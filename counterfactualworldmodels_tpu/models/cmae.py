@@ -109,11 +109,11 @@ class ChannelMaeEncoder(nn.Module):
                 self.image_size[1] // self.patch_size[1])
 
     def setup(self):
-        base = len(self.concat_base_channels)
+        # (nn.Dense infers the per-group input width, incl. any
+        # concatenated base channels — see tokenize)
         self.patch_embeds = [
             nn.Dense(self.embed_dim, dtype=self.dtype)
             for _ in self.partition]
-        self._group_in = [g + base for g in self.partition]
         self.blocks = [
             Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                   self.qkv_bias, init_values=self.init_values,
@@ -157,6 +157,7 @@ class ChannelMae(nn.Module):
     patch_size: Tuple[int, int] = (32, 32)
     in_channels: int = 3
     channel_partition: Optional[Tuple[int, ...]] = None
+    concat_base_channels: Tuple[int, ...] = ()
     encoder_embed_dim: int = 768
     encoder_depth: int = 12
     encoder_num_heads: int = 12
@@ -206,6 +207,7 @@ class ChannelMae(nn.Module):
             image_size=self.image_size, patch_size=self.patch_size,
             in_channels=self.in_channels,
             channel_partition=self.channel_partition,
+            concat_base_channels=self.concat_base_channels,
             embed_dim=self.encoder_embed_dim, depth=self.encoder_depth,
             num_heads=self.encoder_num_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias, dtype=self.dtype,
@@ -359,6 +361,7 @@ class SoftChannelMae(nn.Module):
     patch_size: Tuple[int, int] = (32, 32)
     in_channels: int = 3
     channel_partition: Optional[Tuple[int, ...]] = None
+    concat_base_channels: Tuple[int, ...] = ()
     encoder_embed_dim: int = 768
     encoder_depth: int = 12
     encoder_num_heads: int = 12
@@ -400,6 +403,7 @@ class SoftChannelMae(nn.Module):
             image_size=self.image_size, patch_size=self.patch_size,
             in_channels=self.in_channels,
             channel_partition=self.channel_partition,
+            concat_base_channels=self.concat_base_channels,
             embed_dim=self.encoder_embed_dim, depth=self.encoder_depth,
             num_heads=self.encoder_num_heads, mlp_ratio=self.mlp_ratio,
             qkv_bias=self.qkv_bias, dtype=self.dtype,

@@ -383,6 +383,9 @@ class ConjoinedVMAE(nn.Module):
             nulls = jnp.broadcast_to(null_dec, (b, spec.max_padding_tokens,
                                                 dim))
             pos = jnp.concatenate([pos, nulls], axis=1)
+        # the position table must cover the (padded) mask the order was
+        # computed from, or take_tokens clamps to repeated entries
+        assert pos.shape[1] == n_total, (pos.shape, n_total)
         pos = pos.astype(self.dtype)
         pos_vis = take_tokens(pos, order[:, :n_vis])
         pos_mask = take_tokens(pos, order[:, n_vis:])
@@ -576,9 +579,29 @@ class ConjoinedPredictorWrapper:
 
     def get_stream_inputs(self, x, mask, x_context=None, mask_context=None):
         """Frame/mask selection per stream (reference
-        conjoined_vmae.py:430-485)."""
+        conjoined_vmae.py:430-485).
+
+        For an IMU context stream, omitting x_context engages the
+        missing-IMU regime (zeroed stream, fully masked — reference
+        conjoined_vmae.py:1013-1147 null path); the RGB video is never a
+        valid IMU default, and an IMU mask can never be derived from the
+        RGB mask, so mask_context is required whenever x_context is given.
+        """
         b = x.shape[0]
         t = self.num_frames
+        ctx = self.model.context
+        if ctx.is_imu:
+            if x_context is None:
+                x_context = jnp.zeros(
+                    (b, ctx.in_chans, ctx.sequence_length), jnp.float32)
+                if mask_context is None:
+                    mask_context = jnp.ones((b, ctx.num_patches), bool)
+            elif mask_context is None:
+                raise ValueError(
+                    'mask_context is required with an IMU x_context: the '
+                    f'{ctx.num_patches}-token IMU mask cannot be derived '
+                    'from the RGB mask (the clamped gather would silently '
+                    'repeat tokens)')
         x_m = self.get_main_input(x)
         x_c = self.get_context_input(
             x_context if x_context is not None else x)
@@ -600,11 +623,27 @@ class ConjoinedPredictorWrapper:
         return (x_m, mask_m), (x_c, mask_c)
 
     def _static_n_vis(self, mask, spec):
-        vis = int(np.asarray((~mask).sum(-1)).max())
+        vis_rows = np.asarray((~jnp.asarray(mask)).sum(-1))
+        vis = int(vis_rows.max())
         if spec.padded:
             # an all-masked padded stream still exposes one null token
-            # (reference conjoined_vmae.py:69-82)
+            # (reference conjoined_vmae.py:69-82). Rows pad with
+            # (n_vis - row_visible) nulls; refuse spreads the null budget
+            # cannot cover — under-padding would silently count masked
+            # content tokens as visible (a ground-truth leak)
+            spread = vis - int(vis_rows.min())
+            if spread + spec.min_padding_tokens > spec.max_padding_tokens:
+                raise ValueError(
+                    f'per-row visible-count spread {spread} + '
+                    f'min_padding_tokens {spec.min_padding_tokens} exceeds '
+                    f'max_padding_tokens {spec.max_padding_tokens}; '
+                    'rectangularize the masks or raise max_padding_tokens')
             return max(vis + spec.min_padding_tokens, 1)
+        if int(vis_rows.min()) != vis:
+            raise ValueError(
+                'non-padded stream requires equal per-row visible counts, '
+                f'got {sorted(set(vis_rows.tolist()))}; rectangularize the '
+                'masks or use a padded StreamSpec')
         return vis
 
     def strip_padding(self, y):
@@ -613,11 +652,18 @@ class ConjoinedPredictorWrapper:
         if not m.padded:
             return y
         num_pad = m.max_padding_tokens - m.min_padding_tokens
+        if num_pad == 0:
+            return y     # y[:, :-0] would discard EVERY prediction
         return y[:, :-num_pad]
 
     def __call__(self, x, mask, timestamps=None, x_context=None,
                  mask_context=None, output_main=True, output_context=False,
                  **kwargs):
+        if timestamps is not None:
+            raise NotImplementedError(
+                'timestamp-conditioned position embeddings are not '
+                'implemented; outputs would silently differ from the '
+                'reference for non-default timestamps')
         (x_m, mask_m), (x_c, mask_c) = self.get_stream_inputs(
             x, mask, x_context, mask_context)
         n_vis = self._static_n_vis(mask_m, self.model.main)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .layers import dense_attention
+
 Dtype = jnp.dtype
 
 
@@ -75,11 +77,7 @@ class CrossSelfAttention(nn.Module):
         q = jnp.swapaxes(qkv[:, :, 0], 1, 2) * scale
         k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
         v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
-        attn = jax.nn.softmax(
-            jnp.einsum('bhnd,bhmd->bhnm', q, k,
-                       preferred_element_type=jnp.float32), -1)
-        y = jnp.einsum('bhnm,bhmd->bhnd', attn.astype(self.dtype), v,
-                       preferred_element_type=jnp.float32).astype(self.dtype)
+        y = dense_attention(q, k, v, dtype=self.dtype)
         y = jnp.swapaxes(y, 1, 2).reshape(b, n, inner)
         return nn.Dense(out_dim, dtype=self.dtype, name='projection')(y)
 

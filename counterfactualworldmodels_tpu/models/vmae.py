@@ -78,9 +78,11 @@ class VMAEEncoder(nn.Module):
         self.patch_embed = PatchEmbed(self.full_patch_size, self.embed_dim,
                                       dtype=self.dtype)
         if self.use_learnable_pos_emb:
-            self.pos_embed = self.param('pos_embed', nn.initializers.zeros,
-                                        (1, self.num_patches, self.embed_dim),
-                                        jnp.float32)
+            # trunc_normal(std=.02) like the reference (vmae.py:88) —
+            # zeros would alter from-scratch training dynamics
+            self.pos_embed = self.param(
+                'pos_embed', nn.initializers.truncated_normal(0.02),
+                (1, self.num_patches, self.embed_dim), jnp.float32)
         self.blocks = [
             Block(self.embed_dim, self.num_heads, self.mlp_ratio,
                   self.qkv_bias, self.qk_scale, self.init_values,
@@ -216,9 +218,10 @@ class PretrainVisionTransformer(nn.Module):
             dtype=self.dtype, attn_impl=self.attn_impl)
         self.encoder_to_decoder = nn.Dense(self.decoder_embed_dim,
                                            use_bias=False, dtype=self.dtype)
-        self.mask_token = self.param('mask_token', nn.initializers.zeros,
-                                     (1, 1, self.decoder_embed_dim),
-                                     jnp.float32)
+        # trunc_normal(std=.02) like the reference (vmae.py:360,371)
+        self.mask_token = self.param(
+            'mask_token', nn.initializers.truncated_normal(0.02),
+            (1, 1, self.decoder_embed_dim), jnp.float32)
 
     def __call__(self, x, mask, n_vis: int):
         """x [B,C,T,H,W]; mask bool [B,N]; returns [B, N-n_vis, out_dim]."""

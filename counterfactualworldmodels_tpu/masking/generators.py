@@ -63,8 +63,12 @@ def uniform_frame_mask(key, height: int, width: int, num_masked: int,
         mask = jnp.repeat(jnp.repeat(mask, ch, axis=0), cw, axis=1)
         pad_h, pad_w = height - gh * ch, width - gw * cw
         if pad_h or pad_w:
-            off_h = jax.random.randint(key_pad, (), 0, pad_h + 1) if pad_h else 0
-            off_w = jax.random.randint(key_pad, (), 0, pad_w + 1) if pad_w else 0
+            # independent subkeys: one key for both draws would correlate
+            # the offsets (identical whenever pad_h == pad_w), placing the
+            # block only on diagonal offsets
+            key_h, key_w = jax.random.split(key_pad)
+            off_h = jax.random.randint(key_h, (), 0, pad_h + 1) if pad_h else 0
+            off_w = jax.random.randint(key_w, (), 0, pad_w + 1) if pad_w else 0
             full = jnp.ones((height, width), dtype=bool)
             mask = jax.lax.dynamic_update_slice(full, mask, (off_h, off_w))
     return mask

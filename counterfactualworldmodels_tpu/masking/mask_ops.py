@@ -124,21 +124,24 @@ def rectangularize(key, masks: jnp.ndarray, num_visible=None,
     (masking.py:90-132), vectorized with a single keyed argsort.
 
     ``num_visible`` overrides the target; otherwise it follows ``mode`` in
-    {'min','max','mean'} over the batch (on visible counts).
+    {'min','max','mean'} over the batch's MASKED counts, exactly like the
+    reference (masking.py:112-115: 'min' equalizes to the least-masked
+    row — i.e. the MOST visible — and 'max' to the most-masked row).
     """
     if mode in (None, 'none'):
         return masks
     if mode == 'full':
         return jnp.ones_like(masks)
     b, n = masks.shape
-    vis_counts = (~masks).sum(-1)
     if num_visible is None:
+        masked_counts = masks.sum(-1)
         if mode == 'min':
-            num_visible = vis_counts.min()
+            target_masked = masked_counts.min()
         elif mode == 'max':
-            num_visible = vis_counts.max()
+            target_masked = masked_counts.max()
         else:
-            num_visible = vis_counts.mean().astype(jnp.int32)
+            target_masked = masked_counts.mean().astype(jnp.int32)
+        num_visible = n - target_masked
     noise = jax.random.uniform(key, (b, n), minval=0.0, maxval=0.999)
     priority = (~masks).astype(jnp.float32) + noise
     order = jnp.argsort(-priority, axis=-1)     # visible first, random ties

@@ -28,13 +28,28 @@ def flow_sample_filter(flow_samples: jnp.ndarray,
     flow_mag = jnp.linalg.norm(flow_samples, axis=1)  # [B,H,W,S]
 
     n = active_patches.shape[1]
-    gh = gw = int(round((n / 2) ** 0.5))
+    # infer the frame-1 patch grid from the image aspect (square patches);
+    # the reference simply asserts H == W (sampling.py:189) — support
+    # non-square frames but fail loudly on inconsistent shapes instead of
+    # silently scrambling patch indexing
+    n2 = n // 2
+    gh = max(1, int(round((n2 * h / w) ** 0.5)))
+    gw = n2 // gh
+    if gh * gw != n2:
+        raise ValueError(
+            f'cannot infer a patch grid with square patches from '
+            f'N/2={n2} active entries and a {h}x{w} frame')
     active_second = 1.0 - active_patches[:, gh * gw:, :].astype(jnp.float32)
     active_second = jnp.swapaxes(active_second, 1, 2)  # [B,S,hw]
 
-    # bilinear downsample of the magnitude map to the patch grid
+    # bilinear downsample of the magnitude map to the patch grid.
+    # antialias=False for bit-parity with the reference's F.interpolate
+    # (utils.py:837, torch default: no antialiasing) — jax's default
+    # antialiased downsample dilutes single-patch magnitudes and flips
+    # accept/reject decisions near the threshold
     mag = jnp.moveaxis(flow_mag, -1, 1)  # [B,S,H,W]
-    mag_down = jax.image.resize(mag, (b, s, gh, gw), 'bilinear')
+    mag_down = jax.image.resize(mag, (b, s, gh, gw), 'bilinear',
+                                antialias=False)
     mag_down = mag_down.reshape(b, s, gh * gw)
     patch_mag = (mag_down * active_second).sum(-1) / \
         (active_second.sum(-1) + 1e-12)  # [B,S]

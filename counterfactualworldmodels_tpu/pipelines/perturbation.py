@@ -152,13 +152,8 @@ def make_motion_counterfactual(x: jnp.ndarray, passive: jnp.ndarray,
         # target frame absorbs the remaining quota
         vis_other = (~lead).sum() + (~tail).sum()
         quota = n_vis_target - vis_other
-        f_mask = mask[frame * n_per_frame:(frame + 1) * n_per_frame]
-        noise = jax.random.uniform(key, (n_per_frame,), minval=0.0,
-                                   maxval=0.999)
-        priority = (~f_mask).astype(jnp.float32) + noise
-        order = jnp.argsort(-priority)
-        rank = jnp.argsort(order)
-        f_mask = rank >= quota
+        f_mask = rectangularize_row(
+            key, mask[frame * n_per_frame:(frame + 1) * n_per_frame], quota)
         mask = jnp.concatenate([lead, f_mask, tail])
     return x_out, mask
 
@@ -171,7 +166,10 @@ def multi_shift_patches_and_mask(x: jnp.ndarray, masks: jnp.ndarray,
     (reference MultiShiftPatchesAndMask, perturbation.py:644-779).
 
     x: [B, T, C, H, W]; masks: bool [B, N, S]; perturbation_points: bool
-    [B, N, S] or None (True = NOT perturbed, i.e. visible entries move);
+    [B, N, S] or None — True entries are the patches TO PERTURB (their
+    content shifts; the code masks them in the prompt and passes the
+    complement as passive, matching reference PatchPerturbation.forward,
+    perturbation.py:103-107);
     shifts_px: int [S, 2] pixel shifts (fractional shifts rounded to patch
     units for the mask). Shifts are applied sequentially to the same video.
     Returns (x_out [B,T,C,H,W], mask [B,N]).
@@ -284,10 +282,6 @@ def shuffle_visible(key, x: jnp.ndarray, mask: jnp.ndarray, patch_size,
         noise = jax.random.uniform(k, (n,))
         score = jnp.where(mr, 2.0 + noise, noise)
         order = jnp.argsort(score)          # visible positions first, shuffled
-        vis_sorted = jnp.argsort(jnp.where(mr, 2.0, 0.0)
-                                 + jnp.arange(n) * 1e-6)  # stable visible list
-        # map: i-th visible slot (in stable order) <- i-th shuffled visible
-        src = jnp.where(mr[order], order, order)  # placeholder, refined below
         out = pr
         nv = (~mr).sum()
         # scatter shuffled visible patches into stable visible positions

@@ -103,11 +103,16 @@ def test_patches_adjacent_to_visible_matches_reference():
 def test_rectangularize_exact_counts():
     rng = np.random.RandomState(3)
     m = jnp.asarray(rng.rand(4, 100) > rng.rand(4, 1))
+    # reference semantics (masking.py:112-115): modes act on MASKED
+    # counts — 'min' equalizes to the least-masked row (most visible)
     out = masking.rectangularize(jax.random.PRNGKey(0), m, mode='min')
     vis = (~np.asarray(out)).sum(-1)
-    target = (~np.asarray(m)).sum(-1).min()
+    target = (~np.asarray(m)).sum(-1).max()
     assert (vis == target).all()
-    # rows that already had the minimum visible count keep their visible set
+    out_mx = masking.rectangularize(jax.random.PRNGKey(0), m, mode='max')
+    assert ((~np.asarray(out_mx)).sum(-1)
+            == (~np.asarray(m)).sum(-1).min()).all()
+    # rows that already had the target visible count keep their visible set
     keep = (~np.asarray(m)).sum(-1) == target
     if keep.any():
         np.testing.assert_array_equal(np.asarray(out)[keep], np.asarray(m)[keep])

@@ -313,3 +313,48 @@ def test_multi_shift_matches_reference():
         jnp.asarray(shifts_px), PS, frame=1)
     np.testing.assert_allclose(np.asarray(x_mine), x_ref.numpy(), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(m_mine), m_ref.numpy())
+
+
+def test_predict_counterfactuals_matches_fused_step():
+    """The standalone jitted counterfactual-prediction API (no RAFT)
+    produces the same videos and masks as the fused
+    segmentation.counterfactual_videos_and_flows step given identical
+    prompts and keys."""
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.prediction import (
+        predict_counterfactuals)
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        counterfactual_videos_and_flows)
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(16, 16), patch_size=(4, 4), encoder_embed_dim=48,
+        encoder_depth=2, encoder_num_heads=2, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(_video(b=1, hw=16, seed=4))
+    n = model.num_patches
+    s = 2
+    passive = np.ones((1, n, s), bool)
+    active = np.ones((1, n, s), bool)
+    passive[:, :n // 2] = False
+    active[:, :n // 2] = False
+    for j in range(s):
+        active[0, n // 2 + rng.choice(n // 2, 2, replace=False), j] = False
+    shifts = jnp.asarray(rng.randint(-1, 2, (1, s, 2)), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), s)[None]
+    n_vis = n // 2 + 2
+
+    vids, x_mocos, masks = predict_counterfactuals(
+        model, params, x, jnp.asarray(passive), n_vis, True, None,
+        jnp.asarray(active), shifts, s, keys=keys)
+
+    raft = RAFT(iters=1)
+    raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
+    y_ref, _, masks_ref = counterfactual_videos_and_flows(
+        model, params, raft, raft_params, x, jnp.asarray(passive),
+        jnp.asarray(active), shifts, keys, n_vis, True, 1, True)
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks_ref))
+    np.testing.assert_allclose(np.asarray(vids), np.asarray(y_ref),
+                               atol=1e-5)

@@ -54,9 +54,34 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray,
 
 
 def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear 8x upsample * 8 (reference raft/utils.py:88-91). NHWC."""
+    """Bilinear 8x upsample * 8 (reference raft/utils.py:88-91). NHWC.
+
+    The reference interpolates with align_corners=True; jax.image.resize
+    only offers the half-pixel convention, which shifts every sample
+    position, so the align_corners grid (out pixel i -> in coord
+    i*(h-1)/(H-1)) is gathered explicitly."""
     b, h, w, c = flow.shape
-    return 8 * jax.image.resize(flow, (b, 8 * h, 8 * w, c), 'bilinear')
+    H, W = 8 * h, 8 * w
+
+    def grid(n_out, n_in):
+        if n_out <= 1 or n_in <= 1:
+            return jnp.zeros((n_out,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) /
+                                                       (n_out - 1))
+
+    yy, xx = grid(H, h), grid(W, w)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (yy - y0).astype(flow.dtype)[None, :, None, None]
+    wx = (xx - x0).astype(flow.dtype)[None, None, :, None]
+    f00 = flow[:, y0][:, :, x0]
+    f01 = flow[:, y0][:, :, x1]
+    f10 = flow[:, y1][:, :, x0]
+    f11 = flow[:, y1][:, :, x1]
+    return 8 * (f00 * (1 - wy) * (1 - wx) + f01 * (1 - wy) * wx
+                + f10 * wy * (1 - wx) + f11 * wy * wx)
 
 
 class _UpdateStep(nn.Module):
@@ -101,10 +126,18 @@ class RAFT(nn.Module):
     """
     small: bool = False
     corr_levels: int = 4
-    corr_radius: int = 4
+    # None resolves per the reference: 3 for the small model, 4 otherwise
+    # (raft_model.py forces args.corr_radius=3 when args.small)
+    corr_radius: Optional[int] = None
     output_dim: Optional[int] = None
     iters: int = 24
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def radius(self):
+        if self.corr_radius is not None:
+            return self.corr_radius
+        return 3 if self.small else 4
 
     @property
     def hidden_dim(self):
@@ -153,7 +186,7 @@ class RAFT(nn.Module):
             pyramid = build_pyramid_lanes(corr, self.corr_levels)
         else:
             pyramid = pad_pyramid(build_pyramid(corr, self.corr_levels),
-                                  self.corr_radius)
+                                  self.radius)
 
         c = cnet(x1)
         net = jnp.tanh(c[..., :hdim])
@@ -172,7 +205,7 @@ class RAFT(nn.Module):
                        split_rngs={'params': False},
                        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                        length=iters)
-        step = scan(self.small, self.corr_levels, self.corr_radius,
+        step = scan(self.small, self.corr_levels, self.radius,
                     self.hidden_dim, self.dtype, lanes, name='update_step')
         (net, coords1, up_mask), _ = step((net, coords1, mask0),
                                           inp, coords0, pyramid)

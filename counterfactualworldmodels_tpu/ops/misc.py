@@ -8,6 +8,8 @@ functions here (wrap with functools.partial to bind defaults).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -174,9 +176,11 @@ def masked_kl_div_loss(logits, labels, mask, dim=-1, eps=1e-9):
 
 
 def masked_sequence_loss(logits_seq, labels, mask, gamma=0.8,
-                         loss_func=masked_per_pixel_loss):
+                         loss_func=functools.partial(masked_per_pixel_loss,
+                                                     loss_fn=l1_loss)):
     """Exponentially-weighted loss over an iteration sequence
-    (reference utils.py:742-757; RAFT-style training loss)."""
+    (reference utils.py:742-757; RAFT-style training loss). Defaults to
+    the L1 per-pixel loss like the reference's MaskedL1Loss default."""
     if not isinstance(logits_seq, (list, tuple)):
         logits_seq = [logits_seq]
     n = len(logits_seq)

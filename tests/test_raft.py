@@ -214,3 +214,33 @@ def test_lookup_kernels_flagship_resolution():
                                        x, y, r, nb=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out_l), np.asarray(ref),
                                atol=1e-5)
+
+
+def test_raft_small_forward_matches_reference():
+    """Golden parity for the SMALL RAFT variant (reference forces
+    corr_radius=3 when small, raft_model.py:123-127 — the port now
+    resolves the same default; this path was previously untested and
+    silently built a different architecture). Also covers upflow8's
+    align_corners=True sampling, which only the small model uses."""
+    tmodel = _torch_raft(small=True)
+    jmodel = RAFT(small=True, iters=4)
+    assert jmodel.radius == 3
+    params = convert_raft(tmodel.state_dict(), small=True)
+
+    rng = np.random.RandomState(1)
+    # 128px minimum: smaller inputs give an 8x8 eighth-res map whose
+    # 4-level pyramid bottoms out at 1x1, where the REFERENCE's grid
+    # normalization divides by (size-1)=0 and goes NaN
+    img1 = (rng.rand(1, 3, 128, 128) * 255).astype(np.float32)
+    img2 = np.roll(img1, shift=3, axis=-1) + rng.rand(1, 3, 128, 128).astype(
+        np.float32)
+    with torch.no_grad():
+        _, ref = tmodel._forward_two_images(torch.tensor(img1),
+                                            torch.tensor(img2), iters=4,
+                                            test_mode=True)
+    _, up = jmodel.apply({'params': params}, jnp.asarray(img1),
+                         jnp.asarray(img2), 4)
+    up = np.asarray(up)
+    assert up.shape == ref.numpy().shape
+    err = np.abs(up - ref.numpy()).max()
+    assert err < 5e-3, err

@@ -103,6 +103,7 @@ class CounterfactualPredictionInterface:
 
         self.G.set_input(self.get_input())
         self._reset_masks()
+        self._store_current_patches()   # ALT-restore baseline
         self.counterfactual_inputs = []
         self.preds_list = []
         self.flow_samples_list = []
@@ -224,12 +225,13 @@ class CounterfactualPredictionInterface:
 
     # ------------------------------------------------------------------
     def _reset_masks(self):
+        # NOTE: do not touch the *_last fields here — the SHIFT handler
+        # stores the current selection just before resetting so ALT-click
+        # can restore it (clobbering them made restore-after-reset a no-op)
         self.G.set_input(self.get_input())
         self.mask = self.G.get_zeros_mask(self.get_input())
         self.active_patches = self.G.get_zeros_mask(self.get_input())
         self.passive_patches = self.G.get_zeros_mask(self.get_input())
-        self._active_patches_last = self.active_patches
-        self._passive_patches_last = self.passive_patches
 
     def _store_current_patches(self):
         self._active_patches_last = self.active_patches
@@ -293,9 +295,17 @@ class CounterfactualPredictionInterface:
         x = self.G.x
         if static:
             x = self.G.make_static_movie(x[:, 0:1], t=2)
+        extra = dict(kwargs)
+        if hasattr(self.G, '_get_head_motion'):
+            # thread the interface's head-motion conditioning to
+            # IMU-conditioned generators (it was silently ignored here,
+            # unlike the batch-counterfactual path)
+            extra.setdefault('static_head_motion', self.static_head_motion)
+            extra.setdefault('mask_head_motion', False)
         y = self.G.get_counterfactual_prediction(
             x, active_patches=self.active_patches,
-            mask=self.passive_patches, shift=shift, **self._model_kwargs)
+            mask=self.passive_patches, shift=shift, **extra,
+            **self._model_kwargs)
         flow = None
         if hasattr(self.G, 'predict_flow'):
             flow = self.G.predict_flow(y)
@@ -308,6 +318,10 @@ class CounterfactualPredictionInterface:
         self.flow_samples_list, self.preds_list = [], []
         self.shifts = []
         self._flow_corrs = None
+        # error maps restart with the selection: diffing against a
+        # pre-reset baseline compared unrelated selections (and the list
+        # grew without bound over a session)
+        self._flow_errors = []
 
     def _get_flow_mag(self, flow, normalize=True, dim=-3, eps=1e-2):
         mag = jnp.sqrt((flow ** 2).sum(dim))
@@ -487,7 +501,10 @@ class CounterfactualPredictionInterface:
 
     def _run_error_maps(self):
         mask = jnp.minimum(self.active_patches, self.passive_patches)
-        error_dict = self.G.get_error_maps(x=self._x, mask=mask)
+        extra = ({'static_head_motion': self.static_head_motion,
+                  'mask_head_motion': False}
+                 if hasattr(self.G, '_get_head_motion') else {})
+        error_dict = self.G.get_error_maps(x=self._x, mask=mask, **extra)
         if self.flow_ax is not None:
             self.G.flowshow(error_dict['flow_true'][:, 0], ax=self.flow_ax,
                             set_max_speed=True, title='true flow')
@@ -509,7 +526,11 @@ class CounterfactualPredictionInterface:
             init_passives=self.passive_patches)
         self.flow_samples_list.extend(
             [fs[..., k][:, None] for k in range(fs.shape[-1])])
-        affs = self._get_flow_mag(fs.mean(-1), True)
+        # mean of per-sample magnitudes (the selector's own statistic):
+        # opposite-direction shifts cancel in a mean-THEN-magnitude,
+        # zeroing the display over the real segment
+        affs, _, _ = self.patch_selector.compute_affinity_targets_from_samples(
+            fs)                                  # [B, H, W]
         img = self.G.get_masked_pred_patches(x2, actives.min(-1),
                                              fill_value=[0, 1, 1])
         img = self.G.get_masked_pred_patches(img, passives.min(-1),
@@ -591,8 +612,12 @@ class CounterfactualPredictionInterface:
             points.append([int(self.rng.randint(0, size[0] * sh)),
                            int(self.rng.randint(0, size[1] * sw))])
 
-        n_rows = max(2, num_points // 2)
-        fig, axes = plt.subplots(n_rows, 4, figsize=(16, n_rows * 4))
+        # ceil: the reference's num_points // 2 under-allocates rows for
+        # odd num_points >= 5 and IndexErrors at idx 4
+        n_rows = max(2, -(-num_points // 2))
+        n_cols = 2 if overlay else 4
+        fig, axes = plt.subplots(n_rows, n_cols,
+                                 figsize=(4 * n_cols, n_rows * 4))
         for idx, p in enumerate(points):
             row, col = idx // 2, idx % 2
             pi, pj = (p[0] // self.G.patch_size[-2],
@@ -605,9 +630,20 @@ class CounterfactualPredictionInterface:
             marker_mask = self.G.generate_mask_from_patch_idx_list([[pi, pj]])
             img = self.G.get_masked_pred_patches(
                 self.G.x, marker_mask, fill_value=list(marker_color))[:, 1]
-            imshow(np.asarray(img), ax=axes[row, col * 2])
-            imshow(np.asarray(corr_img), ax=axes[row, col * 2 + 1])
-            for a in (axes[row, col * 2], axes[row, col * 2 + 1]):
+            if overlay:
+                # reference overlay branch: modulate the marker image by
+                # the (resized) covariance row in ONE panel per point
+                ci = jnp.asarray(corr_img)
+                ci = jax.image.resize(
+                    ci, (*ci.shape[:-2], *img.shape[-2:]), 'bilinear')
+                imshow(np.asarray(img) * np.asarray(ci),
+                       ax=axes[row, col])
+                cells = (axes[row, col],)
+            else:
+                imshow(np.asarray(img), ax=axes[row, col * 2])
+                imshow(np.asarray(corr_img), ax=axes[row, col * 2 + 1])
+                cells = (axes[row, col * 2], axes[row, col * 2 + 1])
+            for a in cells:
                 a.set_xticks([])
                 a.set_yticks([])
         plt.tight_layout()

@@ -72,17 +72,26 @@ class Preprocessor:
 
 
 class Noise(Preprocessor):
-    """Random noise with the input's shape (reference preprocessor.py:138-146).
+    """Random noise with the input's shape (reference preprocessor.py:138-146,
+    torch.rand_like — fresh noise per call).
 
-    Deterministic variant: a fixed uniform pattern (jit-safe); set
-    ``self.key`` for fresh draws.
+    Pass ``key`` for explicit control; otherwise ``self.key`` advances on
+    every call (split), so repeated calls draw fresh patterns like the
+    reference. Note the self.key path is stateful — inside jit, pass
+    ``key`` explicitly.
     """
+
+    def __init__(self, *args, key=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        import jax
+        self.key = key if key is not None else jax.random.PRNGKey(0)
 
     def __call__(self, x, timestamps=None, key=None, **kwargs):
         import jax
         if self.frames_list is not None:
             x = self._frames(x)
-        key = key if key is not None else jax.random.PRNGKey(0)
+        if key is None:
+            self.key, key = jax.random.split(self.key)
         return jax.random.uniform(key, x.shape, x.dtype)
 
 
@@ -161,6 +170,11 @@ class FramePairFlow(Preprocessor):
     def __call__(self, x, timestamps=None, **kwargs):
         if self.frames_list is not None:
             x = self._frames(x)
+        # a T-frame input yields T-1 flow frames; with frames_list=None
+        # record it at call time (the reference sets num_frames after the
+        # first forward the same way, preprocessor.py:241) so
+        # get_output_frames selects T-1 mask frames, not all T
+        self.num_frames = x.shape[self.t_dim] - 1
         if self.unnormalize_rgb:
             x = imagenet_unnormalize(x, temporal_dim=self.t_dim)
         outs = [self._get_flow(x, self.backward)]

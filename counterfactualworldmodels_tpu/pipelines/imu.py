@@ -391,8 +391,14 @@ class ImuConditionedFlowGenerator(FlowGenerator):
 
     # -- conditioned prediction ------------------------------------------
     def predict(self, x=None, mask=None, frame=-1, x_context=None,
-                mask_context=None, **kwargs):
-        """Factual prediction with IMU context."""
+                mask_context=None, static_head_motion=True,
+                mask_head_motion=False, **kwargs):
+        """Factual prediction with IMU context. With ``x_context=None``
+        the head motion is predicted per ``static_head_motion`` (static
+        scene embedding vs. video-predicted) and ``mask_head_motion``
+        fully masks it — the same conditioning knobs as
+        predict_counterfactual_videos_and_flows (reference interface
+        paths drive both)."""
         if x is None:
             x = self.x
         x = jnp.asarray(x)
@@ -403,11 +409,14 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         mask = jnp.asarray(mask).reshape(x.shape[0], -1)
         mask, n_vis = self._equalize(mask)
         if x_context is None:
-            h = self._get_head_motion(x)
+            h = self._get_head_motion(
+                x, static_head_motion=static_head_motion)
             x_context = self.reshape_output(h)
         if mask_context is None:
             mask_context = jnp.zeros((x.shape[0], self.num_head_tokens),
                                      dtype=bool)
+            if mask_head_motion:
+                mask_context = ~mask_context
         w = self.predictor
         n0 = w.model.main.num_patches // w.model.main.num_frames
         # engine='fast': per-click route through the conjoined shared-prefix

@@ -34,7 +34,6 @@ class IterativePatchSelector:
         self.sample_batch_size = sample_batch_size
         self.affinity_power = affinity_power
         self.do_filter = do_filter
-        self.visualization_mode = False
         self.filter_masks = None
 
     def compute_affinity_targets_from_samples(self, flow_samples):
@@ -62,6 +61,11 @@ class IterativePatchSelector:
             x = x[:, None]
         if x.shape[1] == 1:
             x = jnp.broadcast_to(x, (x.shape[0], 2, *x.shape[2:]))
+        elif make_static:
+            # counterfactuals probe motion FROM a static scene: replace
+            # every frame with frame 0 (the flag was previously ignored
+            # for real multi-frame movies)
+            x = jnp.broadcast_to(x[:, 0:1], x.shape)
         self.G.set_input(x)
         b = x.shape[0]
         t_grid, gh, gw = self.G.mask_shape

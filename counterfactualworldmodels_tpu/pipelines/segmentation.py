@@ -608,7 +608,7 @@ def _get_error_maps(self, x, mask, frame=1, **kwargs):
         x = jnp.broadcast_to(x, (x.shape[0], 2, *x.shape[2:]))
     self.set_input(x)
     flow_true = self.predict_flow(x)
-    y = self.predict(x, mask, frame=None)
+    y = self.predict(x, mask, frame=None, **kwargs)
     flow_pred = self.predict_flow(y)
     err = jnp.sqrt(((flow_true - flow_pred) ** 2).sum(2))
     return {'flow_true': flow_true, 'flow_pred': flow_pred,

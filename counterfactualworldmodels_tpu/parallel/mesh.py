@@ -103,12 +103,17 @@ def param_shardings(params, mesh: Mesh, rules=VMAE_PARTITION_RULES):
     tp-sharded specs fall back to replication when the named axis doesn't
     divide the parameter dim (small test models).
     """
-    tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get('tp', 1)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    tp_size = axis_sizes.get('tp', 1)
 
     def spec_of(path, leaf):
         spec = partition_spec_for(path, rules)
         for dim, axis in enumerate(spec):
             if axis == 'tp':
+                if 'tp' not in axis_sizes:
+                    # a mesh without the axis cannot carry a 'tp' spec at
+                    # all (NamedSharding would raise): replicate
+                    return P()
                 if dim >= leaf.ndim or leaf.shape[dim] % max(tp_size, 1):
                     if tp_size > 1:
                         import warnings

@@ -25,7 +25,7 @@ def _layernorm(x, scale, bias, eps=1e-6):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _block_sp(p, x_local, axis: str, num_heads: int):
+def _block_sp(p, x_local, axis: str, num_heads: int, scale=None):
     """One pre-norm transformer block with the token axis sharded.
 
     p: one block's param tree (attn/mlp/norm1/norm2); x_local [B, N/sp, D].
@@ -42,7 +42,8 @@ def _block_sp(p, x_local, axis: str, num_heads: int):
     qkv = qkv.reshape(b, n_loc, 3, num_heads, d // num_heads)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [B, N/sp, H, Dh]
     head_dim = d // num_heads
-    q = jnp.swapaxes(q, 1, 2) * head_dim ** -0.5         # [B, H, N/sp, Dh]
+    q = jnp.swapaxes(q, 1, 2) * (
+        head_dim ** -0.5 if scale is None else scale)    # [B, H, N/sp, Dh]
     # gather the full sequence of keys/values over the sp axis
     k = jax.lax.all_gather(jnp.swapaxes(k, 1, 2), axis, axis=2,
                            tiled=True)                   # [B, H, N, Dh]
@@ -54,6 +55,8 @@ def _block_sp(p, x_local, axis: str, num_heads: int):
                      preferred_element_type=jnp.float32).astype(x_local.dtype)
     out = jnp.swapaxes(out, 1, 2).reshape(b, n_loc, d)
     out = jnp.dot(out, p['attn']['proj']['kernel']) + p['attn']['proj']['bias']
+    if 'gamma_1' in p:            # layerscale (init_values > 0 models)
+        out = p['gamma_1'] * out
     x_local = x_local + out
 
     # --- MLP: fully local
@@ -61,14 +64,18 @@ def _block_sp(p, x_local, axis: str, num_heads: int):
     h = jnp.dot(h, p['mlp']['fc1']['kernel']) + p['mlp']['fc1']['bias']
     h = jax.nn.gelu(h, approximate=False)
     h = jnp.dot(h, p['mlp']['fc2']['kernel']) + p['mlp']['fc2']['bias']
+    if 'gamma_2' in p:
+        h = p['gamma_2'] * h
     return x_local + h
 
 
 def sequence_parallel_blocks(stacked_params: Any, x: jnp.ndarray, mesh: Mesh,
-                             num_heads: int, axis: str = 'sp'):
+                             num_heads: int, axis: str = 'sp',
+                             qk_scale=None):
     """Run a stacked block stack over ``x`` [B, N, D] with the token axis
     sharded over ``axis``. N must be divisible by the axis size. Output is
-    numerically identical to the sequential stack (layerscale-free blocks).
+    numerically identical to the sequential stack (incl. layerscale
+    gammas and a custom qk_scale when the model has them).
     """
     s = mesh.shape[axis]
     b, n, d = x.shape
@@ -76,7 +83,7 @@ def sequence_parallel_blocks(stacked_params: Any, x: jnp.ndarray, mesh: Mesh,
 
     def fn(params, x_local):
         def body(h, p_layer):
-            return _block_sp(p_layer, h, axis, num_heads), None
+            return _block_sp(p_layer, h, axis, num_heads, qk_scale), None
         return jax.lax.scan(body, x_local, params)[0]
 
     f = _shard_map(fn, mesh=mesh, in_specs=(P(), P(None, axis, None)),
@@ -97,6 +104,7 @@ def make_sp_encoder_forward(model, mesh: Mesh, axis: str = 'sp'):
 
     def forward(stacked_params, tokens):
         return sequence_parallel_blocks(stacked_params, tokens, mesh,
-                                        num_heads, axis)
+                                        num_heads, axis,
+                                        getattr(model, 'qk_scale', None))
 
     return forward, shard_params

@@ -24,22 +24,15 @@ from .sequence import _layernorm
 
 
 def _block_specs_stacked(stacked_params: Any, axis: str):
-    """PartitionSpecs for a stacked ([L, ...]) block param tree, tp-sharded
-    along the head / hidden dims (leading layer axis replicated)."""
+    """PartitionSpecs for a stacked ([L, ...]) block param tree: the
+    single source of truth is mesh.VMAE_PARTITION_RULES — each unstacked
+    spec gains a leading None for the layer axis (renamed to ``axis``),
+    so the jit and shard_map paths can never shard differently."""
+    from .mesh import VMAE_PARTITION_RULES, partition_spec_for
+
     def spec(path):
-        if path.endswith('attn/qkv_kernel'):
-            return P(None, None, None, axis)
-        if path.endswith('attn/q_bias') or path.endswith('attn/v_bias'):
-            return P(None, axis)
-        if path.endswith('attn/proj/kernel'):
-            return P(None, axis, None)
-        if path.endswith('mlp/fc1/kernel'):
-            return P(None, None, axis)
-        if path.endswith('mlp/fc1/bias'):
-            return P(None, axis)
-        if path.endswith('mlp/fc2/kernel'):
-            return P(None, axis, None)
-        return P()
+        base = partition_spec_for(path, VMAE_PARTITION_RULES)
+        return P(None, *(axis if a == 'tp' else a for a in base))
 
     def walk(tree, prefix=''):
         out = {}
@@ -51,7 +44,8 @@ def _block_specs_stacked(stacked_params: Any, axis: str):
     return walk(stacked_params)
 
 
-def _block_tp(p: Any, x: jnp.ndarray, axis: str, head_dim: int):
+def _block_tp(p: Any, x: jnp.ndarray, axis: str, head_dim: int,
+              scale=None):
     """One pre-norm block; p holds this device's kernel shards, x is the
     full (replicated) [B, N, D] sequence."""
     b, n, d = x.shape
@@ -65,7 +59,8 @@ def _block_tp(p: Any, x: jnp.ndarray, axis: str, head_dim: int):
     a_loc = qkv.shape[-1]
     h_loc = a_loc // head_dim
     qkv = qkv.reshape(b, n, 3, h_loc, head_dim)
-    q = jnp.swapaxes(qkv[:, :, 0], 1, 2) * head_dim ** -0.5
+    q = jnp.swapaxes(qkv[:, :, 0], 1, 2) * (
+        head_dim ** -0.5 if scale is None else scale)
     k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
     v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
     attn = jax.nn.softmax(
@@ -91,7 +86,8 @@ def _block_tp(p: Any, x: jnp.ndarray, axis: str, head_dim: int):
 
 
 def tensor_parallel_blocks(stacked_params: Any, x: jnp.ndarray, mesh: Mesh,
-                           num_heads: int, axis: str = 'tp'):
+                           num_heads: int, axis: str = 'tp',
+                           qk_scale=None):
     """Run a stacked block stack over ``x`` [B, N, D] with attention heads
     and MLP hidden units sharded over ``axis``. num_heads must be divisible
     by the axis size (head-aligned shards). Numerically identical to the
@@ -107,7 +103,7 @@ def tensor_parallel_blocks(stacked_params: Any, x: jnp.ndarray, mesh: Mesh,
 
     def fn(params, xf):
         def body(h, p_layer):
-            return _block_tp(p_layer, h, axis, head_dim), None
+            return _block_tp(p_layer, h, axis, head_dim, qk_scale), None
         return jax.lax.scan(body, xf, params)[0]
 
     f = _shard_map(fn, mesh=mesh, in_specs=(specs, P()), out_specs=P(),
@@ -130,6 +126,7 @@ def make_tp_encoder_forward(model, mesh: Mesh, axis: str = 'tp'):
 
     def forward(stacked_params, tokens):
         return tensor_parallel_blocks(stacked_params, tokens, mesh,
-                                      num_heads, axis)
+                                      num_heads, axis,
+                                      getattr(model, 'qk_scale', None))
 
     return forward, shard_params

@@ -16,8 +16,11 @@ DEFAULT_CACHE_DIR = os.environ.get('CWM_TPU_CACHE_DIR',
 def enable_persistent_cache(cache_dir: str = DEFAULT_CACHE_DIR,
                             min_compile_secs: float = 1.0) -> None:
     import jax
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        # inside the try: an unwritable cache dir must degrade to
+        # no-caching, not crash the caller (the bench relies on always
+        # emitting its JSON line)
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           min_compile_secs)

@@ -19,13 +19,26 @@ import jax.numpy as jnp
 
 
 def device_sync(x=None) -> None:
-    """Force completion of pending device work (axon-safe)."""
+    """Force completion of pending device work (axon-safe).
+
+    Syncs by FETCHING a scalar to host: the fetch blocks on every
+    backend, and on a single stream-ordered device queue its completion
+    implies all previously-enqueued work finished. With ``x`` given,
+    every leaf is folded into the fetched scalar (fetching only the
+    first leaf would not wait for sibling dispatches). The no-argument
+    form enqueues a fresh trivial op and fetches it — on the axon
+    platform block_until_ready does NOT block, so a fetch is the only
+    reliable barrier."""
     if x is not None:
         leaves = jax.tree_util.tree_leaves(x)
         if leaves:
-            float(jnp.sum(jnp.abs(leaves[0].astype(jnp.float32))))
+            acc = 0.0
+            for leaf in leaves:
+                acc = acc + jnp.sum(jnp.abs(jnp.asarray(
+                    leaf).astype(jnp.float32)))
+            float(acc)
             return
-    jnp.zeros(()).block_until_ready()
+    float(jax.device_get(jnp.zeros(()) + 0.0))
 
 
 @contextlib.contextmanager
@@ -47,6 +60,9 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_on=None):
+        # sync at ENTRY too, or work enqueued before the stage is billed
+        # to it (the stream drains inside this stage's window)
+        device_sync()
         t0 = time.perf_counter()
         try:
             yield

@@ -244,6 +244,28 @@ def _cross_block(tree, flax_path, sd, torch_prefix):
                 f'{torch_prefix}.mlp.src.layers.0')
         _linear(tree, f'{flax_path}/mlp_src/layers_2', sd,
                 f'{torch_prefix}.mlp.src.layers.2')
+    # self-attention branch (with_self_attention configs): reference keys
+    # {prefix}.self_attention.{trg,src}.* + norm1 / norm1_src
+    # (transformer.py:469-478) — previously dropped silently
+    for side, flax_name in (('trg', 'self_attention_trg'),
+                            ('src', 'self_attention_src')):
+        tq = f'{torch_prefix}.self_attention.{side}.qkv.weight'
+        if tq not in sd:
+            continue
+        w = _np(sd[tq]).T
+        _set(tree, f'{flax_path}/{flax_name}/qkv_kernel',
+             w.reshape(w.shape[0], 3, w.shape[1] // 3))
+        for b in ('q_bias', 'v_bias'):
+            k = f'{torch_prefix}.self_attention.{side}.{b}'
+            if k in sd:
+                _set(tree, f'{flax_path}/{flax_name}/{b}', _np(sd[k]))
+        _linear(tree, f'{flax_path}/{flax_name}/projection', sd,
+                f'{torch_prefix}.self_attention.{side}.projection')
+    if f'{torch_prefix}.norm1.weight' in sd:
+        _layernorm(tree, f'{flax_path}/norm1', sd, f'{torch_prefix}.norm1')
+    if f'{torch_prefix}.norm1_src.weight' in sd:
+        _layernorm(tree, f'{flax_path}/norm1_src', sd,
+                   f'{torch_prefix}.norm1_src')
     for g in ('gamma_1', 'gamma_1_cross', 'gamma_1_src', 'gamma_1_src_cross',
               'gamma_2', 'gamma_2_src'):
         k = f'{torch_prefix}.{g}'
@@ -297,12 +319,17 @@ def convert_conjoined(sd: Dict, context_is_imu: bool = True) -> Dict:
     _stream(tree, 'main', sd, 'main_stream', is_imu=False)
     _stream(tree, 'context', sd, 'context_stream', is_imu=context_is_imu)
 
+    # full (i, j) sort key: ties on the main-layer index alone would take
+    # an arbitrary set order and permute cross-block weights
+    def _ij(s):
+        return tuple(int(v) for v in s.split('-'))
+
     enc_keys = sorted({k.split('.')[1] for k in sd
                        if k.startswith('encoder_conjoining_blocks.')},
-                      key=lambda s: int(s.split('-')[0]))
+                      key=_ij)
     dec_keys = sorted({k.split('.')[1] for k in sd
                        if k.startswith('decoder_conjoining_blocks.')},
-                      key=lambda s: int(s.split('-')[0]))
+                      key=_ij)
     for idx, key in enumerate(enc_keys):
         _cross_block(tree, f'encoder_cross_blocks_{idx}', sd,
                      f'encoder_conjoining_blocks.{key}')

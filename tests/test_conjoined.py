@@ -17,7 +17,7 @@ from counterfactualworldmodels_tpu.utils.torch_convert import (  # noqa: E402
 
 
 def _ref_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4,
-                   dummy=True):
+                   dummy=True, self_attn=False):
     """Small reference conjoined model: rgb01 main + IMU context."""
     from cwm.models.VideoMAE.conjoined_vmae import (
         ConjoinedPretrainVisionTransformer, ConjoinedPaddedVisionTransformer,
@@ -36,6 +36,12 @@ def _ref_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4,
         main_input='rgb01', main_input_kwargs={'unnormalize': False},
         context_input='imu', context_input_kwargs={'sequence_length': 32},
         conjoin_encoder_layers=[0, -1], conjoin_decoder_layers=True,
+        encoder_cross_block_kwargs={
+            'num_heads': 4, 'mlp_ratio': 2.0, 'shared_similarity': False,
+            'with_self_attention': self_attn},
+        decoder_cross_block_kwargs={
+            'num_heads': 4, 'mlp_ratio': 2.0, 'shared_similarity': False,
+            'with_self_attention': self_attn},
         encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
         encoder_num_classes=0, decoder_embed_dim=32, decoder_depth=2,
         decoder_num_heads=4, mlp_ratio=2, qkv_bias=True,
@@ -60,7 +66,8 @@ def _ref_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4,
     return model.eval()
 
 
-def _my_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4, dummy=True):
+def _my_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4, dummy=True,
+                  self_attn=False):
     main = StreamSpec(
         img_size=(32, 32), patch_size=(8, 8), in_chans=3, num_frames=2,
         encoder_embed_dim=48, encoder_depth=2, encoder_num_heads=4,
@@ -76,7 +83,8 @@ def _my_conjoined(padded=False, max_pad_main=8, max_pad_ctx=4, dummy=True):
     model = ConjoinedVMAE(
         main=main, context=context,
         conjoin_encoder_layers=((0, 0), (-1, -1)),
-        conjoin_decoder_layers=((0, 0), (1, 1)))
+        conjoin_decoder_layers=((0, 0), (1, 1)),
+        with_self_attention=self_attn)
     return ConjoinedPredictorWrapper(
         model, params=None, main_input='rgb01',
         main_input_kwargs={'unnormalize': False}, context_input='imu')
@@ -202,3 +210,37 @@ def test_conjoined_train_step_decreases_loss():
         losses.append(float(metrics['loss']))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+def test_conjoined_self_attention_matches_reference():
+    """with_self_attention=True cross blocks: the converter must carry
+    the self_attention.{trg,src} weights and norm1/norm1_src (previously
+    dropped silently). The reference's self-attn path has a latent
+    NameError (transformer.py:164 uses `time` without importing it) —
+    patched here so the oracle can run at all."""
+    import time as _time
+    import cwm.models.transformer as ref_transformer
+    if not hasattr(ref_transformer, 'time'):
+        ref_transformer.time = _time   # reference latent bug (SURVEY 2.5)
+
+    ref = _ref_conjoined(padded=False, self_attn=True)
+    mine = _my_conjoined(padded=False, self_attn=True)
+    params = convert_conjoined(ref.state_dict(), context_is_imu=True)
+    # the self-attention branches actually converted
+    assert 'self_attention_trg' in params['encoder_cross_blocks_0']
+    assert 'norm1_src' in params['encoder_cross_blocks_0']
+    mine.params = params
+
+    rng = np.random.RandomState(2)
+    x, imu, mask, mask_c = _inputs(rng)
+    with torch.no_grad():
+        y_ref = ref(torch.tensor(x), torch.tensor(mask),
+                    x_context=torch.tensor(imu),
+                    mask_context=torch.tensor(mask_c),
+                    output_main=True, output_context=False)
+    y = mine(jnp.asarray(x), jnp.asarray(mask),
+             x_context=jnp.asarray(imu),
+             mask_context=jnp.asarray(mask_c),
+             output_main=True, output_context=False)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)

@@ -586,3 +586,37 @@ def test_sharded_imu_counterfactuals_fast_match_single_device():
     np.testing.assert_allclose(np.asarray(fe_sh), np.asarray(fe),
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(me_sh), np.asarray(me))
+
+
+@pytest.mark.slow
+def test_tp_sp_blocks_layerscale_and_qk_scale():
+    """tp and sp block stacks match the sequential Block for models WITH
+    layerscale gammas (init_values > 0) and a custom qk_scale — both were
+    previously silently ignored on one or both paths."""
+    from counterfactualworldmodels_tpu.parallel import (
+        make_mesh, make_tp_encoder_forward)
+    from counterfactualworldmodels_tpu.parallel.sequence import (
+        make_sp_encoder_forward)
+    from counterfactualworldmodels_tpu.models.layers import Block
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=64,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2,
+        init_values=0.1, qk_scale=0.17)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    enc = params['encoder']
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 64))
+    block = Block(dim=64, num_heads=4, mlp_ratio=model.mlp_ratio,
+                  qkv_bias=True, qk_scale=0.17, init_values=0.1)
+    ref = x
+    for i in range(2):
+        ref = block.apply({'params': enc[f'blocks_{i}']}, ref)
+    ref = np.asarray(ref)
+
+    fwd, shard = make_tp_encoder_forward(model, make_mesh({'tp': 4}))
+    np.testing.assert_allclose(np.asarray(fwd(shard(enc), x)), ref,
+                               atol=2e-5)
+    fwd2, shard2 = make_sp_encoder_forward(model, make_mesh({'sp': 4}))
+    np.testing.assert_allclose(np.asarray(fwd2(shard2(enc), x)), ref,
+                               atol=2e-5)

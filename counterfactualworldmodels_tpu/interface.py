@@ -627,7 +627,8 @@ class CounterfactualPredictionInterface:
             corr_img = corr_img / jnp.clip(
                 corr_img.max((-2, -1), keepdims=True), min=1e-3)
             corr_img = corr_img ** power
-            marker_mask = self.G.generate_mask_from_patch_idx_list([[pi, pj]])
+            marker_mask = self.G.generate_mask_from_patch_idx_list(
+                [[pi, pj]], stride=1)  # (pi, pj) are patch coordinates
             img = self.G.get_masked_pred_patches(
                 self.G.x, marker_mask, fill_value=list(marker_color))[:, 1]
             if overlay:

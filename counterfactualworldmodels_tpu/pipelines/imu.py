@@ -25,7 +25,7 @@ from einops import rearrange
 from ..masking import generators as maskgen
 from ..models.conjoined import ConjoinedPredictorWrapper
 from ..models.raft.raft import apply_raft_shared0, apply_raft_video
-from ..ops.normalization import imagenet_normalize
+from ..ops.normalization import imagenet_normalize, imagenet_unnormalize
 from . import perturbation as perturb
 from .prediction import scatter_pred_patches
 from .segmentation import FlowGenerator
@@ -99,6 +99,13 @@ class ImuGenerator(FlowGenerator):
     @property
     def head_motion_channels(self):
         return self.predictor.model.context.in_chans
+
+    def set_head_mask_generator(self):
+        """(Re)build the default head-motion mask generator
+        (reference segmentation.py:586-594)."""
+        self.head_mask_generator = maskgen.MissingDataImuMaskGenerator(
+            input_size=self.num_head_tokens, mask_ratio=0,
+            full_mask_prob=0, full_vis_prob=0, truncation_mode='none')
 
     def set_head_mask_params(self, **kwargs):
         for k, v in kwargs.items():
@@ -189,6 +196,44 @@ class ImuGenerator(FlowGenerator):
         y_c = w(xm, mask, x_context=imu, mask_context=imu_mask,
                 output_main=False, output_context=True)
         return y_c
+
+    def get_imu_input(self, inp_dict, imu_mode='input', missing_thresh=0.5):
+        """Unpack a dataset example into the model's IMU inputs
+        (reference segmentation.py:612-639). Returns
+        [video_unnormalized, imu, missing_imu, imu_mask, timestamps];
+        ``imu_mode`` sets the head mask ratio ('input' = IMU visible,
+        'output' = IMU fully masked)."""
+        if imu_mode is not None:
+            self.set_mode(imu_mode)
+        video = jnp.asarray(inp_dict['video'])
+        imu = jnp.asarray(inp_dict['imu'])
+        add_batch = imu.ndim != 3
+        if add_batch:
+            video, imu = video[None], imu[None]
+        missing = jnp.asarray(inp_dict.get(
+            'imu_missing_data', jnp.zeros(imu.shape, bool)))
+        if add_batch and missing.ndim == imu.ndim - 1:
+            missing = missing[None]
+        if self.t_dim == 2:
+            # predictor layout [B, C, T, H, W] -> unnormalize around the
+            # wrapper layout, as the reference does with its transposes
+            x = jnp.swapaxes(imagenet_unnormalize(
+                jnp.swapaxes(video, 1, 2), temporal_dim=1), 1, 2)
+            imu = jnp.swapaxes(imu, 1, 2)
+        else:
+            x = imagenet_unnormalize(video, temporal_dim=1)
+        missing_tok = missing.reshape(missing.shape[0],
+                                      self.num_head_tokens, -1)
+        missing_frac = missing_tok.astype(jnp.float32).mean(-1) \
+            > missing_thresh
+        imu_mask = self.head_mask_generator(missing_frac,
+                                            key=self.next_key())
+        ts = inp_dict.get('video_ts')
+        if ts is not None:
+            ts = jnp.asarray(ts)
+            if add_batch and ts.ndim == 1:
+                ts = ts[None]
+        return [x, imu, missing_tok, imu_mask, ts]
 
     def predict_imu(self, inp_dict, imu_mask_ratio=1, get_labels=True,
                     missing_thresh=0.5, **kwargs):

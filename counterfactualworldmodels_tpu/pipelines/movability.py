@@ -96,6 +96,90 @@ class MovabilityPredictor(FlowGenerator):
         return mags.min(-1)
 
     # ------------------------------------------------------------------
+    # visualization (reference movability.py:89-126, 232-281)
+    # ------------------------------------------------------------------
+    def sample_and_visualize_keypoints(self, x=None, sampled_keypoints=None,
+                                       sampled_passive_patches=None,
+                                       num_samples=32):
+        """Overlay the union of sampled active patches in red (and passive
+        patches in blue) on the input; samples fresh keypoint patches when
+        none are given (reference movability.py:89-126). Returns
+        (sampled_keypoints, overlay_image)."""
+        if x is None:
+            assert self.x is not None
+            x = self.x
+        if sampled_keypoints is None:
+            self.set_keypoints_distribution(x)
+            sampled_keypoints = self.sample_patches_from_energy(
+                energy=self.keypoints_distribution, num_visible=1,
+                num_samples=num_samples)
+        img = jnp.asarray(x)
+
+        def overlay(img, patch_masks, channel):
+            fill = [0.0, 0.0, 0.0]
+            fill[channel] = 1.0
+            union = jnp.min(patch_masks, -1)  # visible in any sample
+            alpha = self.get_masked_pred_patches(
+                jnp.zeros_like(img), union,
+                fill_value=fill)[:, :, channel:channel + 1]
+            col = jnp.concatenate(
+                [alpha if i == channel else jnp.zeros_like(alpha)
+                 for i in range(3)], -3)
+            return img * (1 - alpha) + 0.5 * alpha * (col + img)
+
+        img = overlay(img, jnp.asarray(sampled_keypoints), 0)
+        if sampled_passive_patches is not None:
+            img = overlay(img, jnp.asarray(sampled_passive_patches), 2)
+        return sampled_keypoints, img
+
+    def visualize_iterations(self, axes=None, minimum_movability=False,
+                             cmap='inferno'):
+        """Grid of (selected patches, movability map) per iteration plus
+        the total (reference movability.py:232-281)."""
+        import matplotlib.pyplot as plt
+        from ..vis_utils import imshow
+        self.fig = None
+        num_iters = len(self.movability_maps)
+        if num_iters == 0:
+            return
+        if axes is None:
+            self.fig, axes = plt.subplots(
+                2, num_iters + 1, figsize=(4 * (num_iters + 1), 8))
+        vmax = float(jnp.stack(self.movability_maps, -1).max())
+        for it in range(num_iters):
+            _, img = self.sample_and_visualize_keypoints(
+                x=self.x,
+                sampled_keypoints=self.active_patches_per_iter[it],
+                sampled_passive_patches=self.passive_patches_per_iter[it])
+            imshow(img, t=1, ax=axes[0, it])
+            imshow(self.movability_maps[it], ax=axes[1, it], cmap=cmap,
+                   vmin=0, vmax=vmax)
+            axes[0, it].set_title('iteration %d' % it, fontsize=20)
+            for row in range(2):
+                axes[row, it].set_xticks([])
+                axes[row, it].set_yticks([])
+        _, img = self.sample_and_visualize_keypoints(
+            x=self.x,
+            sampled_keypoints=jnp.concatenate(
+                self.active_patches_per_iter, -1),
+            sampled_passive_patches=jnp.concatenate(
+                self.passive_patches_per_iter, -1))
+        total = (self.get_minimum_movability() if minimum_movability
+                 else self.get_total_movability())
+        imshow(img, t=1, ax=axes[0, -1])
+        imshow(total, ax=axes[1, -1], cmap=cmap, vmin=0, vmax=vmax)
+        axes[0, -1].set_title(
+            '%s movability' % ['total', 'minimum'][int(minimum_movability)],
+            fontsize=20)
+        for row in range(2):
+            axes[row, -1].set_xticks([])
+            axes[row, -1].set_yticks([])
+        axes[0, 0].set_ylabel('selected motion patches', fontsize=18)
+        axes[1, 0].set_ylabel('relative movability', fontsize=18)
+        plt.tight_layout()
+        self.axes = axes
+
+    # ------------------------------------------------------------------
     def _sample_initial_motion_map(self, x, num_samples=None,
                                    sample_batch_size=None, do_filter=True,
                                    normalize=True, patch_sampling_kwargs={},

@@ -46,16 +46,20 @@ def scatter_pred_patches(y: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray,
     return patch_ops.unpatchify(full, patch_size, x.shape, temporal_dim=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def predict_video(model, params, x, mask, n_vis: int, normalize: bool,
-                  frame: Optional[int]):
+                  frame: Optional[int], t_dim: int = 2):
     """Jitted: preprocess -> masked forward -> scatter back -> frame select.
 
     x: [B, T, C, H, W] wrapper layout. Returns [B, T, C, H, W] (or a single
-    frame [B, 1, C, H, W] when ``frame`` is not None).
+    frame [B, 1, C, H, W] when ``frame`` is not None). ``t_dim`` is where
+    the predictor expects the time axis (reference set_temporal_dim,
+    prediction.py:187-195): 2 transposes to [B, C, T, H, W], 1 feeds the
+    wrapper layout through unchanged.
     """
     xm = imagenet_normalize(x, temporal_dim=1) if normalize else x
-    xm = jnp.swapaxes(xm, 1, 2)  # -> [B, C, T, H, W]
+    if t_dim == 2:
+        xm = jnp.swapaxes(xm, 1, 2)  # -> [B, C, T, H, W]
     y = model.apply({'params': params}, xm, mask, n_vis)
     vid = scatter_pred_patches(y, x, mask, n_vis, model.full_patch_size)
     if frame is not None:
@@ -110,7 +114,12 @@ class PredictorBasedGenerator:
                  seed: int = 0,
                  mask_generator=None,
                  max_shift_fraction: float = 0.15,
+                 error_func=None,
                  **kwargs):
+        # elementwise error used by the error APIs (reference
+        # prediction.py:28 defaults to nn.MSELoss(reduction='none'))
+        self.error_func = (error_func if error_func is not None
+                           else (lambda p, t: (p - t) ** 2))
         self.predictor = predictor
         if params is None and predictor_load_path is not None:
             from ..utils.torch_convert import load_vmae_checkpoint
@@ -143,6 +152,75 @@ class PredictorBasedGenerator:
     def next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def set_predictor(self, net, predictor_load_path=None):
+        """Swap the predictor network and (optionally) load its weights
+        (reference prediction.py:75-79). Clears the held input/mask state;
+        engine caches keyed on params identity rebuild automatically."""
+        self.predictor = net
+        self.load_predictor(predictor_load_path)
+        self.x = self.mask = None
+        self.inp_shape = None
+
+    def load_predictor(self, load_path=None, converter=None):
+        """Load predictor weights from a released reference checkpoint
+        (reference prediction.py:81-107). ``converter`` overrides the
+        torch->flax converter (default: the VMAE converter the constructor
+        uses); with no path this is a no-op, matching the reference's
+        "fine as long as you already loaded the weights" branch."""
+        if load_path is None:
+            return
+        if converter is None:
+            from ..utils.torch_convert import load_vmae_checkpoint
+            converter = load_vmae_checkpoint
+        self.params = converter(load_path)
+        self._predictor_load_path = load_path
+
+    def reset_padding_masks(self):
+        """Reference prediction.py:121-130 clears the padded predictor's
+        cached ``padding_mask`` buffers. The TPU rebuild computes padding
+        masks in-program from the (mask, n_vis) arguments on every call
+        (models/conjoined.py null-token scheme), so there is no cached
+        state to clear; kept for API parity."""
+
+    def set_temporal_dim(self, t_dim=1):
+        """Set where the predictor expects the time axis (reference
+        prediction.py:187-195). t_dim=2 (default for every bundled model)
+        means the predictor consumes [B, C, T, H, W]; t_dim=1 feeds the
+        wrapper's [B, T, C, H, W] layout through unchanged."""
+        if t_dim not in (1, 2):
+            raise ValueError('temporal_dim must be 1 or 2')
+        self.temporal_dim = t_dim
+
+    @property
+    def t_dim(self):
+        """(reference prediction.py:197-201)."""
+        return None if self.predictor is None else self.temporal_dim
+
+    @property
+    def c_dim(self):
+        """(reference prediction.py:203-207)."""
+        if self.predictor is None:
+            return None
+        return 2 if self.temporal_dim == 1 else 1
+
+    def set_image_size(self, *args, **kwargs):
+        """(reference prediction.py:209-214). The flax models are
+        static-shaped, so a size that differs from the predictor's build
+        size is an error rather than a silent re-configuration."""
+        assert self.predictor is not None, \
+            "Can't set the image size without a predictor"
+        size = args[0] if len(args) == 1 else tuple(args)
+        if hasattr(self.predictor, 'set_image_size'):
+            self.predictor.set_image_size(size, **kwargs)
+            return
+        if isinstance(size, int):
+            size = (size, size)
+        built = tuple(getattr(self.predictor, 'img_size', size))
+        if tuple(size) != built:
+            raise ValueError(
+                f'predictor was built for image size {built}; rebuild the '
+                f'model to run at {tuple(size)} (static XLA shapes)')
 
     @property
     def patch_size(self):
@@ -204,8 +282,73 @@ class PredictorBasedGenerator:
             mask = 1 - mask if upsample else ~mask
         return mask
 
+    def maskshow(self, mask, shape=None, ex=0, **kwargs):
+        """Show one example's mask frames as heatmaps
+        (reference prediction.py:367-370)."""
+        from ..vis_utils import imshow
+        m = self.get_mask_image(mask, shape=shape)
+        t = m.shape[1]
+        return imshow(
+            jnp.asarray(m[ex:ex + 1], jnp.float32).reshape(1, t, 1, *m.shape[-2:]),
+            cmap='inferno', vmin=0, vmax=1, **kwargs)
+
+    @staticmethod
+    def invert_mask_frame(mask, size, frame=-1):
+        """Invert one temporal frame of a flat [B, N] mask
+        (reference prediction.py:372-383)."""
+        return mask_ops.invert_mask_frame(jnp.asarray(mask), size, frame)
+
     def _invert_mask(self, mask, frame=-1):
         return mask_ops.invert_mask_frame(mask, self.mask_shape[-2:], frame)
+
+    @staticmethod
+    def patch_idx_list_from_mask(mask):
+        """[b, t, i, j] index lists of the VISIBLE patches of a 4-D mask
+        image (reference prediction.py:609-616)."""
+        mask = np.asarray(mask)
+        assert mask.ndim == 4, mask.shape
+        return [list(p) for p in np.argwhere(~mask)]
+
+    @staticmethod
+    def make_visible_from_patch_idx_list(mask, patch_idx_list, stride=1,
+                                         b=0, t=-1):
+        """Reveal the patches at the listed positions in a 4-D mask image
+        (reference prediction.py:618-638). Index rows may be (i, j),
+        (t, i, j) or (b, t, i, j); pixel coordinates are converted to
+        patch coordinates by ``stride``. Returns a new mask (the reference
+        mutates in place)."""
+        mask = jnp.asarray(mask)
+        if len(patch_idx_list) == 0:
+            return mask
+        idx = np.asarray(patch_idx_list, dtype=np.int64)
+        inds_h = (idx[:, -2] // stride) % mask.shape[-2]
+        inds_w = (idx[:, -1] // stride) % mask.shape[-1]
+        if idx.shape[-1] == 2:
+            inds_b = np.full_like(inds_h, b)
+            inds_t = np.full_like(inds_h, t)
+        elif idx.shape[-1] == 3:
+            inds_b = np.full_like(inds_h, b)
+            inds_t = idx[:, 0]
+        else:
+            assert idx.shape[-1] == 4, idx.shape
+            inds_b, inds_t = idx[:, 0], idx[:, 1]
+        inds_t = inds_t % mask.shape[1]
+        return mask.at[inds_b, inds_t, inds_h, inds_w].set(
+            jnp.zeros((), mask.dtype))
+
+    def generate_cutout_mask(self, patch_idx_list, radius=1, stride=None,
+                             b=0, frame=-1):
+        """Visible cutout of the listed patches plus their radius-
+        neighborhood in ``frame`` (reference prediction.py:650-659)."""
+        mask = self.generate_mask_from_patch_idx_list(
+            patch_idx_list, stride=stride, b=b, frame=frame)
+        m = self.get_mask_image(mask)
+        f = frame % m.shape[1]
+        cutout = mask_ops.patches_adjacent_to_visible(
+            m[:, f:f + 1], radius=radius).astype(bool)
+        cutout = cutout | (~m[:, f:f + 1])
+        m = m.at[:, f].set(cutout[:, 0])
+        return m.reshape(m.shape[0], -1)
 
     def mask_complement(self, mask1, mask2, frame=-1):
         m1 = self.get_mask_image(mask1)
@@ -287,7 +430,8 @@ class PredictorBasedGenerator:
         mask = jnp.asarray(mask).reshape(x.shape[0], -1)
         mask, n_vis = self._equalize(mask)
         return predict_video(self.predictor, self.params, x, mask, n_vis,
-                             self.imagenet_normalize_inputs, frame)
+                             self.imagenet_normalize_inputs, frame,
+                             self.temporal_dim)
 
     def predict_per_sample(self, x, masks, frame=-1, split_samples=True,
                            **kwargs):
@@ -307,6 +451,51 @@ class PredictorBasedGenerator:
 
     def sample_tile(self, z, num_samples):
         return jnp.repeat(jnp.asarray(z), num_samples, axis=0)
+
+    def sample_tile_all_tensors(self, num_samples, **kwargs):
+        """Tile every array-valued kwarg over the sample axis
+        (reference prediction.py:489-495)."""
+        return {k: (self.sample_tile(v, num_samples)
+                    if isinstance(v, (jnp.ndarray, np.ndarray)) else v)
+                for k, v in kwargs.items()}
+
+    def pred_patches_to_video(self, y, x, mask):
+        """Public scatter of predicted patch vectors back into the video
+        (reference prediction.py:245-259): input content at visible
+        positions, predictions at masked positions."""
+        x = jnp.asarray(x)
+        if x.ndim == 4:
+            x = x[:, None]
+        mask = jnp.asarray(mask).reshape(x.shape[0], -1)
+        counts = np.asarray((~mask).sum(-1))
+        assert counts.min() == counts.max(), \
+            'rows must have equal visible counts (rectangularize first)'
+        return scatter_pred_patches(y, x, mask, int(counts[0]),
+                                    self.patch_size)
+
+    def predict_with_mask(self, mask, invert_mask=False, *args, **kwargs):
+        """Predict on the held input with the given mask
+        (reference prediction.py:542-547)."""
+        assert self.x is not None
+        mask = jnp.asarray(mask)
+        if invert_mask:
+            mask = ~mask
+        return self.predict(self.x, mask.reshape(*self.inp_mask_shape),
+                            *args, **kwargs)
+
+    def error_with_mask(self, mask, invert_mask=False, frame=-1, *args,
+                        **kwargs):
+        """Prediction error on the held input under the given mask
+        (reference prediction.py:548-551)."""
+        x_pred = self.predict_with_mask(mask, invert_mask, *args, **kwargs)
+        return self._get_error(x_pred[:, frame][:, None],
+                               self.x[:, frame][:, None], dim=-3)
+
+    def get_initial_mask(self, x):
+        """Abstract hook, as in the reference (prediction.py:577-579 —
+        itself a NotImplementedError)."""
+        raise NotImplementedError(
+            'Need to specify how to get the initial mask')
 
     def batch_predict_per_sample(self, x, masks, frame=-1, batch_size=None,
                                  sample_dim=None, **kwargs):
@@ -334,6 +523,54 @@ class PredictorBasedGenerator:
                 ys.append(self.predict(x[b0:b1], masks[b0:b1], frame=frame,
                                        **kwargs))
         return jnp.concatenate(ys, -1 if sample_dim != 0 else 0)
+
+    def shift_patches_and_mask(self, x, mask, max_shift_fraction=0.1,
+                               frame=-1, padding_mode='reflect'):
+        """Translate one frame's pixels and its mask by a random
+        patch-quantized shift via pad + center-crop (reference
+        prediction.py:661-689). Consumes two host-RNG draws like the
+        reference; replicates its quirk of dividing the mask's x-pad by
+        the height patch size (identical for square patches)."""
+        x = jnp.asarray(x)
+        h, w = x.shape[-2:]
+        if x.ndim == 5:
+            x = x[:, frame]
+        max_shift = [int(max_shift_fraction * s) for s in (h, w)]
+        dy = int(self.rng.randint(-max_shift[0], max_shift[0] + 1))
+        dx = int(self.rng.randint(-max_shift[1], max_shift[1] + 1))
+        ph, pw = self.patch_size[-2], self.patch_size[-1]
+        dy = (dy // ph) * ph
+        dx = (dx // pw) * pw
+
+        def _pad(p):
+            return (2 * p, 0) if p > 0 else (0, -2 * p)
+
+        def _shift2d(z, pad_lr, pad_tb, mode):
+            pads = [(0, 0)] * (z.ndim - 2) + [pad_tb, pad_lr]
+            zp = jnp.pad(z, pads, mode=mode)
+            top = (zp.shape[-2] - z.shape[-2]) // 2
+            left = (zp.shape[-1] - z.shape[-1]) // 2
+            return zp[..., top:top + z.shape[-2], left:left + z.shape[-1]]
+
+        x_shift = _shift2d(x, _pad(dx), _pad(dy), padding_mode)
+        m = jnp.asarray(mask).reshape(x.shape[0], -1, h // ph, w // pw)
+        if m.shape[1] > 1:
+            m = m[:, frame][:, None]
+        m_shift = _shift2d(m.astype(jnp.float32),
+                           _pad(dx // ph), _pad(dy // pw),
+                           padding_mode).astype(bool)
+        return x_shift, m_shift
+
+    def get_frame_pairs(self, x, frame=None):
+        """Pairs (frame_t, target_frame) for every non-target frame
+        (reference prediction.py:691-701)."""
+        x = jnp.asarray(x)
+        assert x.ndim == 5, x.shape
+        t = x.shape[1]
+        self.num_frame_pairs = t - 1
+        self.target_frame = frame if frame is not None else (t // 2)
+        return [jnp.stack([x[:, i], x[:, self.target_frame]], 1)
+                for i in range(t) if i != self.target_frame]
 
     # ------------------------------------------------------------------
     # counterfactuals (reference prediction.py:760-814)
@@ -386,6 +623,12 @@ class PredictorBasedGenerator:
     # ------------------------------------------------------------------
     # errors (reference prediction.py:324-343, 553-574)
     # ------------------------------------------------------------------
+    def _get_error(self, pred, gt, dim=-3):
+        """Elementwise error reduced over ``dim`` (reference
+        prediction.py:324-329); trailing-frame aligned like the reference."""
+        t = gt.shape[1]
+        return self.error_func(pred[:, -t:], gt).sum(dim, keepdims=True)
+
     def predict_error(self, x=None, mask=None, target=None, frame=None,
                       dim=-3):
         if x is None:
@@ -398,8 +641,7 @@ class PredictorBasedGenerator:
         target = jnp.asarray(target)
         if frame is not None:
             target = target[:, frame][:, None]
-        err = (pred - target) ** 2
-        return err.sum(dim, keepdims=True)
+        return self.error_func(pred, target).sum(dim, keepdims=True)
 
     def get_error_on_target_region(self, x, mask, target_mask, target=None,
                                    average_error=True, frame=-1,
@@ -414,8 +656,7 @@ class PredictorBasedGenerator:
         else:
             region = 1.0 - target_mask.astype(jnp.float32)
         pred = self.predict(x, mask, frame=frame, **kwargs)
-        t_pred = target.shape[1]
-        err = ((pred[:, -t_pred:] - target) ** 2).sum(-3, keepdims=True)
+        err = self._get_error(pred, target)
         if not aggregate_over_patches:
             return err
         ps = patch_size or self.patch_size
@@ -464,6 +705,11 @@ class PredictorBasedGenerator:
             self.mask = self.generate_mask(self.x)
         return self.predict(self.x, self.mask, frame=frame, **kwargs)
 
+    def forward(self, *args, **kwargs):
+        """torch-style alias of __call__ (reference prediction.py:830-836);
+        delegates so subclass overrides of __call__ are honored."""
+        return self(*args, **kwargs)
+
 
 # -- visualization-support methods (referenced by the interface) -----------
 
@@ -497,16 +743,19 @@ def _unmask_one_patch(mask, idx, mask_shape=None, frame=0):
     return m.reshape(shape)
 
 
-def _mask_from_patch_idx_list(self, patch_idx_list, b=0, frame=-1):
-    """Visible mask at the given (i, j) patch positions
-    (reference prediction.py:640-648)."""
-    m = np.asarray(self.get_zeros_mask(frame=frame)).reshape(
-        -1, *self.mask_shape).copy()
-    t = frame % self.mask_shape[0]
-    for p in patch_idx_list:
-        i, j = p[-2], p[-1]
-        m[b, t, i % self.mask_shape[1], j % self.mask_shape[2]] = False
-    return jnp.asarray(m.reshape(m.shape[0], -1))
+def _mask_from_patch_idx_list(self, patch_idx_list, stride=None, b=0,
+                              frame=-1):
+    """Visible mask at the given patch positions (reference
+    prediction.py:640-648). ``stride`` converts pixel coordinates to patch
+    coordinates; the default follows the reference (image width / mask
+    width) when an input is set, else 1 (patch coordinates)."""
+    m = self.get_mask_image(self.get_zeros_mask(frame=frame))
+    if stride is None:
+        stride = (self.inp_shape[-1] // m.shape[-1]
+                  if getattr(self, 'inp_shape', None) else 1)
+    m = self.make_visible_from_patch_idx_list(
+        m, patch_idx_list, stride=stride, b=b, t=frame)
+    return m.reshape(m.shape[0], -1)
 
 
 PredictorBasedGenerator.get_masked_pred_patches = _masked_pred_patches
@@ -528,6 +777,20 @@ class MaeWrapper(PredictorBasedGenerator):
     def __init__(self, *args, unpatchify=None, **kwargs):
         super().__init__(*args, **kwargs)
         self._unpatchify = unpatchify
+
+    def imagenet_normalize(self, x):
+        """Single-image [B, 3, H, W] normalize (reference
+        prediction.py:870-875)."""
+        x = jnp.asarray(x)
+        assert x.ndim == 4 and x.shape[1] == 3, x.shape
+        return imagenet_normalize(x[:, None], temporal_dim=1)[:, 0]
+
+    def imagenet_unnormalize(self, x):
+        """Single-image [B, 3, H, W] unnormalize (reference
+        prediction.py:877-882)."""
+        x = jnp.asarray(x)
+        assert x.ndim == 4 and x.shape[1] == 3, x.shape
+        return imagenet_unnormalize(x[:, None], temporal_dim=1)[:, 0]
 
     def predict(self, x=None, mask=None, frame=0, mask_ratio=0.9, **kwargs):
         if x is None:

@@ -176,6 +176,21 @@ class FlowGenerator(PredictorBasedGenerator):
         self.set_patch_sampler()
 
     # ------------------------------------------------------------------
+    def set_flow_model(self, flow_model=None, flow_params=None,
+                       flow_model_load_path=None, **kwargs):
+        """Swap the flow probe (reference segmentation.py:71-84): with no
+        model given, build the default multiframe RAFT and load weights
+        from ``flow_model_load_path`` via the torch converter."""
+        if flow_model is None:
+            flow_model = RAFT(iters=self.raft_iters, **kwargs)
+        self.flow_model = flow_model
+        if flow_params is None and flow_model_load_path is not None:
+            from ..utils.torch_convert import load_raft_checkpoint
+            flow_params = load_raft_checkpoint(flow_model_load_path,
+                                               small=flow_model.small)
+        if flow_params is not None:
+            self.flow_params = flow_params
+
     def set_raft_iters(self, iters=None):
         self.raft_iters = iters
 
@@ -272,6 +287,16 @@ class FlowGenerator(PredictorBasedGenerator):
         ys_s = jnp.moveaxis(ys.reshape(b, s, *ys.shape[1:]), 1, -1)
         flows_s = jnp.moveaxis(flows.reshape(b, s, *flows.shape[1:]), 1, -1)
         return ys_s, flows_s
+
+    def predict_flow_per_sample(self, x, masks, backward=False, **kwargs):
+        """Flows of the per-sample predictions, sample axis last
+        (reference segmentation.py:199-208)."""
+        assert masks.ndim == 3
+        s = masks.shape[-1]
+        ys = self.predict_per_sample(x, masks, frame=None,
+                                     split_samples=False, **kwargs)
+        flows = self.predict_flow(ys, backward)
+        return jnp.moveaxis(flows.reshape(-1, s, *flows.shape[1:]), 1, -1)
 
     # ------------------------------------------------------------------
     def compute_flow_samples_magnitude(self, flows, normalize=True, dim=-4,
@@ -415,12 +440,13 @@ class FlowGenerator(PredictorBasedGenerator):
         n0 = getattr(self.predictor, 'num_patches_per_frame', 0)
         fast_ok = (self.engine == 'fast' and not kwargs
                    and hasattr(self.predictor, 'encoder_depth')
+                   and self.temporal_dim == 2
                    and x.shape[0] == 1 and x.shape[1] == 2 and n0
                    and not bool(np.asarray(mask[:, :n0]).any()))
         if not fast_ok:
             return predict_video(
                 self.predictor, self.params, x, mask, n_vis,
-                self.imagenet_normalize_inputs, frame)
+                self.imagenet_normalize_inputs, frame, self.temporal_dim)
         from ..models import fast_vmae
         self._ensure_fast_engine()
         cache, _ = self._prefix_lru.get(x[0:1, 0])

@@ -250,3 +250,41 @@ def test_imu_movability_runs(pipelines):
     out = m(jnp.asarray(x), static_head_motion=True)
     assert out.shape == (1, 1, IMG, IMG)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_get_imu_input_matches_reference(pipelines):
+    """get_imu_input unpack (reference segmentation.py:612-639) and the
+    set_head_mask_generator rebuild (reference segmentation.py:586-594)."""
+    ref, mine = pipelines
+    rg, mg = ref.head_motion_generator, mine.head_motion_generator
+    rng = np.random.RandomState(23)
+    video = rng.rand(1, 3, 2, IMG, IMG).astype(np.float32)  # [B,C,T,H,W]
+    imu = rng.rand(1, IMU_LEN, 6).astype(np.float32)
+    missing = np.zeros((1, IMU_LEN, 6), dtype=bool)
+    missing[0, :IMU_LEN // IMU_TOKENS] = True  # token 0 fully missing
+    ts = np.asarray([[0.0, 0.5]], np.float32)
+
+    ref_out = rg.get_imu_input({'video': torch.tensor(video),
+                                'imu': torch.tensor(imu),
+                                'imu_missing_data': torch.tensor(missing),
+                                'video_ts': torch.tensor(ts)})
+    my_out = mg.get_imu_input({'video': jnp.asarray(video),
+                               'imu': jnp.asarray(imu),
+                               'imu_missing_data': jnp.asarray(missing),
+                               'video_ts': jnp.asarray(ts)})
+    assert len(my_out) == len(ref_out) == 5
+    for r, m in zip(ref_out, my_out):
+        np.testing.assert_allclose(np.asarray(m), r.numpy(), atol=1e-5)
+    # 'input' mode: only the missing token is masked
+    np.testing.assert_array_equal(np.asarray(my_out[3]),
+                                  [[True] + [False] * (IMU_TOKENS - 1)])
+
+    # rebuild resets any tweaked params to the reference defaults
+    mg.set_head_mask_params(mask_ratio=0.7, full_mask_prob=0.3)
+    mg.set_head_mask_generator()
+    g = mg.head_mask_generator
+    assert (g.mask_ratio, g.full_mask_prob, g.full_vis_prob) == (0, 0, 0)
+    mg.output_mode()
+    assert mg.head_mask_generator.mask_ratio == 1.0
+    mg.input_mode()

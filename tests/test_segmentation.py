@@ -404,3 +404,63 @@ def test_predict_fast_engine_routes_and_falls_back():
     y_fb = fast.predict(x, jnp.asarray(mask0), frame=None)
     y_eb = exact.predict(x, jnp.asarray(mask0), frame=None)
     np.testing.assert_allclose(np.asarray(y_fb), np.asarray(y_eb), atol=0)
+
+
+def test_set_flow_model_and_predict_flow_per_sample():
+    """set_flow_model swap (reference segmentation.py:71-84) and
+    predict_flow_per_sample (reference segmentation.py:199-208)."""
+    _, mine = _paired_generators()
+    rng = np.random.RandomState(21)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    n = 2 * 16 * 16
+    masks = np.ones((1, n, 2), dtype=bool)
+    masks[:, :n // 2] = False
+    for j in range(2):
+        masks[0, n // 2 + rng.choice(n // 2, 4, replace=False), j] = False
+
+    flows = mine.predict_flow_per_sample(jnp.asarray(x), jnp.asarray(masks))
+    assert flows.shape == (1, 1, 2, 128, 128, 2)  # [B, T-1, 2, H, W, S]
+    # equivalence with the video+flow variant's flow output
+    _, flows2 = mine.predict_video_and_flow_per_sample(jnp.asarray(x),
+                                                       jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(flows), np.asarray(flows2),
+                               atol=1e-5)
+
+    # model swap: same weights through set_flow_model reproduces the probe;
+    # params=None keeps the existing converted weights
+    old_params = mine.flow_params
+    mine.set_flow_model(flow_model=RAFT(iters=2))
+    assert mine.flow_params is old_params
+    flows3 = mine.predict_flow_per_sample(jnp.asarray(x), jnp.asarray(masks))
+    np.testing.assert_allclose(np.asarray(flows3), np.asarray(flows),
+                               atol=1e-5)
+
+
+def test_movability_visualization_methods():
+    """sample_and_visualize_keypoints / visualize_iterations
+    (reference movability.py:89-126, 232-281)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    _, base = _paired_generators()
+    m = MovabilityPredictor(
+        predictor=base.predictor, params=base.params,
+        flow_model=base.flow_model, flow_params=base.flow_params,
+        raft_iters=2, imagenet_normalize_inputs=True, seed=0,
+        initialize_from_keypoints=False, num_initial_samples=2,
+        num_samples_per_iteration=2, num_iters=1, sample_batch_size=2)
+    rng = np.random.RandomState(22)
+    x = rng.rand(1, 2, 3, 128, 128).astype(np.float32)
+    m(jnp.asarray(x))
+
+    kps, img = m.sample_and_visualize_keypoints(num_samples=3)
+    assert kps.shape[-1] == 3
+    assert img.shape == x.shape
+    assert np.isfinite(np.asarray(img)).all()
+    # red overlay: the keypoint patches moved toward red in channel 0
+    union = np.asarray(jnp.min(kps, -1))
+    assert (~union).any()
+
+    m.visualize_iterations()
+    assert m.fig is not None
+    plt.close('all')

@@ -92,6 +92,7 @@ class _UpdateStep(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
     lanes: bool = False  # pyramid in the query-on-lanes layout (TPU kernel)
+    emit_flow: bool = False  # per-iteration upsampled flows (training)
 
     @nn.compact
     def __call__(self, carry, inp, coords0, pyramid):
@@ -114,7 +115,16 @@ class _UpdateStep(nn.Module):
         coords1 = coords1 + delta
         if up_mask is None:
             up_mask = _prev_mask
-        return (net, coords1, up_mask), None
+        ys = None
+        if self.emit_flow:
+            # this iteration's full-res flow estimate, upsampled the same
+            # way the final one is (RAFT training supervises every
+            # iteration; the reference repo has no RAFT training code —
+            # its MaskedSequenceLoss, utils.py:742-757, carries the
+            # gamma-weighting semantics)
+            f = coords1 - coords0
+            ys = upflow8(f) if self.small else convex_upsample(f, up_mask)
+        return (net, coords1, up_mask), ys
 
 
 class RAFT(nn.Module):
@@ -148,7 +158,13 @@ class RAFT(nn.Module):
         return 64 if self.small else 128
 
     @nn.compact
-    def __call__(self, image1, image2, iters: Optional[int] = None):
+    def __call__(self, image1, image2, iters: Optional[int] = None,
+                 with_sequence: bool = False):
+        """with_sequence=True additionally returns the per-iteration
+        upsampled flow estimates [iters, B, 2, H, W] for sequence-loss
+        training (supervise every GRU refinement, exponentially weighted
+        toward the last — the objective the reference's published RAFT
+        checkpoints imply; its repo ships no RAFT training code)."""
         iters = iters if iters is not None else self.iters
         hdim, cdim = self.hidden_dim, self.context_dim
 
@@ -206,9 +222,10 @@ class RAFT(nn.Module):
                        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                        length=iters)
         step = scan(self.small, self.corr_levels, self.radius,
-                    self.hidden_dim, self.dtype, lanes, name='update_step')
-        (net, coords1, up_mask), _ = step((net, coords1, mask0),
-                                          inp, coords0, pyramid)
+                    self.hidden_dim, self.dtype, lanes,
+                    emit_flow=with_sequence, name='update_step')
+        (net, coords1, up_mask), flow_seq = step((net, coords1, mask0),
+                                                 inp, coords0, pyramid)
 
         if self.output_dim is not None:
             hid = 192 if self.small else 256
@@ -225,6 +242,9 @@ class RAFT(nn.Module):
             flow_up = convex_upsample(out, up_mask)
 
         flow_lr = jnp.moveaxis(coords1 - coords0, -1, 1)
+        if with_sequence:
+            return (flow_lr, jnp.moveaxis(flow_up, -1, 1),
+                    jnp.moveaxis(flow_seq, -1, 2))
         return flow_lr, jnp.moveaxis(flow_up, -1, 1)
 
 

@@ -83,9 +83,7 @@ class ImuGenerator(FlowGenerator):
         if head_mask_generator is not None:
             self.head_mask_generator = head_mask_generator
         else:
-            self.head_mask_generator = maskgen.MissingDataImuMaskGenerator(
-                input_size=self.num_head_tokens, mask_ratio=0,
-                full_mask_prob=0, full_vis_prob=0, truncation_mode='none')
+            self.set_head_mask_generator()
             self.head_mask_generator.mask_ratio = head_mask_ratio
         self._always_use_predicted = always_use_predicted
         self._require_none_missing = require_none_missing
@@ -112,6 +110,9 @@ class ImuGenerator(FlowGenerator):
             setattr(self.head_mask_generator, k, v)
 
     def set_mode(self, mode='output'):
+        if mode not in ('output', 'input'):
+            # reference segmentation.py:599-605 raises on unknown modes
+            raise ValueError('%s is not a known mode' % mode)
         self.set_head_mask_params(
             mask_ratio=1.0 if mode == 'output' else 0.0)
 
@@ -214,14 +215,15 @@ class ImuGenerator(FlowGenerator):
             'imu_missing_data', jnp.zeros(imu.shape, bool)))
         if add_batch and missing.ndim == imu.ndim - 1:
             missing = missing[None]
+        # dataset examples hold video time-first [B, T, C, H, W]; the
+        # reference's transpose pair (segmentation.py:625) only adapts
+        # that layout to its channel-first imagenet_unnormalize and
+        # transposes straight back (its t_dim != 2 branch is dead — it
+        # reads an unassigned variable and NameErrors)
+        x = imagenet_unnormalize(video, temporal_dim=1)
         if self.t_dim == 2:
-            # predictor layout [B, C, T, H, W] -> unnormalize around the
-            # wrapper layout, as the reference does with its transposes
-            x = jnp.swapaxes(imagenet_unnormalize(
-                jnp.swapaxes(video, 1, 2), temporal_dim=1), 1, 2)
+            # IMU to the context stream's channel-first [B, D, L]
             imu = jnp.swapaxes(imu, 1, 2)
-        else:
-            x = imagenet_unnormalize(video, temporal_dim=1)
         missing_tok = missing.reshape(missing.shape[0],
                                       self.num_head_tokens, -1)
         missing_frac = missing_tok.astype(jnp.float32).mean(-1) \

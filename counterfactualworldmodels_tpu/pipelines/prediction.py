@@ -68,11 +68,12 @@ def predict_video(model, params, x, mask, n_vis: int, normalize: bool,
     return vid
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6, 9, 10, 11))
 def predict_counterfactuals(model, params, x, masks, n_vis: int,
                             normalize: bool, frame: Optional[int],
                             actives, shifts, n_samples: int,
-                            fix_passive: bool = True, *, keys=None):
+                            fix_passive: bool = True, t_dim: int = 2, *,
+                            keys=None):
     """Jitted batched counterfactual prediction.
 
     x: [B, T, C, H, W]; masks (passive) bool [B, N, S]; actives bool
@@ -95,7 +96,7 @@ def predict_counterfactuals(model, params, x, masks, n_vis: int,
     x_mocos = x_mocos.reshape(b * s, t, c, h, w)
     mask_mocos = mask_mocos.reshape(b * s, -1)
     return predict_video(model, params, x_mocos, mask_mocos, n_vis,
-                         normalize, frame), x_mocos, mask_mocos
+                         normalize, frame, t_dim), x_mocos, mask_mocos
 
 
 class PredictorBasedGenerator:
@@ -486,8 +487,16 @@ class PredictorBasedGenerator:
     def error_with_mask(self, mask, invert_mask=False, frame=-1, *args,
                         **kwargs):
         """Prediction error on the held input under the given mask
-        (reference prediction.py:548-551)."""
+        (reference prediction.py:548-551). The default single-frame
+        prediction only supports frame=-1; pass ``frame=None`` through to
+        ``predict`` for other frames (jnp indexing clamps out-of-range
+        indices, so this check restores the reference's IndexError)."""
         x_pred = self.predict_with_mask(mask, invert_mask, *args, **kwargs)
+        t = x_pred.shape[1]
+        if not -t <= frame < t:
+            raise IndexError(
+                f'frame {frame} out of range for the {t}-frame prediction; '
+                f'pass frame=None through to predict for the full video')
         return self._get_error(x_pred[:, frame][:, None],
                                self.x[:, frame][:, None], dim=-3)
 

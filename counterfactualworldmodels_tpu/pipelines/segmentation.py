@@ -26,11 +26,12 @@ from .filters import FlowSampleFilter, flow_sample_filter
 from .prediction import PredictorBasedGenerator, predict_video
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12, 13))
 def counterfactual_videos_and_flows(vmae_model, vmae_params, raft_model,
                                     raft_params, x, passive, active, shifts,
                                     keys, n_vis: int, normalize: bool,
-                                    raft_iters: int, fix_passive: bool):
+                                    raft_iters: int, fix_passive: bool,
+                                    t_dim: int = 2):
     """Fused counterfactual step.
 
     x [B,T,C,H,W]; passive/active bool [B,N,S]; shifts int [B,S,2] (patch
@@ -52,7 +53,7 @@ def counterfactual_videos_and_flows(vmae_model, vmae_params, raft_model,
     mask_mocos = mask_mocos.reshape(b * s, -1)
 
     y = predict_video(vmae_model, vmae_params, x_mocos, mask_mocos, n_vis,
-                      normalize, None)
+                      normalize, None, t_dim)
     flows = apply_raft_video(raft_model, raft_params, y, False, raft_iters,
                              True)
     return y, flows, mask_mocos
@@ -154,15 +155,11 @@ class FlowGenerator(PredictorBasedGenerator):
         self.prefix_cache_size = prefix_cache_size
         self._prefix_lru = None  # built lazily on first fast chunk
         self._fast_params_src = None  # identity key: rebuilt on params swap
-        if flow_model is None:
-            flow_model = RAFT(iters=raft_iters, **flow_model_kwargs)
-        self.flow_model = flow_model
-        if flow_params is None and flow_model_load_path is not None:
-            from ..utils.torch_convert import load_raft_checkpoint
-            flow_params = load_raft_checkpoint(flow_model_load_path,
-                                               small=flow_model.small)
-        self.flow_params = flow_params
         self.raft_iters = raft_iters
+        self.flow_params = None
+        self.set_flow_model(flow_model=flow_model, flow_params=flow_params,
+                            flow_model_load_path=flow_model_load_path,
+                            **flow_model_kwargs)
         if flow_sample_filter is None:
             flow_sample_filter = FlowSampleFilter(
                 **self.default_flow_filter_params)
@@ -471,7 +468,8 @@ class FlowGenerator(PredictorBasedGenerator):
         # sample's prompt: the combined mask is (passive & active) per
         # make_motion_counterfactual, so any frame-0 token masked in BOTH
         # prompt sets breaks the assumption -> fall back to the exact path
-        fast_ok = (self.engine == 'fast' and x.shape[0] == 1 and fix_passive
+        fast_ok = (self.engine == 'fast' and self.temporal_dim == 2
+                   and x.shape[0] == 1 and fix_passive
                    and not bool(np.asarray(
                        passive[:, :n0] & active[:, :n0]).any()))
         if fast_ok:
@@ -490,7 +488,8 @@ class FlowGenerator(PredictorBasedGenerator):
         return counterfactual_videos_and_flows(
             self.predictor, self.params, self.flow_model, self.flow_params,
             x, passive, active, shifts, keys, n_vis,
-            self.imagenet_normalize_inputs, iters, fix_passive)
+            self.imagenet_normalize_inputs, iters, fix_passive,
+            self.temporal_dim)
 
     def predict_counterfactual_videos_and_flows(
             self, x, active_patches, passive_patches=None, shifts=None,

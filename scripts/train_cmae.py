@@ -240,6 +240,9 @@ def main():
 
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     data = make_data(args, partition)
+    # resume-deterministic mask stream: continue the key sequence
+    # from the restored step instead of replaying the beginning
+    key = jax.random.fold_in(key, start_step)
     t0 = time.time()
     for step in range(start_step, args.steps):
         batch = put(np.asarray(next(data), np.float32))

@@ -233,6 +233,9 @@ def main():
 
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     data = make_data(args, model)
+    # resume-deterministic mask stream: continue the key sequence
+    # from the restored step instead of replaying the beginning
+    key = jax.random.fold_in(key, start_step)
     t0 = time.time()
     for step in range(start_step, args.steps):
         video, imu = next(data)

@@ -261,7 +261,11 @@ def main():
     else:
         pool_img = load_image_pool(args)
 
-    rng = np.random.RandomState(args.seed + 1)
+    # resume-deterministic streams: fold the restored step into both RNGs
+    # so a resumed run continues the sample sequence instead of replaying
+    # the beginning
+    rng = np.random.RandomState(args.seed + 1 + start_step)
+    key = jax.random.fold_in(key, start_step)
     # in-program warp sampling would also work; host-side keeps the data
     # path identical for the npz/teacher modes
     warp = jax.jit(R.synthetic_flow_batch,
@@ -269,6 +273,7 @@ def main():
 
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     t0 = time.time()
+    last_log = start_step
     for step in range(start_step, args.steps):
         idx = rng.randint(0, pool_img.shape[0], args.batch_size)
         if keypoint:
@@ -283,8 +288,9 @@ def main():
                                      put(valid))
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics['loss'])  # host sync
-            dt = (time.time() - t0) / args.log_every
+            dt = (time.time() - t0) / max(step + 1 - last_log, 1)
             t0 = time.time()
+            last_log = step + 1
             rec = {'step': step + 1, 'loss': round(loss, 5),
                    'grad_norm': float(metrics['grad_norm']),
                    'sec_per_step': round(dt, 4)}

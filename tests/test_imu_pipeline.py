@@ -259,7 +259,10 @@ def test_get_imu_input_matches_reference(pipelines):
     ref, mine = pipelines
     rg, mg = ref.head_motion_generator, mine.head_motion_generator
     rng = np.random.RandomState(23)
-    video = rng.rand(1, 3, 2, IMG, IMG).astype(np.float32)  # [B,C,T,H,W]
+    # datasets hold video time-first (the reference's transpose pair at
+    # segmentation.py:625 adapts this layout to its channel-first
+    # unnormalize and transposes straight back)
+    video = rng.rand(1, 2, 3, IMG, IMG).astype(np.float32)  # [B,T,C,H,W]
     imu = rng.rand(1, IMU_LEN, 6).astype(np.float32)
     missing = np.zeros((1, IMU_LEN, 6), dtype=bool)
     missing[0, :IMU_LEN // IMU_TOKENS] = True  # token 0 fully missing
@@ -288,3 +291,7 @@ def test_get_imu_input_matches_reference(pipelines):
     mg.output_mode()
     assert mg.head_mask_generator.mask_ratio == 1.0
     mg.input_mode()
+    assert mg.head_mask_generator.mask_ratio == 0.0
+    # unknown modes raise like the reference (segmentation.py:604-605)
+    with pytest.raises(ValueError):
+        mg.set_mode('Output')

@@ -431,6 +431,10 @@ def test_predict_and_error_with_mask_match_reference():
     np.testing.assert_allclose(e, e_ref, atol=5e-4)
     with pytest.raises(NotImplementedError):
         mine.get_initial_mask(x)
+    # single-frame prediction + intermediate frame: the reference raises
+    # (jnp would silently clamp the index — guard restores the error)
+    with pytest.raises(IndexError):
+        mine.error_with_mask(jnp.asarray(mask), frame=1)
 
 
 def test_invert_mask_frame_matches_reference():

@@ -509,6 +509,36 @@ def soft_channel_mae_recombine(model: SoftChannelMae, ys):
     return jnp.concatenate(ys, -1)
 
 
+def soft_channel_mae_predict_image(model: SoftChannelMae, params, x,
+                                   soft_mask,
+                                   replace_visible_patches_with_input=True):
+    """Recombine per-group soft predictions into a full image; each patch
+    lerps between prediction and input by its soft mask value (reference
+    SoftChannelMae.predict_image, cmae.py:986-1003). The reference
+    reshapes its group-major mask as if it were group-minor
+    (``mask.reshape(B, -1, 1, G)``, cmae.py:999) and so mis-weights
+    multi-group models; here the group-major layout its own loss uses
+    (cmae.py:944) is applied consistently. Works for SoftInputChannelMae
+    too (same forward interface)."""
+    preds = model.apply({'params': params}, x, soft_mask)
+    n_per = model.patches_per_group
+    inds = [0] + list(np.cumsum(model.partition))
+    out_groups = []
+    for g, cg in enumerate(model.partition):
+        p = preds[g]
+        if replace_visible_patches_with_input:
+            group = x[:, inds[g]:inds[g + 1]]
+            xp = patchify(group[:, :, None], (1,) + tuple(model.patch_size),
+                          temporal_dim=2).astype(p.dtype)
+            m = soft_mask[:, g * n_per:(g + 1) * n_per].astype(
+                p.dtype)[..., None]
+            p = p * m + xp * (1 - m)
+        out_groups.append(unpatchify(
+            p, (1,) + tuple(model.patch_size),
+            (x.shape[0], cg, *model.image_size)))
+    return jnp.concatenate(out_groups, axis=1)
+
+
 def soft_channel_mae_train_loss(model: SoftChannelMae, params, x, soft_mask):
     """Mask-weighted per-group MSE (reference compute_train_loss,
     cmae.py:960-984): fully revealed patches contribute no loss."""

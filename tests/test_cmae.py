@@ -255,6 +255,50 @@ def test_soft_channel_mae_matches_reference_fixed_decode():
         np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
 
 
+def test_soft_channel_mae_predict_image():
+    """Golden (single group, where the reference's group-minor mask
+    reshape at cmae.py:999 is harmless) + multi-group invariants for
+    soft_channel_mae_predict_image."""
+    soft_predict = jcmae.soft_channel_mae_predict_image
+    tmodel, jmodel = _soft_pair('SoftChannelMae', partition=(3,))
+
+    # the reference's _decode NameErrors on its unused `mask` kwarg
+    # (cmae.py:859) — same minimal patch as the forward golden above
+    def fixed_decode(self, x):
+        dec_pos_embed = self.pos_embed.type_as(x).to(x.device).detach()
+        if self.decode_mask is not None:
+            dec_pos_embed = dec_pos_embed.expand(
+                x.size(0), -1, -1)[self.decode_mask].reshape(*x.shape)
+        return self.decoder(x + dec_pos_embed, mask=None,
+                            filter_to_masked=False)
+
+    import types
+    tmodel._decode = types.MethodType(fixed_decode, tmodel)
+    params = tc.convert_channel_mae(tmodel.state_dict())
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    soft = rng.rand(2, jmodel.num_patches).astype(np.float32)
+    with torch.no_grad():
+        y_ref = tmodel.predict_image(torch.tensor(x), torch.tensor(soft))
+    y = soft_predict(jmodel, params, jnp.asarray(x), jnp.asarray(soft))
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=5e-4)
+
+    # multi-group: a fully revealed mask returns the input exactly
+    _, jm2 = _soft_pair('SoftChannelMae')  # partition (1, 2)
+    import jax
+    p2 = jm2.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)),
+                  jnp.zeros((1, jm2.num_patches)))['params']
+    x2 = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    y2 = soft_predict(jm2, p2, x2, jnp.zeros((1, jm2.num_patches)))
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(x2), atol=1e-5)
+    # fully masked = raw recombined prediction (no input content)
+    y3 = soft_predict(jm2, p2, x2, jnp.ones((1, jm2.num_patches)))
+    y3_raw = soft_predict(jm2, p2, x2, jnp.ones((1, jm2.num_patches)),
+                          replace_visible_patches_with_input=False)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y3_raw),
+                               atol=1e-6)
+
+
 @pytest.mark.slow
 def test_extract_structure_script_runs(tmp_path):
     """The differentiable structure-extraction demo drives visibility down

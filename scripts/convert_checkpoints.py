@@ -9,6 +9,14 @@ utils.checkpoint.load_params — no torch needed at inference time after this.
 Usage:
     python scripts/convert_checkpoints.py --ckpt-dir ./checkpoints \
         [--out-dir ./checkpoints/flax]
+
+The reverse direction (--export): take an orbax checkpoint produced by
+this framework (a train_* CLI or a prior conversion) and write a
+reference-layout .pth the torch models load
+(utils/torch_export.py; torch.load(path)['model'] format):
+
+    python scripts/convert_checkpoints.py --export raft_small \
+        --params /ckpt/flax/raft_small --out model.pth
 """
 import argparse
 import os
@@ -29,13 +37,66 @@ CONVERSIONS = [
 ]
 
 
+EXPORT_FAMILIES = ('vmae', 'raft', 'raft_small', 'cmae',
+                   'conjoined_imu400', 'conjoined_flow2imu')
+
+
+def run_export(args):
+    from counterfactualworldmodels_tpu.utils import torch_export as tx
+    from counterfactualworldmodels_tpu.utils.checkpoint import load_params
+    params = load_params(os.path.abspath(args.params))
+    if isinstance(params, dict) and 'params' in params \
+            and 'opt_state' in params:
+        # a train_* CLI TrainState checkpoint: take just the parameters
+        params = params['params']
+    fam = args.export
+    if fam == 'vmae':
+        pt = tuple(int(v) for v in args.patch_size.split(','))
+        if len(pt) == 2:
+            pt = (1,) + pt
+        sd = tx.export_vmae(params, in_chans=args.in_chans, patch_size=pt)
+    elif fam in ('raft', 'raft_small'):
+        sd = tx.export_raft(params, small=(fam == 'raft_small'))
+    elif fam == 'cmae':
+        part = tuple(int(v) for v in args.partition.split(','))
+        ps = tuple(int(v) for v in args.patch_size.split(','))[-2:]
+        sd = tx.export_channel_mae(params, part, ps)
+    else:
+        from counterfactualworldmodels_tpu.models import conjoined as jc
+        factory = (jc.imu400_base_4x4patch_2frames_1tube
+                   if fam == 'conjoined_imu400'
+                   else jc.imu400_8x8patch_2frames_1tube_flowbackrgb01)
+        wrapper = factory()
+        model = getattr(wrapper, 'model', wrapper)
+        sd = tx.export_conjoined(model, params)
+    tx.save_torch_checkpoint(sd, args.out)
+    print(f'{fam}: {len(sd)} tensors -> {args.out}')
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--ckpt-dir', required=True)
+    ap.add_argument('--ckpt-dir', default=None)
     ap.add_argument('--out-dir', default=None)
     ap.add_argument('--only', default=None,
                     help='comma-separated output names to convert')
+    ap.add_argument('--export', default=None, choices=EXPORT_FAMILIES,
+                    help='reverse direction: orbax params -> reference .pth')
+    ap.add_argument('--params', default=None,
+                    help='orbax checkpoint path (--export)')
+    ap.add_argument('--out', default='model.pth',
+                    help='output .pth path (--export)')
+    ap.add_argument('--patch-size', default='1,8,8',
+                    help='vmae (pt,ph,pw) / cmae (ph,pw) patch (--export)')
+    ap.add_argument('--in-chans', type=int, default=3)
+    ap.add_argument('--partition', default='3',
+                    help='cmae channel-group sizes (--export)')
     args = ap.parse_args()
+    if args.export:
+        if not args.params:
+            raise SystemExit('--export needs --params')
+        return run_export(args)
+    if not args.ckpt_dir:
+        raise SystemExit('pass --ckpt-dir (convert) or --export')
     out_dir = args.out_dir or os.path.join(args.ckpt_dir, 'flax')
     os.makedirs(out_dir, exist_ok=True)
     only = set(args.only.split(',')) if args.only else None

@@ -12,3 +12,6 @@ from .pipeline import (stack_block_params, unstack_block_params,
                        pipelined_blocks, make_pp_encoder_forward)
 from .sequence import sequence_parallel_blocks, make_sp_encoder_forward
 from .covariance import sharded_flow_corrs
+from .multihost import (initialize_distributed, make_hybrid_mesh,
+                        host_local_batch_to_global,
+                        process_local_batch_size)

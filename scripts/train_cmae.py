@@ -177,6 +177,15 @@ def main():
 
     enable_persistent_cache()
     from counterfactualworldmodels_tpu import parallel
+    # multi-host (pod-slice) runs: bring up jax.distributed when the
+    # TPU env indicates one; each process then loads its LOCAL shard
+    # of the global batch and put() assembles the global array
+    parallel.initialize_distributed()
+    global_bs = args.batch_size
+    if jax.process_count() > 1:
+        args.batch_size = parallel.process_local_batch_size(
+            args.batch_size)
+    from counterfactualworldmodels_tpu import parallel
     model = build_model(args, partition)
     optimizer = T.make_optimizer(learning_rate=args.lr,
                                  warmup_steps=args.warmup_steps,
@@ -227,7 +236,8 @@ def main():
         state = shard_state(state)
 
         def put(x):
-            return jax.device_put(x, data_sharding)
+            return parallel.host_local_batch_to_global(
+                mesh, data_sharding.spec, x)
     else:
         step_fn = jax.jit(T.make_cmae_train_step(model, optimizer, n_vis,
                                                  counts,

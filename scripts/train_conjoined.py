@@ -159,6 +159,15 @@ def main():
     from counterfactualworldmodels_tpu.utils.profiling import MetricsLogger
 
     enable_persistent_cache()
+    from counterfactualworldmodels_tpu import parallel
+    # multi-host (pod-slice) runs: bring up jax.distributed when the
+    # TPU env indicates one; each process then loads its LOCAL shard
+    # of the global batch and put() assembles the global array
+    parallel.initialize_distributed()
+    global_bs = args.batch_size
+    if jax.process_count() > 1:
+        args.batch_size = parallel.process_local_batch_size(
+            args.batch_size)
     model = build_model(args)
     optimizer = T.make_optimizer(learning_rate=args.lr,
                                  warmup_steps=args.warmup_steps,
@@ -220,7 +229,8 @@ def main():
         state = shard_state(state)
 
         def put(x):
-            return jax.device_put(jnp.asarray(x), data_sharding)
+            return parallel.host_local_batch_to_global(
+                mesh, data_sharding.spec, x)
     else:
         step_fn = jax.jit(
             T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
@@ -248,7 +258,7 @@ def main():
             rec = {'step': step + 1, 'loss': loss,
                    'grad_norm': float(metrics['grad_norm']),
                    'sec_per_step': round(dt, 4),
-                   'clips_per_sec': round(args.batch_size / dt, 2)}
+                   'clips_per_sec': round(global_bs / dt, 2)}
             print(json.dumps(rec), flush=True)
             if metrics_log:
                 metrics_log.log(**rec)

@@ -190,6 +190,14 @@ def main():
     from counterfactualworldmodels_tpu.utils.profiling import MetricsLogger
 
     enable_persistent_cache()
+    # multi-host (pod-slice) runs: bring up jax.distributed when the
+    # TPU env indicates one; each process then loads its LOCAL shard
+    # of the global batch and put() assembles the global array
+    parallel.initialize_distributed()
+    global_bs = args.batch_size
+    if jax.process_count() > 1:
+        args.batch_size = parallel.process_local_batch_size(
+            args.batch_size)
     keypoint = args.mode == 'keypoint'
     on_tpu = jax.default_backend() == 'tpu'
     model = RAFT(small=args.small, iters=args.iters,
@@ -235,7 +243,8 @@ def main():
         state = shard_state(state)
 
         def put(x):
-            return jax.device_put(jnp.asarray(x), data_sharding)
+            return parallel.host_local_batch_to_global(
+                mesh, data_sharding.spec, x)
     else:
         mk = (R.make_keypoint_distill_step if keypoint
               else R.make_raft_train_step)

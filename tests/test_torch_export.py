@@ -109,6 +109,23 @@ def test_conjoined_export_roundtrip():
                                      if 'pos_embed' in k})
 
 
+@pytest.mark.slow
+def test_conjoined_padded_export_roundtrip():
+    """Padded variant: the learnable null tokens
+    (PaddedVisionTransformer, conjoined_vmae.py:24-210) round-trip too."""
+    from test_conjoined import _ref_conjoined, _my_conjoined
+    tmodel = _ref_conjoined(padded=True)
+    wrapper = _my_conjoined(padded=True)
+    sd = tmodel.state_dict()
+    params = tc.convert_conjoined(sd)
+    out = tx.export_conjoined(wrapper.model, params)
+    assert any(k.endswith('null_token_enc') for k in out)
+    _roundtrip_check(sd, out, tmodel,
+                     ignore_missing={k for k, _ in
+                                     tmodel.named_parameters()
+                                     if 'pos_embed' in k})
+
+
 def test_save_torch_checkpoint(tmp_path):
     from cwm.models.raft import raft_model as traft
     args = traft.get_args('')

@@ -289,6 +289,16 @@ class ConjoinedVMAE(nn.Module):
                                      m.encoder_depth, c.encoder_depth)
         dec_pairs = self._norm_pairs(self.conjoin_decoder_layers,
                                      m.decoder_depth, c.decoder_depth)
+        # the interleave below (and the reference's, conjoined_vmae.py:
+        # 509-541) only advances the layer counters forward, so resolved
+        # pairs must be strictly ascending; validating here also makes
+        # declaration order == sorted order, the invariant the checkpoint
+        # converter/exporter key their cross-block indices by
+        for pairs, nm in ((enc_pairs, 'encoder'), (dec_pairs, 'decoder')):
+            if list(pairs) != sorted(set(pairs)):
+                raise ValueError(
+                    f'conjoin_{nm}_layers must resolve to strictly '
+                    f'ascending unique (main, context) pairs; got {pairs}')
         self._enc_pairs = enc_pairs
         self._dec_pairs = dec_pairs
 

@@ -51,8 +51,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     if already is not None:
         return True
     explicit = coordinator_address is not None
+    # plain GCE TPU pods advertise multi-host only via the metadata
+    # server (jax's GceTpuCluster), which this env gate cannot see —
+    # set CWM_MULTIHOST=1 there (or pass coordinator args) to force the
+    # jax.distributed auto-detection path
     env_hints = any(os.environ.get(k) for k in
-                    ('JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+                    ('CWM_MULTIHOST',
+                     'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
                      'MEGASCALE_COORDINATOR_ADDRESS', 'TPU_WORKER_HOSTNAMES',
                      'CLOUD_TPU_TASK_ID'))
     if not explicit and not env_hints:
@@ -79,11 +84,14 @@ def make_hybrid_mesh(dcn_axes: Dict[str, int],
         return make_mesh(dict(zip(names, dcn_shape + ici_shape)))
     from jax.experimental import mesh_utils
     # per-granule shape: DCN axes are 1 inside a host, ICI axes are 1
-    # across hosts
+    # across hosts. process_is_granule: the DCN axes span HOSTS (what the
+    # docstring promises) — without it mesh_utils groups by slice_index
+    # and a single multi-host slice raises
     mesh_shape = (1,) * len(dcn_shape) + ici_shape
     dcn_mesh_shape = dcn_shape + (1,) * len(ici_shape)
     devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape, dcn_mesh_shape, devices=jax.devices())
+        mesh_shape, dcn_mesh_shape, devices=jax.devices(),
+        process_is_granule=True)
     return Mesh(devices, names)
 
 
@@ -96,10 +104,12 @@ def host_local_batch_to_global(mesh: Mesh, pspec: P, local_batch):
     Single-process this is just a device_put with the sharding.
     """
     sharding = NamedSharding(mesh, pspec)
-    local_batch = np.asarray(local_batch)
     if jax.process_count() == 1:
+        # device arrays pass straight through (no host round-trip — the
+        # train CLIs feed jitted-warp outputs here every step)
         return jax.device_put(local_batch, sharding)
-    return jax.make_array_from_process_local_data(sharding, local_batch)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_batch))
 
 
 def process_local_batch_size(global_batch_size: int) -> int:

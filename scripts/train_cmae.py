@@ -137,11 +137,13 @@ def make_data(args, partition):
     crop = (sz, sz)
     try:
         loader = NativeClipLoader(args.shard, batch_size=args.batch_size,
-                                  crop_size=crop)
+                                  crop_size=crop,
+                                  seed=args.seed)
     except Exception as e:
         print(f'native loader unavailable ({e}); python fallback')
         loader = PythonClipLoader(args.shard, batch_size=args.batch_size,
-                                  crop_size=crop)
+                                  crop_size=crop,
+                                  seed=args.seed)
 
     def gen():
         import numpy as np
@@ -178,14 +180,11 @@ def main():
     enable_persistent_cache()
     from counterfactualworldmodels_tpu import parallel
     # multi-host (pod-slice) runs: bring up jax.distributed when the
-    # TPU env indicates one; each process then loads its LOCAL shard
-    # of the global batch and put() assembles the global array
+    # TPU env indicates one. Mesh/dp sizing below uses the GLOBAL
+    # batch; the data path switches to the process-local share just
+    # before the loaders are built (see below).
     parallel.initialize_distributed()
     global_bs = args.batch_size
-    if jax.process_count() > 1:
-        args.batch_size = parallel.process_local_batch_size(
-            args.batch_size)
-    from counterfactualworldmodels_tpu import parallel
     model = build_model(args, partition)
     optimizer = T.make_optimizer(learning_rate=args.lr,
                                  warmup_steps=args.warmup_steps,
@@ -249,6 +248,13 @@ def main():
             return jnp.asarray(x)
 
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
+    if jax.process_count() > 1:
+        # each process feeds its LOCAL share of the global batch (put()
+        # stitches the global array) from a DISTINCT data stream; model
+        # init and in-program mask keys above derived from the original
+        # seed and stay replicated across processes
+        args.batch_size = parallel.process_local_batch_size(global_bs)
+        args.seed = args.seed + 100003 * jax.process_index()
     data = make_data(args, partition)
     # resume-deterministic mask stream: continue the key sequence
     # from the restored step instead of replaying the beginning
@@ -265,7 +271,7 @@ def main():
             rec = {'step': step + 1, 'loss': loss,
                    'grad_norm': float(metrics['grad_norm']),
                    'sec_per_step': round(dt, 4),
-                   'imgs_per_sec': round(args.batch_size / dt, 2)}
+                   'imgs_per_sec': round(global_bs / dt, 2)}
             print(json.dumps(rec), flush=True)
             if metrics_log:
                 metrics_log.log(**rec)

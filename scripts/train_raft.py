@@ -96,7 +96,7 @@ def load_image_pool(args):
         from counterfactualworldmodels_tpu.data.shards import \
             PythonClipLoader
         loader = PythonClipLoader(args.shard, batch_size=args.batch_size,
-                                  crop_size=(size, size))
+                                  crop_size=(size, size), seed=args.seed)
         clips = next(iter(loader))  # [B, T, C, H, W] in [0, 1]
         return np.asarray(clips[:, 0], np.float32) * 255.0
     from PIL import Image
@@ -191,13 +191,11 @@ def main():
 
     enable_persistent_cache()
     # multi-host (pod-slice) runs: bring up jax.distributed when the
-    # TPU env indicates one; each process then loads its LOCAL shard
-    # of the global batch and put() assembles the global array
+    # TPU env indicates one. Mesh/dp sizing below uses the GLOBAL
+    # batch; the data path switches to the process-local share just
+    # before the loaders are built (see below).
     parallel.initialize_distributed()
     global_bs = args.batch_size
-    if jax.process_count() > 1:
-        args.batch_size = parallel.process_local_batch_size(
-            args.batch_size)
     keypoint = args.mode == 'keypoint'
     on_tpu = jax.default_backend() == 'tpu'
     model = RAFT(small=args.small, iters=args.iters,
@@ -255,6 +253,14 @@ def main():
             return jnp.asarray(x)
 
     # ---- data -------------------------------------------------------
+    if jax.process_count() > 1:
+        # each process feeds its LOCAL share of the global batch (put()
+        # stitches the global array) from a DISTINCT data stream; model
+        # init and in-program mask keys above derived from the original
+        # seed and stay replicated across processes
+        args.batch_size = parallel.process_local_batch_size(global_bs)
+        args.seed = args.seed + 100003 * jax.process_index()
+        key = jax.random.fold_in(key, jax.process_index())  # warp stream
     if keypoint:
         if args.targets:
             data = np.load(args.targets)

@@ -29,6 +29,10 @@ python scripts/bench_conjoined.py --out "BENCH_CONJ_${R}.json"
 echo "== serving load (micro-batching on vs off) =="
 python scripts/loadgen.py --out "SERVING_${R}.json"
 
+echo "== training throughput (vmae/conjoined/raft steps) =="
+python scripts/bench_train.py --out "BENCH_TRAIN_${R}.json"
+
 echo "== done; artifacts: =="
 ls -la BENCH_${R}_local.json SWEEP_${R}.json LATENCY_${R}.json \
-   FIDELITY_${R}.json BENCH_CONJ_${R}.json SERVING_${R}.json 2>/dev/null
+   FIDELITY_${R}.json BENCH_CONJ_${R}.json SERVING_${R}.json \
+   BENCH_TRAIN_${R}.json 2>/dev/null

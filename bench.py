@@ -243,12 +243,12 @@ def main():
     sims_per_sec = (b * s) / dt / n_chips
 
     # S-scaling probe: scene-level work amortizes with S (PERF.md), so the
-    # headline takes the best over S in {base, 64, 128} when S wasn't
+    # headline takes the best over S in {base, 64, 128, 256} when S wasn't
     # pinned (CWM_BENCH_SBIG: comma-separated list to override). Failures
     # (OOM/compile) keep the best already-measured number.
     s_scaling = None
     s_bigs = [int(v) for v in
-              os.environ.get('CWM_BENCH_SBIG', '64,128').split(',') if v]
+              os.environ.get('CWM_BENCH_SBIG', '64,128,256').split(',') if v]
     if ((on_tpu or 'CWM_BENCH_SBIG' in os.environ) and s_bigs
             and mesh is None and 'CWM_BENCH_S' not in os.environ
             and engine.startswith('shared-prefix')):

@@ -158,3 +158,62 @@ def test_train_cmae_cli_smoke(tmp_path):
     recs3 = [json.loads(ln) for ln in out3.stdout.splitlines()
              if ln.startswith('{')]
     assert recs3 and all(np.isfinite(r['loss']) for r in recs3)
+
+
+@pytest.mark.slow
+def test_train_raft_cli_smoke(tmp_path):
+    """train_raft.py: flow mode with checkpoints + resume, keypoint mode
+    via npz targets."""
+    import numpy as np
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    ckdir = str(tmp_path / 'ck')
+    cmd = [sys.executable, os.path.join(_REPO, 'scripts', 'train_raft.py'),
+           '--mode', 'flow', '--synthetic', '--small', '--img-size', '64',
+           '--batch-size', '2', '--iters', '2', '--steps', '4',
+           '--log-every', '2', '--lr', '5e-5', '--warmup-steps', '1',
+           '--checkpoint-dir', ckdir, '--checkpoint-every', '2']
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith('{')]
+    assert recs and np.isfinite(recs[-1]['loss'])
+    assert 'epe' in recs[-1]
+    out2 = subprocess.run(cmd + ['--steps', '6'], env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert 'resumed from step 4' in out2.stdout, out2.stdout[-500:]
+
+    npz = str(tmp_path / 'kp.npz')
+    rng = np.random.RandomState(0)
+    np.savez(npz, images=rng.rand(4, 3, 64, 64).astype(np.float32) * 255,
+             targets=(rng.rand(4, 1, 64, 64) > 0.5).astype(np.float32))
+    out3 = subprocess.run(
+        [sys.executable, os.path.join(_REPO, 'scripts', 'train_raft.py'),
+         '--mode', 'keypoint', '--targets', npz, '--small',
+         '--img-size', '64', '--batch-size', '2', '--iters', '2',
+         '--steps', '2', '--log-every', '1', '--warmup-steps', '1'],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out3.returncode == 0, out3.stderr[-2000:]
+
+
+@pytest.mark.slow
+def test_bench_train_smoke():
+    """bench_train.py emits per-family records and the driver JSON line."""
+    env = dict(os.environ)
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'CWM_TRAIN_BENCH_STEPS': '1',
+                'CWM_TRAIN_BENCH_FAMILIES': 'raft'})
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, 'scripts', 'bench_train.py')],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith('{')]
+    fams = [r for r in recs if r.get('family') == 'raft']
+    head = [r for r in recs if r.get('metric') == 'train_clips_per_sec']
+    assert fams and fams[0]['pairs_per_sec'] > 0
+    assert head and head[0]['value'] == fams[0]['pairs_per_sec']

@@ -70,12 +70,16 @@ def raft_sequence_loss(flow_seq, flow_gt, valid=None, gamma: float = 0.8,
 
 
 def end_point_error(flow_pred, flow_gt, valid=None):
-    """Mean L2 flow error over valid pixels. flow_*: [B, 2, H, W]."""
+    """Mean per-image L2 flow error over valid pixels (per-sample
+    normalization, so the metric decomposes linearly over microbatches —
+    gradient accumulation reports the same value as the full batch).
+    flow_*: [B, 2, H, W]."""
     epe = jnp.sqrt(((flow_pred - flow_gt) ** 2).sum(1))
     if valid is None:
         return epe.mean()
     v = valid.astype(epe.dtype)
-    return (epe * v).sum() / jnp.clip(v.sum(), min=1)
+    per = (epe * v).sum((-2, -1)) / jnp.clip(v.sum((-2, -1)), min=1)
+    return per.mean()
 
 
 def raft_flow_loss(model: RAFT, params, image1, image2, flow_gt,
@@ -110,9 +114,11 @@ def keypoint_distill_loss(model: RAFT, params, image, target,
 
 def make_raft_train_step(model: RAFT, optimizer, gamma: float = 0.8,
                          max_flow: float = 400.0,
-                         iters: Optional[int] = None, remat: bool = True):
+                         iters: Optional[int] = None, remat: bool = True,
+                         accum_steps: int = 1):
     """Returns train_step(state, image1, image2, flow_gt, valid)
-    -> (state, {'loss', 'epe', 'grad_norm'})."""
+    -> (state, {'loss', 'epe', 'grad_norm'}); accum_steps > 1
+    scan-accumulates microbatch gradients in-program."""
     def loss_fn(params, image1, image2, flow_gt, valid):
         return raft_flow_loss(model, params, image1, image2, flow_gt,
                               valid, gamma, max_flow, iters)
@@ -120,9 +126,15 @@ def make_raft_train_step(model: RAFT, optimizer, gamma: float = 0.8,
         loss_fn = jax.checkpoint(loss_fn)
 
     def train_step(state: TrainState, image1, image2, flow_gt, valid):
-        (loss, epe), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, image1, image2, flow_gt, valid),
-            has_aux=True)(state.params)
+        if accum_steps > 1:
+            from .train import accumulated_grads
+            loss, epe, grads = accumulated_grads(
+                loss_fn, state.params, accum_steps,
+                image1, image2, flow_gt, valid, has_aux=True)
+        else:
+            (loss, epe), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, image1, image2, flow_gt, valid),
+                has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -58,10 +58,47 @@ def masked_prediction_loss(model: PretrainVisionTransformer, params, x, mask,
     return ((pred - target_masked) ** 2).mean()
 
 
+def accumulated_grads(loss_fn, params, accum_steps: int, *batch_args,
+                      has_aux: bool = False):
+    """Gradient accumulation over ``accum_steps`` equal microbatches.
+
+    loss_fn(params, *microbatch) -> scalar (or (scalar, aux) with
+    ``has_aux``, aux a scalar); every array in ``batch_args`` splits on
+    its leading axis. Microbatch gradients are scan-accumulated
+    in-program (one dispatch, peak activation memory of ONE microbatch)
+    and averaged — for mean-type losses over equal microbatches this
+    equals the full-batch gradient exactly (up to float associativity).
+    Returns (loss, aux, grads), loss/aux averaged over microbatches.
+    """
+    assert accum_steps >= 1
+
+    def split(a):
+        b = a.shape[0]
+        assert b % accum_steps == 0, (a.shape, accum_steps)
+        return a.reshape(accum_steps, b // accum_steps, *a.shape[1:])
+
+    micro = tuple(split(jnp.asarray(a)) for a in batch_args)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def body(carry, mb):
+        loss_acc, aux_acc, g_acc = carry
+        out, grads = grad_fn(params, *mb)
+        loss, aux = out if has_aux else (out, 0.0)
+        g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+        return (loss_acc + loss, aux_acc + aux, g_acc), None
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (loss_sum, aux_sum, g_sum), _ = jax.lax.scan(
+        body, (jnp.zeros(()), jnp.zeros(()), zeros), micro)
+    grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
+    return (loss_sum / accum_steps,
+            (aux_sum / accum_steps if has_aux else None), grads)
+
+
 def make_train_step(model: PretrainVisionTransformer, optimizer,
                     n_vis: int, normalize_inputs: bool = True,
                     normalize_targets: bool = True, remat: bool = True,
-                    mask_fn=None):
+                    mask_fn=None, accum_steps: int = 1):
     """Returns a pure train_step(state, x, mask) -> (state, metrics).
 
     mask_fn: optional ``(key, batch_size) -> bool [B, N]`` mask sampler
@@ -70,6 +107,11 @@ def make_train_step(model: PretrainVisionTransformer, optimizer,
     mask INSIDE the jitted program: one XLA dispatch per step instead of
     dozens of eager mask ops (each a host round-trip on the axon
     remote-dispatch path) plus a host->device mask transfer.
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    scan-accumulates gradients in-program (peak activation memory of one
+    microbatch; identical update to the full-batch step for this
+    mean loss).
     """
     loss_fn = functools.partial(
         masked_prediction_loss, model,
@@ -79,8 +121,12 @@ def make_train_step(model: PretrainVisionTransformer, optimizer,
         loss_fn = jax.checkpoint(loss_fn, static_argnums=())
 
     def train_step(state: TrainState, x, mask):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x, mask))(state.params)
+        if accum_steps > 1:
+            loss, _, grads = accumulated_grads(loss_fn, state.params,
+                                               accum_steps, x, mask)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, x, mask))(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -151,7 +197,7 @@ def make_batch_masks(key, model: PretrainVisionTransformer, batch_size: int,
 
 def make_cmae_train_step(model, optimizer, n_vis: int,
                          group_masked_counts, remat: bool = True,
-                         mask_fn=None):
+                         mask_fn=None, accum_steps: int = 1):
     """Train step for ChannelMae (masked channel-group reconstruction,
     reference cmae.py:526-547 objective). Returns
     train_step(state, x, mask) -> (state, metrics); with mask_fn
@@ -167,8 +213,12 @@ def make_cmae_train_step(model, optimizer, n_vis: int,
         loss_fn = jax.checkpoint(loss_fn)
 
     def train_step(state: TrainState, x, mask):
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x, mask))(state.params)
+        if accum_steps > 1:
+            loss, _, grads = accumulated_grads(loss_fn, state.params,
+                                               accum_steps, x, mask)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, x, mask))(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -196,7 +246,7 @@ def init_cmae_train_state(model, optimizer, key, x_shape, mask, n_vis,
 
 def make_sharded_cmae_train_step(model, optimizer, mesh: Mesh, n_vis: int,
                                  group_masked_counts, remat: bool = True,
-                                 mask_fn=None):
+                                 mask_fn=None, accum_steps: int = 1):
     """dp x tp sharded ChannelMae training: batches shard over 'dp';
     the encoder/decoder blocks share the VMAE Block parameter layout so
     VMAE_PARTITION_RULES apply unchanged (channel heads / patch embeds
@@ -204,7 +254,7 @@ def make_sharded_cmae_train_step(model, optimizer, mesh: Mesh, n_vis: int,
     data_sharding) with step(state, x, mask) like the unsharded one."""
     step_fn = make_cmae_train_step(model, optimizer, n_vis,
                                    group_masked_counts, remat=remat,
-                                   mask_fn=mask_fn)
+                                   mask_fn=mask_fn, accum_steps=accum_steps)
     data_sharding = NamedSharding(mesh, P('dp'))
     repl = NamedSharding(mesh, P())
 
@@ -249,7 +299,8 @@ def conjoined_prediction_loss(model, params, x, mask, x_context,
 
 def make_conjoined_train_step(model, optimizer, n_vis: int,
                               n_vis_context: int, remat: bool = True,
-                              mask_fn=None, **loss_kwargs):
+                              mask_fn=None, accum_steps: int = 1,
+                              **loss_kwargs):
     """Train step for ConjoinedVMAE: step(state, x, mask, x_context,
     mask_context) -> (state, metrics); with mask_fn
     (``(key, batch_size) -> (mask, mask_context)``) the step takes
@@ -262,6 +313,15 @@ def make_conjoined_train_step(model, optimizer, n_vis: int,
         loss_fn = jax.checkpoint(loss_fn)
 
     def train_step(state: TrainState, x, mask, xc, mc):
+        if accum_steps > 1:
+            loss, _, grads = accumulated_grads(
+                lambda p, *mb: loss_fn(p, *mb), state.params,
+                accum_steps, x, mask, xc, mc)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (TrainState(state.step + 1, params, opt_state),
+                    {'loss': loss, 'grad_norm': optax.global_norm(grads)})
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, x, mask, xc, mc))(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,

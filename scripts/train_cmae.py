@@ -59,6 +59,8 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--accum-steps', type=int, default=1,
+                    help='gradient-accumulation microbatches per step')
     ap.add_argument('--dp', type=int, default=0,
                     help='data-parallel mesh size (0 = all devices / tp)')
     ap.add_argument('--tp', type=int, default=1,
@@ -231,7 +233,8 @@ def main():
     if n_dev > 1:
         step_fn, shard_state, data_sharding = T.make_sharded_cmae_train_step(
             model, optimizer, mesh, n_vis, counts,
-            remat=not args.no_remat, mask_fn=mask_fn)
+            remat=not args.no_remat, mask_fn=mask_fn,
+            accum_steps=args.accum_steps)
         state = shard_state(state)
 
         def put(x):
@@ -241,7 +244,8 @@ def main():
         step_fn = jax.jit(T.make_cmae_train_step(model, optimizer, n_vis,
                                                  counts,
                                                  remat=not args.no_remat,
-                                                 mask_fn=mask_fn),
+                                                 mask_fn=mask_fn,
+                                                 accum_steps=args.accum_steps),
                           donate_argnums=(0,))
 
         def put(x):

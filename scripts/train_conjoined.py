@@ -45,6 +45,8 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--accum-steps', type=int, default=1,
+                    help='gradient-accumulation microbatches per step')
     ap.add_argument('--dp', type=int, default=0,
                     help='data-parallel mesh size (0 = all devices / tp)')
     ap.add_argument('--tp', type=int, default=1,
@@ -225,7 +227,8 @@ def main():
             T.make_sharded_conjoined_train_step(model, optimizer, mesh,
                                                 n_vis, n_vis_c,
                                                 remat=not args.no_remat,
-                                                mask_fn=make_masks)
+                                                mask_fn=make_masks,
+                                                accum_steps=args.accum_steps)
         state = shard_state(state)
 
         def put(x):
@@ -235,7 +238,8 @@ def main():
         step_fn = jax.jit(
             T.make_conjoined_train_step(model, optimizer, n_vis, n_vis_c,
                                         remat=not args.no_remat,
-                                        mask_fn=make_masks),
+                                        mask_fn=make_masks,
+                                        accum_steps=args.accum_steps),
             donate_argnums=(0,))
 
         def put(x):

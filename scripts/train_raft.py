@@ -79,6 +79,9 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--accum-steps', type=int, default=1,
+                    help='gradient-accumulation microbatches per step '
+                         '(flow mode)')
     ap.add_argument('--dp', type=int, default=0,
                     help='data-parallel mesh size (0 = all devices)')
     return ap.parse_args()
@@ -232,7 +235,8 @@ def main():
         print(f'resumed from step {start_step}')
 
     step_kwargs = (dict(iters=args.iters) if keypoint else
-                   dict(gamma=args.gamma, iters=args.iters))
+                   dict(gamma=args.gamma, iters=args.iters,
+                        accum_steps=args.accum_steps))
     if n_dev > 1 and dp > 1:
         mesh = parallel.make_mesh({'dp': dp})
         step_fn, shard_state, data_sharding = R.make_sharded_raft_train_step(

@@ -50,6 +50,8 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--accum-steps', type=int, default=1,
+                    help='gradient-accumulation microbatches per step')
     return ap.parse_args()
 
 
@@ -166,7 +168,7 @@ def main():
     if n_dev > 1:
         step_fn, shard_state, data_sharding = T.make_sharded_train_step(
             model, optimizer, mesh, n_vis, remat=not args.no_remat,
-            mask_fn=mask_fn)
+            mask_fn=mask_fn, accum_steps=args.accum_steps)
         state = shard_state(state)
 
         def put(x):
@@ -175,7 +177,8 @@ def main():
     else:
         step_fn = jax.jit(T.make_train_step(model, optimizer, n_vis,
                                             remat=not args.no_remat,
-                                            mask_fn=mask_fn),
+                                            mask_fn=mask_fn,
+                                            accum_steps=args.accum_steps),
                           donate_argnums=(0,))
 
         def put(x):

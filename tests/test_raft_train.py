@@ -159,3 +159,53 @@ def test_sharded_flow_step_matches_unsharded():
     l1 = jax.tree_util.tree_leaves(s1.params)[0]
     l2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_accum_steps_matches_full_batch():
+    """accum_steps=2 produces the same update as the full-batch step
+    (mean losses over equal microbatches -> identical gradients up to
+    float associativity)."""
+    model = _model()
+    opt, state = _state(model, lr=1e-4)
+    im1, im2, gt, valid = R.synthetic_flow_batch(
+        jax.random.PRNGKey(5), _images(4), max_mag=3.0)
+    full = jax.jit(R.make_raft_train_step(model, opt, iters=2, remat=False))
+    acc = jax.jit(R.make_raft_train_step(model, opt, iters=2, remat=False,
+                                         accum_steps=2))
+    s1, m1 = full(state, im1, im2, gt, valid)
+    _, state2 = _state(model, lr=1e-4)
+    s2, m2 = acc(state2, im1, im2, gt, valid)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1['epe']), float(m2['epe']),
+                               rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_vmae_accum_steps_matches_full_batch():
+    from counterfactualworldmodels_tpu.models import vmae as jvmae
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(8, 8), encoder_embed_dim=48,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, mlp_ratio=2.0, qkv_bias=True,
+        num_frames=2, tubelet_size=1)
+    opt = T.make_optimizer(learning_rate=1e-4, warmup_steps=1,
+                           total_steps=50)
+    mask, n_vis = T.make_batch_masks(jax.random.PRNGKey(1), model, 4, 0.5)
+    x = jnp.asarray(np.random.RandomState(2).rand(4, 2, 3, 32, 32),
+                    jnp.float32)
+    full = jax.jit(T.make_train_step(model, opt, n_vis, remat=False))
+    acc = jax.jit(T.make_train_step(model, opt, n_vis, remat=False,
+                                    accum_steps=2))
+    st1 = T.init_train_state(model, opt, jax.random.PRNGKey(0))
+    st2 = T.init_train_state(model, opt, jax.random.PRNGKey(0))
+    s1, m1 = full(st1, x, mask)
+    s2, m2 = acc(st2, x, mask)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

@@ -291,14 +291,20 @@ class ConjoinedVMAE(nn.Module):
                                      m.decoder_depth, c.decoder_depth)
         # the interleave below (and the reference's, conjoined_vmae.py:
         # 509-541) only advances the layer counters forward, so resolved
-        # pairs must be strictly ascending; validating here also makes
+        # pairs must be non-decreasing in EACH component (lexicographic
+        # order alone would let e.g. ((0,5),(1,2)) silently cross at the
+        # wrong context depth) and unique (the reference's ModuleDict
+        # would silently collapse duplicates). This also makes
         # declaration order == sorted order, the invariant the checkpoint
-        # converter/exporter key their cross-block indices by
+        # converter/exporter key their cross-block indices by.
         for pairs, nm in ((enc_pairs, 'encoder'), (dec_pairs, 'decoder')):
-            if list(pairs) != sorted(set(pairs)):
+            componentwise = all(
+                b[0] >= a[0] and b[1] >= a[1]
+                for a, b in zip(pairs, pairs[1:]))
+            if not componentwise or len(set(pairs)) != len(pairs):
                 raise ValueError(
-                    f'conjoin_{nm}_layers must resolve to strictly '
-                    f'ascending unique (main, context) pairs; got {pairs}')
+                    f'conjoin_{nm}_layers must resolve to unique pairs '
+                    f'with BOTH layer indices non-decreasing; got {pairs}')
         self._enc_pairs = enc_pairs
         self._dec_pairs = dec_pairs
 

@@ -108,6 +108,11 @@ def host_local_batch_to_global(mesh: Mesh, pspec: P, local_batch):
         # device arrays pass straight through (no host round-trip — the
         # train CLIs feed jitted-warp outputs here every step)
         return jax.device_put(local_batch, sharding)
+    # multi-process: make_array_from_process_local_data wants host data;
+    # device-array inputs pay one device->host->device round trip here.
+    # Data loaders hand numpy in (free); producers that already computed
+    # the local shard ON device should assemble with
+    # jax.make_array_from_single_device_arrays instead.
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(local_batch))
 

@@ -154,11 +154,17 @@ class PredictorBasedGenerator:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def set_predictor(self, net, predictor_load_path=None):
-        """Swap the predictor network and (optionally) load its weights
-        (reference prediction.py:75-79). Clears the held input/mask state;
-        engine caches keyed on params identity rebuild automatically."""
+    def set_predictor(self, net, predictor_load_path=None, params=None):
+        """Swap the predictor network and load its weights — from a
+        checkpoint path or an in-memory params tree (flax weights live
+        outside the module, so unlike the reference's prediction.py:75-79
+        the new net does not carry its own; passing neither keeps the old
+        params, valid only for an identically-parameterized module).
+        Clears the held input/mask state; engine caches keyed on params
+        identity rebuild automatically."""
         self.predictor = net
+        if params is not None:
+            self.params = params
         self.load_predictor(predictor_load_path)
         self.x = self.mask = None
         self.inp_shape = None
@@ -488,15 +494,21 @@ class PredictorBasedGenerator:
                         **kwargs):
         """Prediction error on the held input under the given mask
         (reference prediction.py:548-551). The default single-frame
-        prediction only supports frame=-1; pass ``frame=None`` through to
-        ``predict`` for other frames (jnp indexing clamps out-of-range
-        indices, so this check restores the reference's IndexError)."""
+        prediction only supports frame=-1; ``frame=None`` predicts and
+        compares the full video (jnp indexing clamps out-of-range
+        indices, so the explicit check restores the reference's
+        IndexError)."""
+        if frame is None:
+            # full-video error (predict every frame, compare them all)
+            x_pred = self.predict_with_mask(mask, invert_mask, frame=None,
+                                            *args, **kwargs)
+            return self._get_error(x_pred, self.x, dim=-3)
         x_pred = self.predict_with_mask(mask, invert_mask, *args, **kwargs)
         t = x_pred.shape[1]
         if not -t <= frame < t:
             raise IndexError(
                 f'frame {frame} out of range for the {t}-frame prediction; '
-                f'pass frame=None through to predict for the full video')
+                f'frame=None compares the full video')
         return self._get_error(x_pred[:, frame][:, None],
                                self.x[:, frame][:, None], dim=-3)
 

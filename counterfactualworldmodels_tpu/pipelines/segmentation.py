@@ -287,12 +287,13 @@ class FlowGenerator(PredictorBasedGenerator):
 
     def predict_flow_per_sample(self, x, masks, backward=False, **kwargs):
         """Flows of the per-sample predictions, sample axis last
-        (reference segmentation.py:199-208)."""
+        (reference segmentation.py:199-208; extra kwargs route to
+        predict_flow, e.g. ``iters``, like the reference)."""
         assert masks.ndim == 3
         s = masks.shape[-1]
         ys = self.predict_per_sample(x, masks, frame=None,
-                                     split_samples=False, **kwargs)
-        flows = self.predict_flow(ys, backward)
+                                     split_samples=False)
+        flows = self.predict_flow(ys, backward, **kwargs)
         return jnp.moveaxis(flows.reshape(-1, s, *flows.shape[1:]), 1, -1)
 
     # ------------------------------------------------------------------

@@ -314,16 +314,11 @@ def make_conjoined_train_step(model, optimizer, n_vis: int,
 
     def train_step(state: TrainState, x, mask, xc, mc):
         if accum_steps > 1:
-            loss, _, grads = accumulated_grads(
-                lambda p, *mb: loss_fn(p, *mb), state.params,
-                accum_steps, x, mask, xc, mc)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-            return (TrainState(state.step + 1, params, opt_state),
-                    {'loss': loss, 'grad_norm': optax.global_norm(grads)})
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x, mask, xc, mc))(state.params)
+            loss, _, grads = accumulated_grads(loss_fn, state.params,
+                                               accum_steps, x, mask, xc, mc)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, x, mask, xc, mc))(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -221,6 +221,13 @@ def main():
 
     if dp * args.tp > 1:
         from counterfactualworldmodels_tpu import parallel
+        if jax.process_count() > 1 and dp * args.tp != n_dev:
+            # a mesh over a device subset leaves whole hosts without
+            # addressable shards in a multi-controller run
+            raise SystemExit(
+                f'multi-host runs must span every device: dp*tp must '
+                f'equal {n_dev} (got dp={dp}, tp={args.tp}); adjust '
+                f'--dp/--tp/--batch-size')
         mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
         print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp}')
         step_fn, shard_state, data_sharding = \

@@ -63,6 +63,8 @@ def parse_args():
                          'inference default is 24; RAFT training '
                          'conventionally uses 12)')
     ap.add_argument('--img-size', type=int, default=224)
+    ap.add_argument('--pool-size', type=int, default=256,
+                    help='frames drawn from --shard into the warp pool')
     ap.add_argument('--batch-size', type=int, default=8)
     ap.add_argument('--steps', type=int, default=1000)
     ap.add_argument('--warmup-steps', type=int, default=100)
@@ -100,8 +102,15 @@ def load_image_pool(args):
             PythonClipLoader
         loader = PythonClipLoader(args.shard, batch_size=args.batch_size,
                                   crop_size=(size, size), seed=args.seed)
-        clips = next(iter(loader))  # [B, T, C, H, W] in [0, 1]
-        return np.asarray(clips[:, 0], np.float32) * 255.0
+        it = iter(loader)
+        frames = []
+        while sum(f.shape[0] for f in frames) < args.pool_size:
+            clips = next(it)  # [B, T, C, H, W] in [0, 1]
+            frames.append(np.asarray(clips[:, 0], np.float32) * 255.0)
+        pool = np.concatenate(frames)[:args.pool_size]
+        print(f'warp pool: {pool.shape[0]} frames from {args.shard}',
+              flush=True)
+        return pool
     from PIL import Image
     src = args.images or DEMO_IMAGES
     paths = sorted(glob.glob(os.path.join(src, '*.png')) +
@@ -218,6 +227,10 @@ def main():
     else:
         dp = max(d for d in range(1, n_dev + 1)
                  if args.batch_size % d == 0 and n_dev % d == 0)
+    if jax.process_count() > 1 and dp != n_dev:
+        raise SystemExit(
+            f'multi-host runs must span every device: dp must '
+            f'equal {n_dev} (got {dp}); adjust --dp/--batch-size')
     print(f'devices={n_dev} dp={dp} mode={args.mode} '
           f'backend={jax.default_backend()}', flush=True)
 

@@ -142,6 +142,13 @@ def main():
         # largest divisor of the batch that fits the devices left over
         dp = max(d for d in range(1, max(1, n_dev // args.tp) + 1)
                  if args.batch_size % d == 0)
+    if jax.process_count() > 1 and dp * args.tp != n_dev:
+        # a mesh over a device subset leaves whole hosts without
+        # addressable shards in a multi-controller run
+        raise SystemExit(
+            f'multi-host runs must span every device: dp*tp must '
+            f'equal {n_dev} (got dp={dp}, tp={args.tp}); adjust '
+            f'--dp/--tp/--batch-size')
     mesh = parallel.make_mesh({'dp': dp, 'tp': args.tp})
     print(f'devices={n_dev} mesh=dp{dp} x tp{args.tp} '
           f'backend={jax.default_backend()}')

@@ -32,6 +32,9 @@ python scripts/loadgen.py --out "SERVING_${R}.json"
 echo "== training throughput (vmae/conjoined/raft steps) =="
 python scripts/bench_train.py --out "BENCH_TRAIN_${R}.json"
 
+echo "== data-loader throughput (host-side) =="
+python scripts/bench_loader.py --out "BENCH_LOADER_${R}.json"
+
 echo "== done; artifacts: =="
 ls -la BENCH_${R}_local.json SWEEP_${R}.json LATENCY_${R}.json \
    FIDELITY_${R}.json BENCH_CONJ_${R}.json SERVING_${R}.json \

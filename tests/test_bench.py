@@ -217,3 +217,19 @@ def test_bench_train_smoke():
     head = [r for r in recs if r.get('metric') == 'train_clips_per_sec']
     assert fams and fams[0]['pairs_per_sec'] > 0
     assert head and head[0]['value'] == fams[0]['pairs_per_sec']
+
+
+@pytest.mark.slow
+def test_bench_loader_smoke(tmp_path):
+    """bench_loader.py measures both loaders and emits the summary line."""
+    env = dict(os.environ)
+    out_json = str(tmp_path / 'bl.json')
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, 'scripts', 'bench_loader.py'),
+         '--clips', '32', '--hw', '64', '--batch', '8', '--seconds', '1',
+         '--threads', '1', '--out', out_json],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.load(open(out_json))
+    assert rec['loaders']['python']['clips_per_sec'] > 0
+    assert 'native_speedup_vs_python' in rec

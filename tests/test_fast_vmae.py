@@ -427,3 +427,45 @@ def test_shared_prefix_rejects_frame0_masks():
     with pytest.raises(ValueError, match='frame 0'):
         fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
                                         x_mocos, jnp.asarray(mask))
+
+
+@pytest.mark.slow
+def test_fidelity_vs_exact_model_trained_weights():
+    """ADVICE r02: fidelity was only measured at random init, where
+    activations are statistically symmetric. Train the predictor until the
+    loss has dropped substantially (synthetic shifted-frame objective, the
+    policy the real checkpoints were trained under), then re-measure the
+    prefix-isolation deviation with the TRAINED weights."""
+    from counterfactualworldmodels_tpu.training import train as T
+    model = _model()
+    opt = T.make_optimizer(learning_rate=2e-3, warmup_steps=5,
+                           total_steps=200)
+    state = T.init_train_state(model, opt, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    base = rng.rand(4, 1, 3, 32, 32).astype(np.float32)
+    mask_t, n_vis_t = T.make_batch_masks(jax.random.PRNGKey(1), model, 4,
+                                         0.8)
+    step = jax.jit(T.make_train_step(model, opt, n_vis_t, remat=False))
+    losses = []
+    for i in range(120):
+        shift = rng.randint(-6, 7, 2)
+        f1 = np.roll(base, tuple(shift), axis=(-2, -1))
+        x = jnp.asarray(np.concatenate([base, f1], 1))
+        state, m = step(state, x, mask_t)
+        losses.append(float(m['loss']))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+    params = jax.device_get(state.params)
+    x_mocos, mask, n_vis = _workload(model)
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    y_fast = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n_vis, True, x_mocos, mask))
+    y_exact = np.asarray(predict_video(model, params, x_mocos, mask, n_vis,
+                                       True, None))
+    np.testing.assert_allclose(y_fast[:, 0], y_exact[:, 0], atol=1e-5)
+    diff = np.abs(y_fast[:, 1] - y_exact[:, 1])
+    rel = diff.mean() / np.abs(y_exact[:, 1]).mean()
+    corr = np.corrcoef(y_fast[:, 1].ravel(), y_exact[:, 1].ravel())[0, 1]
+    print(f'trained-weights fidelity: loss {losses[0]:.3f}->'
+          f'{losses[-1]:.3f} mean-rel-dev {rel:.4f} corr {corr:.4f}')
+    assert corr > 0.95, (corr, rel)

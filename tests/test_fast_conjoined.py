@@ -666,3 +666,57 @@ def test_imu_movability_fast_engine():
     assert out.shape == (1, 1, IMG, IMG)
     assert np.isfinite(np.asarray(out)).all()
     assert m._conj_prefix_lru is not None and m._conj_prefix_lru.misses >= 1
+
+
+@pytest.mark.slow
+def test_fidelity_vs_exact_conjoined_trained_weights():
+    """Frozen-prefix fidelity holds for TRAINED conjoined weights, not just
+    random init (the r02 advisor's caveat; vmae analog in
+    test_fast_vmae.py). Train the conjoined predictor until the loss
+    halves, then re-measure the fast-vs-exact deviation."""
+    from counterfactualworldmodels_tpu.pipelines.imu import (
+        _conjoined_predict_video)
+    from counterfactualworldmodels_tpu.training import train as T
+    rng = np.random.RandomState(11)
+    model, params, w = _tiny()
+    opt = T.make_optimizer(learning_rate=2e-3, warmup_steps=5,
+                           total_steps=200)
+    state = T.TrainState(jnp.zeros((), jnp.int32), params,
+                         opt.init(params))
+    n_vis_t = N0 + 8
+    n_vis_c = model.context.num_patches
+    tmask = np.ones((2, N), bool)
+    tmask[:, :n_vis_t] = False
+    tmask = jnp.asarray(tmask)
+    mc_t = jnp.zeros((2, n_vis_c), bool)
+    step = jax.jit(T.make_conjoined_train_step(model, opt, n_vis_t,
+                                               n_vis_c, remat=False))
+    base = rng.rand(2, 3, 1, IMG, IMG).astype(np.float32)
+    losses = []
+    for i in range(100):
+        shift = rng.randint(-6, 7, 2)
+        f1 = np.roll(base, tuple(shift), axis=(-2, -1))
+        x = jnp.asarray(np.concatenate([base, f1], 2))  # [B, C, T, H, W]
+        imu_t = jnp.asarray(rng.randn(2, 6, IMU_LEN, 1, 1), jnp.float32)
+        state, m = step(state, x, tmask, imu_t, mc_t)
+        losses.append(float(m['loss']))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+    trained = jax.device_get(state.params)
+    w.params = trained
+    x_mocos, mask, imu, vis1, n_vis = _workload(rng)
+    mask_c = jnp.zeros((1, IMU_TOK), bool)
+    y_fast = fc.predict_videos_conjoined_prefix(
+        w, trained, x_mocos, mask, imu, mask_c, n_vis, True, False)
+    s = x_mocos.shape[0]
+    nvc = w._static_n_vis(np.zeros((1, IMU_TOK), bool), model.context)
+    y_exact = _conjoined_predict_video(
+        w, trained, x_mocos, mask, jnp.repeat(imu, s, 0),
+        jnp.repeat(mask_c, s, 0), n_vis, nvc, True)
+    a = np.asarray(y_fast[:, 1]).ravel()
+    b = np.asarray(y_exact[:, 1]).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    rel = np.abs(a - b).mean() / np.abs(b).mean()
+    print(f'trained conjoined fidelity: loss {losses[0]:.3f}->'
+          f'{losses[-1]:.3f} rel-dev {rel:.4f} corr {corr:.4f}')
+    assert corr > 0.99, (corr, rel)

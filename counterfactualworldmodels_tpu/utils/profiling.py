@@ -51,6 +51,36 @@ def trace(log_dir: str = '/tmp/cwm_tpu_trace'):
         jax.profiler.stop_trace()
 
 
+class StepTraceWindow:
+    """XLA-trace a window of training steps (the train CLIs'
+    ``--profile-dir``): starts after ``warm_steps`` post-resume steps
+    (past compilation) and stops ``num_steps`` later. ``tick(step)``
+    once per loop iteration; no-op when log_dir is falsy."""
+
+    def __init__(self, log_dir: Optional[str], first_step: int,
+                 warm_steps: int = 3, num_steps: int = 3):
+        self.log_dir = log_dir
+        self.start_at = first_step + warm_steps
+        self.stop_at = self.start_at + num_steps
+        self._active = False
+
+    def tick(self, step: int) -> None:
+        if not self.log_dir:
+            return
+        if not self._active and step == self.start_at:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and step >= self.stop_at:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f'profile trace written to {self.log_dir}', flush=True)
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class StageTimer:
     """Accumulating per-stage wall-clock timer with device sync."""
 

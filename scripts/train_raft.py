@@ -81,6 +81,9 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--profile-dir', default=None,
+                    help='XLA-trace a 3-step window after warmup '
+                         '(view with TensorBoard/Perfetto)')
     ap.add_argument('--accum-steps', type=int, default=1,
                     help='gradient-accumulation microbatches per step '
                          '(flow mode)')
@@ -306,7 +309,11 @@ def main():
     metrics_log = MetricsLogger(args.metrics) if args.metrics else None
     t0 = time.time()
     last_log = start_step
+    from counterfactualworldmodels_tpu.utils.profiling import \
+        StepTraceWindow
+    tracer = StepTraceWindow(args.profile_dir, start_step)
     for step in range(start_step, args.steps):
+        tracer.tick(step)
         idx = rng.randint(0, pool_img.shape[0], args.batch_size)
         if keypoint:
             state, metrics = step_fn(state, put(pool_img[idx]),
@@ -335,6 +342,7 @@ def main():
             ckpt.save(step + 1, jax.device_get(state))
     if ckpt is not None:
         ckpt.save(args.steps, jax.device_get(state))
+    tracer.close()
     print('done')
 
 

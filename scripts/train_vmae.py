@@ -50,6 +50,9 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--profile-dir', default=None,
+                    help='XLA-trace a 3-step window after warmup '
+                         '(view with TensorBoard/Perfetto)')
     ap.add_argument('--accum-steps', type=int, default=1,
                     help='gradient-accumulation microbatches per step')
     return ap.parse_args()
@@ -204,7 +207,11 @@ def main():
     # from the restored step instead of replaying the beginning
     key = jax.random.fold_in(key, start_step)
     t0 = time.time()
+    from counterfactualworldmodels_tpu.utils.profiling import \
+        StepTraceWindow
+    tracer = StepTraceWindow(args.profile_dir, start_step)
     for step in range(start_step, args.steps):
+        tracer.tick(step)
         batch = put(np.asarray(next(data), np.float32))
         key, mk = jax.random.split(key)
         state, metrics = step_fn(state, batch, mk)
@@ -223,6 +230,7 @@ def main():
             ckpt.save(step + 1, jax.device_get(state))
     if ckpt is not None:
         ckpt.save(args.steps, jax.device_get(state))
+    tracer.close()
     print('done')
 
 

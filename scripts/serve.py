@@ -1057,13 +1057,12 @@ def main():
     ap.add_argument('--engine', default='fast',
                     choices=['fast', 'exact'],
                     help='fast = shared-prefix engine with a per-image '
-                         'PrefixCache LRU. Caveat: fast-engine fidelity '
-                         '(corr 1.0 vs exact) is measured with random-init '
-                         'weights; prefix isolation is a real modeling '
-                         'change, unvalidated against released checkpoints '
-                         '(unreachable offline — PARITY_CHECKPOINTS.md). '
-                         'Use --engine exact for bit-parity with the '
-                         'reference forward.')
+                         'PrefixCache LRU. Fidelity vs exact: corr 1.0 at '
+                         'random init AND at trained weights (PERF.md; '
+                         'prefix isolation is a real modeling change — '
+                         'released-checkpoint validation pending egress, '
+                         'PARITY_CHECKPOINTS.md). Use --engine exact for '
+                         'bit-parity with the reference forward.')
     ap.add_argument('--warmup', action='store_true',
                     help='pre-compile the serving programs before binding '
                          'the port: one dispatch per route x batch bucket '

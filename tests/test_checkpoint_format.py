@@ -148,3 +148,29 @@ def test_released_large_4x4_layout_converts():
     assert set(a) == set(b), (sorted(set(a) - set(b)), sorted(set(b) - set(a)))
     mismatched = {k: (a[k], b[k]) for k in a if a[k] != b[k]}
     assert not mismatched, mismatched
+
+
+@pytest.mark.slow
+def test_released_base_8x8_export_roundtrip():
+    """Export direction at the RELEASED base_8x8 configuration: the full
+    key layout round-trips convert -> export bitwise, covers every
+    trainable param, and loads back into the reference scaffold."""
+    import numpy as np
+    from counterfactualworldmodels_tpu.utils import torch_export as tx
+    from cwm.models.VideoMAE.vmae import pretrain_videomae_base_224_scaffold
+    tmodel = pretrain_videomae_base_224_scaffold(
+        patch_size=(8, 8), num_frames=2, tubelet_size=1)
+    sd = tmodel.state_dict()
+    params = convert_vmae(sd)
+    out = tx.export_vmae(params, in_chans=3, patch_size=(1, 8, 8))
+    for k, v in out.items():
+        assert k in sd, k
+        np.testing.assert_array_equal(np.asarray(v), sd[k].numpy(),
+                                      err_msg=k)
+    missing = {n for n, _ in tmodel.named_parameters()} - set(out)
+    assert not missing, sorted(missing)[:8]
+    import torch
+    res = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in out.items()}, strict=False)
+    assert not res.unexpected_keys, res.unexpected_keys

@@ -468,23 +468,28 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         n0 = w.model.main.num_patches // w.model.main.num_frames
         # engine='fast': per-click route through the conjoined shared-prefix
         # engine (warm ConjoinedPrefixLru -> only the frame-1 suffix runs)
-        fast_ok = (self.engine == 'fast' and x.shape[0] == 1
+        fast_ok = (self.engine == 'fast' and not self._fast_disabled
+                   and x.shape[0] == 1
                    and x.shape[1] == 2
                    and not bool(np.asarray(mask[:, :n0]).any())
                    and not bool(np.asarray(mask_context).any()))
         if fast_ok:
             from ..models import fast_conjoined
             if fast_conjoined.conjoined_fast_supported(w.model):
-                self._ensure_conj_fast()
-                cache, _ = self._conj_prefix_lru.get(x, x_context)
-                vid = fast_conjoined.predict_videos_conjoined_prefix(
-                    w, self._conj_params, x, mask, x_context, mask_context,
-                    n_vis, self.imagenet_normalize_inputs, self._use_flash,
-                    cache=cache)
-                if frame is not None:
-                    f = frame % vid.shape[1]
-                    vid = vid[:, f:f + 1]
-                return vid
+                try:
+                    self._ensure_conj_fast()
+                    cache, _ = self._conj_prefix_lru.get(x, x_context)
+                    vid = fast_conjoined.predict_videos_conjoined_prefix(
+                        w, self._conj_params, x, mask, x_context,
+                        mask_context, n_vis,
+                        self.imagenet_normalize_inputs, self._use_flash,
+                        cache=cache)
+                    if frame is not None:
+                        f = frame % vid.shape[1]
+                        vid = vid[:, f:f + 1]
+                    return vid
+                except Exception as e:  # degrade, never strand the caller
+                    self._disable_fast_engine(e)
         n_vis_c = w._static_n_vis(mask_context, w.model.context)
         if w.model.context.is_imu and w.model.context.concat_dummy_token:
             n_vis_c += 1
@@ -561,21 +566,26 @@ class ImuConditionedFlowGenerator(FlowGenerator):
         n0 = w.model.main.num_patches // w.model.main.num_frames
         frame0_clear = not bool(np.asarray(
             passive[:, :n0] & active[:, :n0]).any())
-        fast_ok = (self.engine == 'fast' and x.shape[0] == 1 and fix_passive
+        fast_ok = (self.engine == 'fast' and not self._fast_disabled
+                   and x.shape[0] == 1 and fix_passive
                    and frame0_clear
                    and not bool(np.asarray(self._mask_context).any()))
         if fast_ok:
             from ..models import fast_conjoined
             if fast_conjoined.conjoined_fast_supported(w.model):
-                self._ensure_conj_fast()
-                cache, _ = self._conj_prefix_lru.get(x, self._x_context)
-                return _imu_counterfactual_step_fast(
-                    w, self._conj_params, self.flow_model, self.flow_params,
-                    x, passive, active, shifts, keys, self._x_context,
-                    self._mask_context, n_vis,
-                    self.imagenet_normalize_inputs, iters, self._use_flash,
-                    fast_conjoined.resolve_two_source(self._use_flash),
-                    cache)
+                try:
+                    self._ensure_conj_fast()
+                    cache, _ = self._conj_prefix_lru.get(x, self._x_context)
+                    return _imu_counterfactual_step_fast(
+                        w, self._conj_params, self.flow_model,
+                        self.flow_params, x, passive, active, shifts, keys,
+                        self._x_context, self._mask_context, n_vis,
+                        self.imagenet_normalize_inputs, iters,
+                        self._use_flash,
+                        fast_conjoined.resolve_two_source(self._use_flash),
+                        cache)
+                except Exception as e:  # degrade, never strand the caller
+                    self._disable_fast_engine(e)
         x_context = jnp.repeat(self._x_context, s, axis=0)
         mask_context = jnp.repeat(self._mask_context, s, axis=0)
         n_vis_c = w._static_n_vis(self._mask_context, w.model.context)

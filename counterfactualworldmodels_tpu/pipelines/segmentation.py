@@ -146,7 +146,7 @@ class FlowGenerator(PredictorBasedGenerator):
                  raft_iters: int = 24,
                  patch_sampling_func=generators.RotatedTableEnergyMaskingGenerator,
                  patch_sampling_kwargs={},
-                 engine: str = 'exact',
+                 engine: str = 'fast',
                  prefix_cache_size: int = 4,
                  **kwargs):
         super().__init__(*args, **kwargs)
@@ -155,6 +155,7 @@ class FlowGenerator(PredictorBasedGenerator):
         self.prefix_cache_size = prefix_cache_size
         self._prefix_lru = None  # built lazily on first fast chunk
         self._fast_params_src = None  # identity key: rebuilt on params swap
+        self._fast_disabled = False  # set by _disable_fast_engine on failure
         self.raft_iters = raft_iters
         self.flow_params = None
         self.set_flow_model(flow_model=flow_model, flow_params=flow_params,
@@ -403,6 +404,25 @@ class FlowGenerator(PredictorBasedGenerator):
         return (x_out.reshape(b * s, *x.shape[1:]),
                 mask_out.reshape(b * s, n))
 
+    def _disable_fast_engine(self, exc):
+        """Permanently degrade this generator to the exact per-sample path
+        after a fast-engine failure (e.g. a Pallas kernel that fails to
+        compile on the local hardware). ``engine='fast'`` is the default,
+        so a compile/runtime failure must never strand the caller — the
+        exact path computes the same quantities, just without prefix
+        sharing. Kernel-level degrades (CWM_FLASH_TWO_SOURCE=0,
+        CWM_RAFT_LANES=0) are finer-grained alternatives."""
+        import warnings
+        warnings.warn(
+            'shared-prefix fast engine failed '
+            f'({type(exc).__name__}: {exc}); falling back to the exact '
+            "per-sample path for this generator. Pass engine='exact' (or "
+            'set CWM_FLASH_TWO_SOURCE=0 / CWM_RAFT_LANES=0 for kernel-level '
+            'degrades) to silence this.', RuntimeWarning)
+        self._fast_disabled = True
+        self._prefix_lru = None
+        self._fast_params_src = None
+
     def _ensure_fast_engine(self):
         """Lazy init of the shared-prefix engine state, keyed on params
         identity: swapping G.params rebuilds the stacked weights and drops
@@ -436,25 +456,29 @@ class FlowGenerator(PredictorBasedGenerator):
         mask = jnp.asarray(mask).reshape(x.shape[0], -1)
         mask, n_vis = self._equalize(mask)
         n0 = getattr(self.predictor, 'num_patches_per_frame', 0)
-        fast_ok = (self.engine == 'fast' and not kwargs
+        fast_ok = (self.engine == 'fast' and not self._fast_disabled
+                   and not kwargs
                    and hasattr(self.predictor, 'encoder_depth')
                    and self.temporal_dim == 2
                    and x.shape[0] == 1 and x.shape[1] == 2 and n0
                    and not bool(np.asarray(mask[:, :n0]).any()))
-        if not fast_ok:
-            return predict_video(
-                self.predictor, self.params, x, mask, n_vis,
-                self.imagenet_normalize_inputs, frame, self.temporal_dim)
-        from ..models import fast_vmae
-        self._ensure_fast_engine()
-        cache, _ = self._prefix_lru.get(x[0:1, 0])
-        vid = fast_vmae.predict_videos_shared_prefix(
-            self.predictor, self._fast_params, self._use_flash, n_vis,
-            self.imagenet_normalize_inputs, x, mask, cache)
-        if frame is not None:
-            f = frame % vid.shape[1]
-            vid = vid[:, f:f + 1]
-        return vid
+        if fast_ok:
+            try:
+                from ..models import fast_vmae
+                self._ensure_fast_engine()
+                cache, _ = self._prefix_lru.get(x[0:1, 0])
+                vid = fast_vmae.predict_videos_shared_prefix(
+                    self.predictor, self._fast_params, self._use_flash,
+                    n_vis, self.imagenet_normalize_inputs, x, mask, cache)
+                if frame is not None:
+                    f = frame % vid.shape[1]
+                    vid = vid[:, f:f + 1]
+                return vid
+            except Exception as e:  # degrade, never strand the caller
+                self._disable_fast_engine(e)
+        return predict_video(
+            self.predictor, self.params, x, mask, n_vis,
+            self.imagenet_normalize_inputs, frame, self.temporal_dim)
 
     def _counterfactual_chunk(self, x, passive, active, shifts, keys,
                               n_vis, iters, fix_passive):
@@ -469,23 +493,28 @@ class FlowGenerator(PredictorBasedGenerator):
         # sample's prompt: the combined mask is (passive & active) per
         # make_motion_counterfactual, so any frame-0 token masked in BOTH
         # prompt sets breaks the assumption -> fall back to the exact path
-        fast_ok = (self.engine == 'fast' and self.temporal_dim == 2
+        fast_ok = (self.engine == 'fast' and not self._fast_disabled
+                   and self.temporal_dim == 2
                    and x.shape[0] == 1 and fix_passive
                    and not bool(np.asarray(
                        passive[:, :n0] & active[:, :n0]).any()))
         if fast_ok:
-            self._ensure_fast_engine()
-            cache, _ = self._prefix_lru.get(x[0:1, 0])
-            from ..models import fast_vmae
-            # env resolved per call (not cached) so the documented degrade
-            # knob CWM_FLASH_TWO_SOURCE=0 takes effect mid-session
-            return counterfactual_videos_and_flows_fast(
-                self.predictor, self._fast_params, self.flow_model,
-                self.flow_params, x, passive, active, shifts, keys, n_vis,
-                self.imagenet_normalize_inputs, iters, True,
-                self._use_flash,
-                fast_vmae.resolve_two_source(self._use_flash),
-                prefix_cache=cache)
+            try:
+                self._ensure_fast_engine()
+                cache, _ = self._prefix_lru.get(x[0:1, 0])
+                from ..models import fast_vmae
+                # env resolved per call (not cached) so the documented
+                # degrade knob CWM_FLASH_TWO_SOURCE=0 takes effect
+                # mid-session
+                return counterfactual_videos_and_flows_fast(
+                    self.predictor, self._fast_params, self.flow_model,
+                    self.flow_params, x, passive, active, shifts, keys,
+                    n_vis, self.imagenet_normalize_inputs, iters, True,
+                    self._use_flash,
+                    fast_vmae.resolve_two_source(self._use_flash),
+                    prefix_cache=cache)
+            except Exception as e:  # degrade, never strand the caller
+                self._disable_fast_engine(e)
         return counterfactual_videos_and_flows(
             self.predictor, self.params, self.flow_model, self.flow_params,
             x, passive, active, shifts, keys, n_vis,

@@ -161,7 +161,7 @@ def _my_pipeline(flow2imu_sd, imu_cond_sd, traft_sd):
         flow_model=RAFT(iters=2), flow_params=raft_params, raft_iters=2,
         mask_generator=jmask.MaskingGenerator(
             input_size=(2, GRID, GRID), mask_ratio=0, always_batch=True),
-        imagenet_normalize_inputs=True, seed=0)
+        imagenet_normalize_inputs=True, seed=0, engine='exact')
     return gen
 
 

@@ -91,7 +91,8 @@ def _paired_generators(img_size=128, patch=8):
                          params=convert_vmae(tmodel.state_dict()),
                          flow_model=jraft,
                          flow_params=convert_raft(traft.state_dict()),
-                         raft_iters=2, imagenet_normalize_inputs=True, seed=0)
+                         raft_iters=2, imagenet_normalize_inputs=True,
+                         seed=0, engine='exact')
     return ref, mine
 
 
@@ -249,6 +250,59 @@ def test_generator_fast_engine_matches_exact():
     y_f2, _ = fast.predict_counterfactual_videos_and_flows(x, **kw)
     assert fast._prefix_lru.hits >= 1
     assert y_f2.shape == y_f.shape
+
+
+def test_fast_engine_failure_degrades_to_exact(monkeypatch):
+    """engine='fast' is the default: a fast-engine failure (e.g. a Pallas
+    kernel that fails to compile on local hardware) must warn once, flip
+    the generator to the exact path, and produce the exact path's output
+    bit-for-bit (keys/shifts are drawn before the engine routing)."""
+    import warnings
+    from counterfactualworldmodels_tpu.models import vmae as jvmae
+    from counterfactualworldmodels_tpu.models import fast_vmae
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+
+    model = jvmae.PretrainVisionTransformer(
+        img_size=(32, 32), patch_size=(4, 4), encoder_embed_dim=64,
+        encoder_depth=2, encoder_num_heads=4, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, num_frames=2, qkv_bias=True)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    raft = RAFT(iters=2)
+    rparams = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+
+    def make(engine):
+        return FlowGenerator(predictor=model, params=params,
+                             flow_model=raft, flow_params=rparams,
+                             raft_iters=2, imagenet_normalize_inputs=True,
+                             seed=0, engine=engine)
+
+    exact, broken = make('exact'), make('fast')
+    monkeypatch.setattr(
+        fast_vmae, 'stack_vmae_params',
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError('mosaic compile failed')))
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(1, 3, 32, 32).astype(np.float32))
+    n = model.num_patches
+    active = np.ones((1, n), dtype=bool)
+    active[0, n // 2 + rng.randint(n // 2)] = False
+    active = jnp.asarray(active)
+    kw = dict(active_patches=active, shifts=[(0, 1), (1, 0)], num_samples=2,
+              sample_batch_size=2)
+
+    with pytest.warns(RuntimeWarning, match='falling back to the exact'):
+        y_b, f_b = broken.predict_counterfactual_videos_and_flows(x, **kw)
+    assert broken._fast_disabled
+    y_e, f_e = exact.predict_counterfactual_videos_and_flows(x, **kw)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_e), atol=1e-5)
+
+    # subsequent calls skip the fast route silently (no second warning)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        broken.predict_counterfactual_videos_and_flows(x, **kw)
 
 
 def test_fast_multi_scene_matches_per_scene_dispatches():

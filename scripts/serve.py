@@ -544,7 +544,12 @@ class CwmService:
         import numpy as np
         import jax.numpy as jnp
         if self.engine == 'fast':
-            return self._counterfactual_fast(req)
+            try:
+                return self._counterfactual_fast(req)
+            except (ValueError, KeyError):
+                raise            # bad request -> 400, not an engine fault
+            except Exception as e:
+                self._degrade_to_exact(e)
         x, active, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
         passive = jnp.asarray(passive_np) if req.get('passive') else None
@@ -592,6 +597,27 @@ class CwmService:
             if lru is not None:
                 lru._entries.clear()
                 lru.hits = lru.misses = 0
+
+    def _degrade_to_exact(self, exc):
+        """Flip the service (and its generator) to the exact engine after
+        a fast-engine failure (e.g. a Pallas kernel that fails to compile
+        on this hardware). Requests are then re-served on the exact path
+        instead of surfacing a permanent 500; mirrors
+        FlowGenerator._disable_fast_engine."""
+        import warnings
+        warnings.warn(
+            f'fast serving engine failed ({type(exc).__name__}: {exc}); '
+            'serving degrades to the exact engine', RuntimeWarning)
+        self.engine = 'exact'
+        G = self.G
+        G._fast_disabled = True
+        G._prefix_lru = None
+        G._fast_params_src = None
+        if hasattr(G, '_conj_prefix_lru'):
+            G._conj_prefix_lru = None
+            G._conj_params_src = None
+        self._lru = None
+        self._fp = None
 
     def _mixed_warm_ready(self):
         return True
@@ -773,7 +799,8 @@ class ImuCwmService(CwmService):
         model (fast_conjoined.conjoined_fast_supported)."""
         from counterfactualworldmodels_tpu.models.fast_conjoined import (
             conjoined_fast_supported)
-        return conjoined_fast_supported(self.G.predictor.model)
+        return (not getattr(self.G, '_fast_disabled', False)
+                and conjoined_fast_supported(self.G.predictor.model))
 
     def _clear_prefix_state(self):
         super()._clear_prefix_state()
@@ -929,6 +956,16 @@ class ImuCwmService(CwmService):
         if self._batcher is not None:
             item = (x, active, passive_np, shift, s)
             n_vis = self._imu_n_vis(active, passive_np)
+            if self.engine == 'fast':
+                try:
+                    return self._batcher.run(('imu', n_vis), item)
+                except (ValueError, KeyError):
+                    raise    # bad request -> 400, not an engine fault
+                except Exception as e:
+                    # only the direct stacked-cache route can raise here
+                    # (the generator API degrades internally); retry on
+                    # the exact routing
+                    self._degrade_to_exact(e)
             return self._batcher.run(('imu', n_vis), item)
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
@@ -1062,7 +1099,9 @@ def main():
                          'prefix isolation is a real modeling change — '
                          'released-checkpoint validation pending egress, '
                          'PARITY_CHECKPOINTS.md). Use --engine exact for '
-                         'bit-parity with the reference forward.')
+                         'bit-parity with the reference forward. A fast-'
+                         'engine failure at runtime degrades the service '
+                         'to exact automatically (one warning).')
     ap.add_argument('--warmup', action='store_true',
                     help='pre-compile the serving programs before binding '
                          'the port: one dispatch per route x batch bucket '

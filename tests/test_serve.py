@@ -140,6 +140,49 @@ def test_serve_imu_conditioned(engine):
 
 
 @pytest.mark.slow
+def test_serve_fast_engine_failure_degrades(monkeypatch):
+    """A fast-engine failure at request time (e.g. a kernel that fails to
+    compile on this hardware) must warn, flip the service AND its
+    generator to the exact engine, and still serve the request — never a
+    permanent 500. Bad requests keep raising (400), not degrading."""
+    import serve
+    from counterfactualworldmodels_tpu.pipelines import segmentation as seg
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    G = serve.build_generator(args)
+    svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=0)
+
+    rng = np.random.RandomState(2)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    req = {'image': img, 'active': [[2, 2]], 'shift': [0, 1],
+           'num_samples': 1}
+
+    # a malformed request surfaces as ValueError (-> 400), engine untouched
+    with pytest.raises(ValueError):
+        svc.counterfactual({'image': [[0.0]], 'active': [[0, 0]]})
+    assert svc.engine == 'fast'
+
+    def boom(*a, **k):
+        raise RuntimeError('simulated mosaic compile failure')
+    monkeypatch.setattr(seg, 'counterfactual_videos_and_flows_fast', boom)
+
+    with pytest.warns(RuntimeWarning, match='degrades to the exact'):
+        out = svc.counterfactual(dict(req))
+    assert svc.engine == 'exact'
+    assert getattr(G, '_fast_disabled', False)
+    assert {'simulation', 'flow_rgb', 'segment'} <= set(out)
+
+    # subsequent requests stay on the exact path, no further warnings
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter('error')
+        out2 = svc.counterfactual(dict(req))
+    assert 'segment' in out2
+
+
+@pytest.mark.slow
 def test_serve_micro_batching():
     """Micro-batching of concurrent same-scene counterfactuals:
 

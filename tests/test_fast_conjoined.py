@@ -555,6 +555,45 @@ def test_generator_fast_engine_vs_exact():
 
 
 @pytest.mark.slow
+def test_generator_fast_engine_failure_degrades(monkeypatch):
+    """A conjoined fast-engine failure (e.g. a kernel that fails to
+    compile) warns once, permanently degrades the generator to the exact
+    path, and yields the exact path's output bit-for-bit (keys/shifts are
+    drawn before the engine routing)."""
+    import warnings
+    rng = np.random.RandomState(6)
+    model, params, w = _tiny()
+    x = np.asarray(_workload(rng)[0][0:1])
+    head = (rng.randn(1, IMU_TOK, 8 * 6) * 0.1).astype(np.float32)
+    active = np.ones((1, N), bool)
+    active[0, :N0] = False
+    active[0, N0 + 3 * GRID + 3] = False
+    kw = dict(active_patches=jnp.asarray(active), shifts=[(1, 0), (0, 1)],
+              num_samples=2, sample_batch_size=2,
+              head_motion=jnp.asarray(head))
+
+    exact = _generator(model, params, w, 'exact')
+    y_e, f_e = exact.predict_counterfactual_videos_and_flows(
+        jnp.asarray(x), **kw)
+
+    def boom(*a, **k):
+        raise RuntimeError('simulated mosaic compile failure')
+    monkeypatch.setattr(fc, 'ConjoinedPrefixLru', boom)
+    broken = _generator(model, params, w, 'fast')
+    with pytest.warns(RuntimeWarning, match='falling back to the exact'):
+        y_b, f_b = broken.predict_counterfactual_videos_and_flows(
+            jnp.asarray(x), **kw)
+    assert broken._fast_disabled
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_b), np.asarray(f_e), atol=1e-5)
+
+    # subsequent calls skip the fast route silently
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        broken.predict_counterfactual_videos_and_flows(jnp.asarray(x), **kw)
+
+
+@pytest.mark.slow
 def test_imu_predict_fast_route():
     """ImuConditionedFlowGenerator.predict with engine='fast' routes the
     single factual prediction through the conjoined engine (per-click

@@ -418,6 +418,15 @@ class ImuConditionedFlowGenerator(FlowGenerator):
             return self.get_static_imu(timestamps=timestamps)
         return self.predict_imu_from_video(self.x, timestamps=timestamps)
 
+    def _clear_fast_state(self):
+        """Also drop the conjoined engine's device state (cast params +
+        per-(scene, IMU) prefix-KV LRU, ~0.3 GB/scene at ViT-L) so the
+        exact fallback gets its HBM back."""
+        super()._clear_fast_state()
+        self._conj_prefix_lru = None
+        self._conj_params_src = None
+        self._conj_params = None
+
     def _ensure_conj_fast(self):
         """Lazy init of the conjoined shared-prefix engine state, keyed on
         params identity (rebuilt on swap). The engine's compute dtype rides
@@ -484,6 +493,9 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                         mask_context, n_vis,
                         self.imagenet_normalize_inputs, self._use_flash,
                         cache=cache)
+                    # surface async execution faults inside this try so
+                    # they degrade too; no-op on axon
+                    jax.block_until_ready(vid)
                     if frame is not None:
                         f = frame % vid.shape[1]
                         vid = vid[:, f:f + 1]
@@ -576,7 +588,7 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                 try:
                     self._ensure_conj_fast()
                     cache, _ = self._conj_prefix_lru.get(x, self._x_context)
-                    return _imu_counterfactual_step_fast(
+                    out = _imu_counterfactual_step_fast(
                         w, self._conj_params, self.flow_model,
                         self.flow_params, x, passive, active, shifts, keys,
                         self._x_context, self._mask_context, n_vis,
@@ -584,6 +596,9 @@ class ImuConditionedFlowGenerator(FlowGenerator):
                         self._use_flash,
                         fast_conjoined.resolve_two_source(self._use_flash),
                         cache)
+                    # surface async execution faults inside this try so
+                    # they degrade too; no-op on axon
+                    return jax.block_until_ready(out)
                 except Exception as e:  # degrade, never strand the caller
                     self._disable_fast_engine(e)
         x_context = jnp.repeat(self._x_context, s, axis=0)

@@ -420,8 +420,15 @@ class FlowGenerator(PredictorBasedGenerator):
             'set CWM_FLASH_TWO_SOURCE=0 / CWM_RAFT_LANES=0 for kernel-level '
             'degrades) to silence this.', RuntimeWarning)
         self._fast_disabled = True
+        self._clear_fast_state()
+
+    def _clear_fast_state(self):
+        """Drop the fast-engine device state (stacked params + prefix-KV
+        LRU) so the exact fallback gets its HBM back; overridden by the
+        conjoined generator to also drop its cast params/LRU."""
         self._prefix_lru = None
         self._fast_params_src = None
+        self._fast_params = None
 
     def _ensure_fast_engine(self):
         """Lazy init of the shared-prefix engine state, keyed on params
@@ -470,6 +477,9 @@ class FlowGenerator(PredictorBasedGenerator):
                 vid = fast_vmae.predict_videos_shared_prefix(
                     self.predictor, self._fast_params, self._use_flash,
                     n_vis, self.imagenet_normalize_inputs, x, mask, cache)
+                # surface async execution faults (not just compile errors)
+                # inside this try so they degrade too; no-op on axon
+                jax.block_until_ready(vid)
                 if frame is not None:
                     f = frame % vid.shape[1]
                     vid = vid[:, f:f + 1]
@@ -506,13 +516,16 @@ class FlowGenerator(PredictorBasedGenerator):
                 # env resolved per call (not cached) so the documented
                 # degrade knob CWM_FLASH_TWO_SOURCE=0 takes effect
                 # mid-session
-                return counterfactual_videos_and_flows_fast(
+                out = counterfactual_videos_and_flows_fast(
                     self.predictor, self._fast_params, self.flow_model,
                     self.flow_params, x, passive, active, shifts, keys,
                     n_vis, self.imagenet_normalize_inputs, iters, True,
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
                     prefix_cache=cache)
+                # surface async execution faults (not just compile errors)
+                # inside this try so they degrade too; no-op on axon
+                return jax.block_until_ready(out)
             except Exception as e:  # degrade, never strand the caller
                 self._disable_fast_engine(e)
         return counterfactual_videos_and_flows(

@@ -106,14 +106,13 @@ def _public_members(mod, modname):
             continue
         obj = getattr(mod, name)
         home = getattr(obj, '__module__', None) or ''
-        # only document symbols defined in (or re-exported into) the pkg
-        if not home.startswith(PKG) and modname != '':
-            continue
-        if modname == '' and not home.startswith(PKG):
+        # only document symbols defined in (or re-exported into) the pkg;
+        # jit-wrapped functions carry __module__/__wrapped__ via wraps
+        if inspect.ismodule(obj) or not home.startswith(PKG):
             continue
         if inspect.isclass(obj):
             classes.append((name, obj))
-        elif inspect.isfunction(obj):
+        elif callable(obj):   # plain AND jax.jit-wrapped functions
             fns.append((name, obj))
     return classes, fns
 
@@ -172,7 +171,7 @@ def main():
     with open(path, 'w') as f:
         f.write('\n'.join(out).rstrip() + '\n')
     print(f'wrote {os.path.relpath(path)} '
-          f'({len("".join(out).splitlines())} lines)')
+          f'({len(chr(10).join(out).splitlines())} lines)')
 
 
 if __name__ == '__main__':

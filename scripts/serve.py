@@ -302,6 +302,7 @@ class CwmService:
     def predict(self, req):
         import numpy as np
         import jax.numpy as jnp
+        self._sync_generator_degrade()
         x = self._parse_image(req)
         G = self.G
         n = G.predictor.num_patches
@@ -348,10 +349,13 @@ class CwmService:
                 'flow_rgb': _png_b64(rgb), 'segment': _png_b64(seg),
                 'segment_raw': np.round(seg, 4).tolist(), **extra}
 
-    def _counterfactual_fast(self, req):
+    def _counterfactual_fast(self, parsed):
         """Shared-prefix engine route: per-image PrefixCache LRU + the
         fused fast pipeline (segmentation.counterfactual_videos_and_flows
-        _fast). Same request/response schema as the exact route.
+        _fast). Takes the already-parsed request (request validation
+        happens in counterfactual(), OUTSIDE the engine-degrade try, so a
+        malformed request can never flip the engine); same response
+        schema as the exact route.
 
         Concurrent requests sharing n_vis are micro-batched: same-scene
         requests concatenate along the engine's S axis and run as ONE
@@ -359,7 +363,7 @@ class CwmService:
         S-amortization; requests on DIFFERENT images merge via stacked
         per-sample prefix caches (the multi-scene warm path,
         segmentation.counterfactual_videos_and_flows_fast_multi)."""
-        x, active_np, passive_np, shift, s = self._parse_cf_request(req)
+        x, active_np, passive_np, shift, s = parsed
         # visible = union of the two prompt sets (matches the exact route's
         # _n_vis_target; a sum would double-count patches listed in both and
         # make the rectangularizer leak extra ground-truth patches)
@@ -543,14 +547,16 @@ class CwmService:
     def counterfactual(self, req):
         import numpy as np
         import jax.numpy as jnp
+        self._sync_generator_degrade()
+        # parse/validate BEFORE the engine-degrade try: a malformed
+        # request surfaces as a 400 and can never flip the engine
+        parsed = self._parse_cf_request(req)
         if self.engine == 'fast':
             try:
-                return self._counterfactual_fast(req)
-            except (ValueError, KeyError):
-                raise            # bad request -> 400, not an engine fault
+                return self._counterfactual_fast(parsed)
             except Exception as e:
                 self._degrade_to_exact(e)
-        x, active, passive_np, shift, s = self._parse_cf_request(req)
+        x, active, passive_np, shift, s = parsed
         G = self.G
         passive = jnp.asarray(passive_np) if req.get('passive') else None
         with self.lock:
@@ -608,16 +614,33 @@ class CwmService:
         warnings.warn(
             f'fast serving engine failed ({type(exc).__name__}: {exc}); '
             'serving degrades to the exact engine', RuntimeWarning)
-        self.engine = 'exact'
         G = self.G
-        G._fast_disabled = True
-        G._prefix_lru = None
-        G._fast_params_src = None
-        if hasattr(G, '_conj_prefix_lru'):
-            G._conj_prefix_lru = None
-            G._conj_params_src = None
-        self._lru = None
-        self._fp = None
+        # under the service lock: concurrent dispatches must not observe
+        # a half-cleared _fp/_lru (exceptions release the lock before the
+        # caller reaches this, so acquiring here cannot deadlock)
+        with self.lock:
+            self.engine = 'exact'
+            G._fast_disabled = True
+            if hasattr(G, '_clear_fast_state'):
+                G._clear_fast_state()
+            self._lru = None
+            self._fp = None
+
+    def _sync_generator_degrade(self):
+        """Mirror a generator-internal degrade (FlowGenerator swallows
+        fast-engine failures and falls back on its own) into the service
+        engine label, so responses and /stats report the engine actually
+        computing."""
+        if self.engine == 'fast' and getattr(self.G, '_fast_disabled',
+                                             False):
+            import warnings
+            warnings.warn(
+                'generator degraded its fast engine internally; serving '
+                'engine label follows to exact', RuntimeWarning)
+            with self.lock:
+                self.engine = 'exact'
+                self._lru = None
+                self._fp = None
 
     def _mixed_warm_ready(self):
         return True
@@ -951,6 +974,8 @@ class ImuCwmService(CwmService):
     def counterfactual(self, req):
         import numpy as np
         import jax.numpy as jnp
+        self._sync_generator_degrade()
+        # parse/validate BEFORE the engine-degrade try (bad request -> 400)
         x, active, passive_np, shift, s = self._parse_cf_request(req)
         G = self.G
         if self._batcher is not None:
@@ -958,9 +983,9 @@ class ImuCwmService(CwmService):
             n_vis = self._imu_n_vis(active, passive_np)
             if self.engine == 'fast':
                 try:
-                    return self._batcher.run(('imu', n_vis), item)
-                except (ValueError, KeyError):
-                    raise    # bad request -> 400, not an engine fault
+                    out = self._batcher.run(('imu', n_vis), item)
+                    self._sync_generator_degrade()
+                    return out
                 except Exception as e:
                     # only the direct stacked-cache route can raise here
                     # (the generator API degrades internally); retry on
@@ -985,6 +1010,7 @@ class ImuCwmService(CwmService):
         movability.py:299-360 loop over IMU-conditioned counterfactuals)."""
         import numpy as np
         import jax.numpy as jnp
+        self._sync_generator_degrade()
         x = self._parse_image(req)
         with self.lock:
             self._req_counter += 1

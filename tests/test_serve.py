@@ -163,6 +163,12 @@ def test_serve_fast_engine_failure_degrades(monkeypatch):
     with pytest.raises(ValueError):
         svc.counterfactual({'image': [[0.0]], 'active': [[0, 0]]})
     assert svc.engine == 'fast'
+    # parsing runs OUTSIDE the degrade try: a TypeError-shaped bad request
+    # (num_samples: null) must not flip the engine either
+    with pytest.raises(TypeError):
+        svc.counterfactual({'image': img, 'active': [[2, 2]],
+                            'num_samples': None})
+    assert svc.engine == 'fast'
 
     def boom(*a, **k):
         raise RuntimeError('simulated mosaic compile failure')

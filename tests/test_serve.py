@@ -188,6 +188,29 @@ def test_serve_fast_engine_failure_degrades(monkeypatch):
     assert 'segment' in out2
 
 
+def test_serve_engine_label_syncs_with_generator_degrade():
+    """When the GENERATOR degrades its fast engine internally (it swallows
+    the failure and serves exact), the service label must follow on the
+    next request so responses and /stats report the engine actually
+    computing."""
+    import serve
+
+    args = serve.argparse.Namespace(
+        model='tiny', img_size=32, params=None, raft_params=None,
+        raft_iters=1, port=0, host='127.0.0.1', seed=0)
+    G = serve.build_generator(args)
+    svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=0)
+    G._fast_disabled = True   # as set by FlowGenerator._disable_fast_engine
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(32, 32, 3).astype(np.float32).round(3).tolist()
+    with pytest.warns(RuntimeWarning, match='label follows to exact'):
+        out = svc.counterfactual({'image': img, 'active': [[2, 2]],
+                                  'shift': [0, 1], 'num_samples': 1})
+    assert svc.engine == 'exact'
+    assert 'segment' in out
+
+
 @pytest.mark.slow
 def test_serve_micro_batching():
     """Micro-batching of concurrent same-scene counterfactuals:

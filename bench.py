@@ -185,7 +185,8 @@ def main():
     # with a scalar host transfer
     # never leave the driver without a number: degrade through
     # (fast engine, lanes corr kernel) -> (fast, r01 lookup kernel) ->
-    # (exact path, r01 lookup kernel)
+    # (exact path, r01 lookup kernel) -> (exact path, dense attention —
+    # no Pallas kernels anywhere)
     import sys
     import traceback
 
@@ -204,6 +205,38 @@ def main():
                 shifts, keys, n_vis, True, raft_iters, True)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
+    def exact_dense_dispatch():
+        # last rung: even the base flash kernel fails to compile — rebuild
+        # the model with dense attention (params are impl-agnostic).
+        # Single-chip only; mesh runs stop at the exact-fallback rung.
+        if mesh is not None:
+            raise RuntimeError('dense rung is single-chip only')
+        import dataclasses
+        dense_model = dataclasses.replace(model, attn_impl='dense')
+        from counterfactualworldmodels_tpu.pipelines.segmentation import (
+            counterfactual_videos_and_flows)
+        y, flows, masks = counterfactual_videos_and_flows(
+            dense_model, params, raft, raft_params, x, passive, active,
+            shifts, keys, n_vis, True, raft_iters, True)
+        return jnp.sum(jnp.abs(flows).astype(jnp.float32))
+
+    def measure(fn):
+        """Warm + steady-state timing. Everything inside the degrade try:
+        a post-warm runtime fault (async error surfacing at a later sync,
+        transient OOM from the 8-deep pipeline) degrades to the next rung
+        instead of crashing without a JSON line."""
+        float(fn())  # compile + warm
+        n_pipe = 8 if on_tpu else 1
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(n_pipe):
+                acc = acc + fn()
+            float(acc)
+            ts.append((time.perf_counter() - t0) / n_pipe)
+        return min(ts)
+
     # CWM_BENCH_START_CONFIG=n skips the first n configs (diagnostics /
     # fallback-path testing)
     start_cfg = int(os.environ.get('CWM_BENCH_START_CONFIG', 0))
@@ -211,13 +244,14 @@ def main():
             ('shared-prefix', '1', '1', dispatch),
             ('shared-prefix/no-two-source', '1', '0', dispatch),
             ('shared-prefix/no-lanes', '0', '0', dispatch),
-            ('exact-fallback', '0', '0', exact_dispatch)][start_cfg:]:
+            ('exact-fallback', '0', '0', exact_dispatch),
+            ('exact-dense', '0', '0', exact_dense_dispatch)][start_cfg:]:
         os.environ['CWM_RAFT_LANES'] = env_lanes
         os.environ['CWM_FLASH_TWO_SOURCE'] = env_two_src
         two_source = on_tpu and env_two_src == '1'
         try:
             dispatch = fn
-            float(dispatch())  # compile + warm
+            dt = measure(dispatch)
             break
         except Exception:
             traceback.print_exc()
@@ -226,19 +260,6 @@ def main():
             jax.clear_caches()
     else:
         raise SystemExit('all bench configurations failed')
-    float(dispatch())
-
-    # steady-state throughput: pipeline dispatches, sync once per round
-    iters = 8 if on_tpu else 1
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for _ in range(iters):
-            acc = acc + dispatch()
-        float(acc)
-        times.append((time.perf_counter() - t0) / iters)
-    dt = min(times)
     n_chips = n_mesh if mesh is not None else 1
     sims_per_sec = (b * s) / dt / n_chips
 

@@ -91,7 +91,7 @@ def main():
     raft = RAFT(iters=raft_iters, dtype=dtype)
     raft_params = init_raft_params(raft, jax.random.PRNGKey(1), hw=64)
 
-    s = int(os.environ.get('CWM_BENCH_S', 16)) if on_tpu else 2
+    s = int(os.environ.get('CWM_BENCH_S', 16 if on_tpu else 2))
     n_mesh = int(os.environ.get('CWM_BENCH_MESH', 0) or 0)
     mesh = None
     if n_mesh > 1:
@@ -182,12 +182,65 @@ def main():
             best = min(best, (time.perf_counter() - t0) / iters)
         return s / best / n_chips
 
-    fast_rate = rate(fast)
-    exact_rate = None if args.skip_exact else rate(exact)
+    # degrade chain + incremental artifact writes: the unattended driver
+    # must get a JSON artifact with whatever was measured, even if a later
+    # section (the ~5x-FLOPs exact dispatch, the stage timers) fails
+    import traceback
+
+    rec = {
+        'metric': 'conjoined (IMU-conditioned) counterfactual sims/sec/chip',
+        'unit': 'sims/sec/chip',
+        'config': {'model': cfg, 's': s, 'hw': hw, 'raft_iters': raft_iters,
+                   'two_source': two_source,
+                   'backend': jax.default_backend(),
+                   'mesh': n_mesh if mesh is not None else 1},
+    }
+
+    def persist():
+        with open(args.out, 'w') as f:
+            json.dump(rec, f, indent=1)
+
+    engine_label = 'conjoined shared-prefix'
+    try:
+        fast_rate = rate(fast)
+    except Exception:
+        traceback.print_exc()
+        print('fast (two-source) failed; degrading to the concat kernel',
+              file=sys.stderr)
+        jax.clear_caches()
+        two_source = False
+        rec['config']['two_source'] = False
+        try:
+            fast_rate = rate(fast)
+            engine_label += '/no-two-source'
+        except Exception as e:
+            traceback.print_exc()
+            fast_rate = None
+            rec['fast_error'] = f'{type(e).__name__}: {e}'[:300]
+            engine_label = 'unavailable'
+            jax.clear_caches()
+    rec['value'] = None if fast_rate is None else round(fast_rate, 3)
+    rec['config']['engine'] = engine_label
+    persist()
+
+    exact_rate = None
+    if not args.skip_exact:
+        try:
+            exact_rate = rate(exact)
+        except Exception as e:
+            traceback.print_exc()
+            rec['exact_error'] = f'{type(e).__name__}: {e}'[:300]
+            jax.clear_caches()
+    rec['exact_sims_per_sec'] = (None if exact_rate is None
+                                 else round(exact_rate, 3))
+    rec['speedup_vs_exact'] = (
+        None if exact_rate is None or fast_rate is None
+        else round(fast_rate / exact_rate, 2))
+    persist()
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}
-    if on_tpu:
+    if on_tpu and fast_rate is not None:
         import jax.numpy as _jnp
         from counterfactualworldmodels_tpu.models.raft.raft import (
             apply_raft_shared0)
@@ -196,8 +249,6 @@ def main():
         xm = imagenet_normalize(
             _jnp.broadcast_to(x, (s,) + x.shape[1:]), temporal_dim=1)
         x_m = _jnp.swapaxes(xm, 1, 2)
-        cache = fc.encode_conjoined_prefix(model, fast_params,
-                                           x_m[0:1, :, 0], imu, True)
         vis1 = _jnp.asarray(np.stack([
             rng.choice(n0, 33, replace=False) for _ in range(s)]), np.int32)
         yv = _jnp.asarray(rng.rand(s, 2, 3, hw, hw).astype(np.float32))
@@ -215,28 +266,21 @@ def main():
                 best = min(best, (time.perf_counter() - t0) / iters)
             return round(best * 1e3, 2)
 
-        stages['prefix_ms'] = t_of(lambda: fc.encode_conjoined_prefix(
-            model, fast_params, x_m[0:1, :, 0], imu, True))
-        stages['suffix_ms'] = t_of(lambda: fc.predict_frame1_conjoined(
-            model, fast_params, cache, x_m[:, :, 1], vis1, True,
-            two_source))
-        stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
-            raft, raft_params, yv, raft_iters, True))
-    rec = {
-        'metric': 'conjoined (IMU-conditioned) counterfactual sims/sec/chip',
-        'value': round(fast_rate, 3),
-        'unit': 'sims/sec/chip',
-        'exact_sims_per_sec': (None if exact_rate is None
-                               else round(exact_rate, 3)),
-        'speedup_vs_exact': (None if exact_rate is None
-                             else round(fast_rate / exact_rate, 2)),
-        'config': {'model': cfg, 's': s, 'hw': hw, 'raft_iters': raft_iters,
-                   'two_source': two_source,
-                   'backend': jax.default_backend(), 'mesh': n_chips},
-        'stages': stages,
-    }
-    with open(args.out, 'w') as f:
-        json.dump(rec, f, indent=1)
+        try:
+            cache = fc.encode_conjoined_prefix(model, fast_params,
+                                               x_m[0:1, :, 0], imu, True)
+            stages['prefix_ms'] = t_of(lambda: fc.encode_conjoined_prefix(
+                model, fast_params, x_m[0:1, :, 0], imu, True))
+            stages['suffix_ms'] = t_of(lambda: fc.predict_frame1_conjoined(
+                model, fast_params, cache, x_m[:, :, 1], vis1, True,
+                two_source))
+            stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
+                raft, raft_params, yv, raft_iters, True))
+        except Exception as e:
+            traceback.print_exc()
+            stages['error'] = f'{type(e).__name__}: {e}'[:300]
+    rec['stages'] = stages
+    persist()
     print(json.dumps(rec))
 
 

@@ -34,10 +34,15 @@ def main():
                   file=sys.stderr)
             continue
         rec = json.loads(line[-1])
+        # keep each row's engine/backend: bench.py can degrade or CPU-fall
+        # back per invocation, and a mixed curve must be readable as such
         rows.append({'s': s, 'sims_per_sec': rec['value'],
                      'mfu_vs_v5e_peak': rec.get('mfu_vs_v5e_peak'),
-                     'stages': rec.get('stages')})
-        print(f"S={s}: {rec['value']} sims/s", file=sys.stderr)
+                     'stages': rec.get('stages'),
+                     'config': rec.get('config')})
+        print(f"S={s}: {rec['value']} sims/s "
+              f"({rec.get('config', {}).get('engine')}, "
+              f"{rec.get('config', {}).get('backend')})", file=sys.stderr)
 
     report = {'workload': 'bench.py (ViT-L 4x4 224px, RAFT-24, '
                           'shared-prefix engine)',

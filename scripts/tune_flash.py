@@ -41,6 +41,11 @@ def main():
     args = ap.parse_args()
 
     import numpy as np
+    # a dead axon relay hangs the first jax touch forever; probe in a
+    # subprocess first (same guard as bench.py / latency_bench.py)
+    from counterfactualworldmodels_tpu.utils.backend_guard import (
+        ensure_live_backend)
+    ensure_live_backend(__file__)
     import jax
     import jax.numpy as jnp
     from counterfactualworldmodels_tpu.utils.cache import (
@@ -55,15 +60,17 @@ def main():
         return 1
 
     # ViT-L 4x4 @224: encoder prefix (n0 x n0, 16 heads), decoder prefix,
-    # decoder suffix (n1 queries vs n0+n1 keys, 8 heads) per sample batch
+    # decoder suffix (n1 queries vs n0+n1 keys, 8 heads). The persisted
+    # table is keyed by (nq, nk, d) ONLY (matching _pick_blocks' lookup),
+    # so tune each shape once — at the first (production) --s — rather
+    # than letting later batch sizes silently overwrite the entry
     shapes = []
     n0 = 3136
-    for s in args.s:
-        shapes += [
-            ('enc_prefix', 1, 16, n0, n0, 64),
-            ('dec_prefix', 1, 8, n0, n0, 64),
-            ('dec_suffix', s, 8, n0, 2 * n0, 64),
-        ]
+    shapes += [
+        ('enc_prefix', 1, 16, n0, n0, 64),
+        ('dec_prefix', 1, 8, n0, n0, 64),
+        ('dec_suffix', args.s[0], 8, n0, 2 * n0, 64),
+    ]
 
     rng = np.random.RandomState(0)
     table = {}
@@ -99,6 +106,22 @@ def main():
                                        'ms': round(best[0], 3),
                                        'shape': [b, h, nq, nk, d],
                                        'name': name}
+    # merge into any existing archive rather than clobbering it: a run
+    # where every candidate failed (broken kernel on this TPU gen) must
+    # not erase a previously tuned table with an empty one
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(table)
+        table = merged
+    if not any(not k.startswith('two_source') for k in table):
+        print('no shape tuned successfully; leaving the archive untouched',
+              file=sys.stderr)
+        return 1
+
     # --- two-source kernel: compile check + delta vs the concat
     # formulation at the engine's decoder-suffix shapes. No block knobs of
     # its own — it derives blocks via _pick_blocks, so persist the table
@@ -151,18 +174,26 @@ def main():
             entry['error'] = f'{type(e).__name__}: {e}'[:300]
             print(f'two-source S={s}: COMPILE FAILED {type(e).__name__}',
                   file=sys.stderr)
-        kf = jnp.concatenate([jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k1],
-                             axis=2)
-        vf = jnp.concatenate([jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v1],
-                             axis=2)
-        entry['concat_ms'] = round(t_of(lambda: flash_attention(q, kf, vf)),
-                                   3)
-        if entry.get('compiles'):
+        try:
+            kf = jnp.concatenate(
+                [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k1], axis=2)
+            vf = jnp.concatenate(
+                [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v1], axis=2)
+            entry['concat_ms'] = round(
+                t_of(lambda: flash_attention(q, kf, vf)), 3)
+        except Exception as e:  # e.g. OOM at large --s: keep the partials
+            entry['concat_error'] = f'{type(e).__name__}: {e}'[:300]
+            print(f'concat S={s}: FAILED {type(e).__name__}',
+                  file=sys.stderr)
+        if entry.get('compiles') and 'concat_ms' in entry:
             entry['speedup_vs_concat'] = round(
                 entry['concat_ms'] / entry['two_source_ms'], 3)
             print(f"two-source S={s}: {entry['two_source_ms']} ms vs concat "
                   f"{entry['concat_ms']} ms", file=sys.stderr)
         table[f'two_source_s{s}'] = entry
+        # persist incrementally: a crash at a later S keeps earlier results
+        with open(args.out, 'w') as f:
+            json.dump(table, f, indent=1)
 
     with open(args.out, 'w') as f:
         json.dump(table, f, indent=1)

@@ -175,6 +175,11 @@ def main():
 
     paths = sorted(glob.glob(args.images))[:args.max_images]
     per_image = []
+    # unattended robustness: a two-source kernel failure degrades to the
+    # concat kernel for the rest of the run instead of crashing without
+    # an artifact (mirrors bench.py's degrade chain)
+    import traceback
+    two_source = resolve_two_source(on_tpu)
     for path in paths:
         img = Image.open(path).convert('RGB').resize((224, 224))
         x = jnp.asarray(np.asarray(img), jnp.float32).transpose(2, 0, 1)[None] / 255.
@@ -196,10 +201,24 @@ def main():
         y_e, f_e, _ = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, args.raft_iters, True)
-        y_f, f_f, _ = counterfactual_videos_and_flows_fast(
-            model, fp, raft, raft_params, x, passive, active, shifts,
-            keys, n_vis, True, args.raft_iters, True, on_tpu,
-            resolve_two_source(on_tpu))
+        try:
+            y_f, f_f, _ = jax.block_until_ready(
+                counterfactual_videos_and_flows_fast(
+                    model, fp, raft, raft_params, x, passive, active,
+                    shifts, keys, n_vis, True, args.raft_iters, True,
+                    on_tpu, two_source))
+        except Exception:
+            if not two_source:
+                raise
+            traceback.print_exc()
+            print('two-source kernel failed; degrading to the concat '
+                  'kernel', file=sys.stderr)
+            jax.clear_caches()
+            two_source = False
+            y_f, f_f, _ = counterfactual_videos_and_flows_fast(
+                model, fp, raft, raft_params, x, passive, active, shifts,
+                keys, n_vis, True, args.raft_iters, True, on_tpu,
+                two_source)
 
         ye = np.asarray(y_e.reshape(s, -1), np.float32)
         yf = np.asarray(y_f.reshape(s, -1), np.float32)
@@ -218,7 +237,11 @@ def main():
         mode = args.conjoined
         if mode == 'auto':
             mode = 'flagship' if on_tpu else 'small'
-        conjoined = conjoined_fidelity(paths, mode, args, on_tpu, dtype)
+        try:
+            conjoined = conjoined_fidelity(paths, mode, args, on_tpu, dtype)
+        except Exception as e:  # keep the plain-engine results
+            traceback.print_exc()
+            conjoined = {'error': f'{type(e).__name__}: {e}'[:300]}
 
     report = {
         'engine': 'shared-prefix (models/fast_vmae.py)',
@@ -227,6 +250,7 @@ def main():
         'samples_per_image': s,
         'model': args.model,
         'raft_iters': args.raft_iters,
+        'two_source': two_source,
         'backend': jax.default_backend(),
         'per_image': per_image,
         'min_flow_corr': min(r['flow_corr'] for r in per_image),

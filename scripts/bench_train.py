@@ -197,27 +197,38 @@ def main():
                                 'base')
     out = {'backend': jax.default_backend(),
            'devices': jax.device_count(), 'steps': steps, 'results': []}
-    for fam in fams:
-        t0 = time.time()
-        if fam == 'vmae':
-            r = bench_vmae(steps, model_name)
-        elif fam == 'raft':
-            r = bench_raft(steps)
-        elif fam == 'conjoined':
-            r = bench_conjoined(steps)
-        else:
-            continue
-        r['total_sec'] = round(time.time() - t0, 1)
-        out['results'].append(r)
-        print(json.dumps(r), flush=True)
     path = None
     if len(sys.argv) > 2 and sys.argv[1] == '--out':
         path = sys.argv[2]
+
+    def persist():
+        if path:
+            with open(path, 'w') as f:
+                json.dump(out, f, indent=1)
+
+    import traceback
+    for fam in fams:
+        t0 = time.time()
+        try:
+            if fam == 'vmae':
+                r = bench_vmae(steps, model_name)
+            elif fam == 'raft':
+                r = bench_raft(steps)
+            elif fam == 'conjoined':
+                r = bench_conjoined(steps)
+            else:
+                continue
+        except Exception as e:  # keep the families already measured
+            traceback.print_exc()
+            r = {'family': fam, 'error': f'{type(e).__name__}: {e}'[:300]}
+            jax.clear_caches()
+        r['total_sec'] = round(time.time() - t0, 1)
+        out['results'].append(r)
+        print(json.dumps(r), flush=True)
+        persist()   # incremental: a later family crash keeps earlier rows
     if path:
-        with open(path, 'w') as f:
-            json.dump(out, f, indent=1)
         print(f'wrote {path}')
-    r0 = out['results'][0] if out['results'] else {}
+    r0 = next((r for r in out['results'] if 'error' not in r), {})
     print(json.dumps({'metric': 'train_clips_per_sec',
                       'value': r0.get('clips_per_sec',
                                       r0.get('pairs_per_sec', 0)),

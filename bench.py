@@ -139,30 +139,16 @@ def main():
     npf = n // 2
 
     rng = np.random.RandomState(0)
+    from scripts._bench_common import demo_prompts, demo_static_movie
     # real demo image when the reference mount is present (static 2-frame
     # movie, the counterfactual construction); random fallback keeps the
     # bench self-contained
-    img_path = '/root/reference/demo/images/apple_0.png'
-    if os.path.exists(img_path):
-        from PIL import Image
-        im = Image.open(img_path).convert('RGB').resize((hw, hw))
-        frame = np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0
-        x = jnp.asarray(np.broadcast_to(frame, (b, 2, 3, hw, hw)).copy())
-    else:
-        x = jnp.asarray(rng.rand(b, 2, 3, hw, hw).astype(np.float32))
-    # demo mask policy: frame 0 visible; 32 visible patches (clumped) +
-    # 1 active patch per sample in frame 1
+    x = demo_static_movie(hw, rng, b=b)
+
+    # demo mask policy (shared with bench_conjoined): frame 0 visible;
+    # 32 visible patches + 1 active patch per sample in frame 1
     def build_prompts(s_):
-        p = np.ones((b, n, s_), dtype=bool)
-        p[:, :npf] = False
-        a = np.ones((b, n, s_), dtype=bool)
-        a[:, :npf] = False
-        for i in range(s_):
-            p[0, npf + rng.choice(npf, 32, replace=False), i] = False
-            a[0, npf + rng.randint(npf), i] = False
-        sh = jnp.asarray(rng.randint(-3, 4, size=(b, s_, 2)), jnp.int32)
-        ks = jax.random.split(jax.random.PRNGKey(2), b * s_).reshape(b, s_, 2)
-        return jnp.asarray(p), jnp.asarray(a), sh, ks
+        return demo_prompts(rng, n, s_, b=b)[:4]
 
     passive, active, shifts, keys = build_prompts(s)
     n_vis = npf + 32 + 1

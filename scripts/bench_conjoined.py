@@ -29,6 +29,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -60,22 +61,9 @@ def main():
     attn = 'flash' if on_tpu else 'dense'
     small = os.environ.get('CWM_BENCH_MODEL') == 'small' or not on_tpu
     if small:
-        ctx = conj.StreamSpec(
-            is_imu=True, in_chans=6, sequence_length=400, imu_tubelet=16,
-            encoder_embed_dim=64, encoder_depth=2, encoder_num_heads=4,
-            decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
-            decoder_num_classes=96, mlp_ratio=2.0, concat_dummy_token=False,
-            padded=True, max_padding_tokens=25)
-        main_s = conj.StreamSpec(
-            img_size=(112, 112), patch_size=(8, 8), in_chans=3, num_frames=2,
-            encoder_embed_dim=96, encoder_depth=2, encoder_num_heads=4,
-            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4,
-            mlp_ratio=2.0, padded=True, max_padding_tokens=64)
-        model = conj.ConjoinedVMAE(
-            main=main_s, context=ctx,
-            conjoin_encoder_layers=((0, 0), (1, 1)),
-            conjoin_decoder_layers=((0, 0),), dtype=dtype, attn_impl=attn)
-        hw, cfg = 112, 'small'
+        from _bench_common import small_conjoined_model
+        model, hw = small_conjoined_model(dtype, attn)
+        cfg = 'small'
     else:
         model = conj.imu400_base_4x4patch_2frames_1tube(dtype=dtype,
                                                         attn_impl=attn)
@@ -109,29 +97,13 @@ def main():
     n0 = n // 2
     rng = np.random.RandomState(args.seed)
 
-    img_path = '/root/reference/demo/images/apple_0.png'
-    if os.path.exists(img_path):
-        from PIL import Image
-        im = Image.open(img_path).convert('RGB').resize((hw, hw))
-        frame = np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0
-        x = jnp.asarray(np.broadcast_to(frame, (1, 2, 3, hw, hw)).copy())
-    else:
-        x = jnp.asarray(rng.rand(1, 2, 3, hw, hw).astype(np.float32))
+    from _bench_common import demo_prompts, demo_static_movie
+    x = demo_static_movie(hw, rng)
     imu = jnp.asarray((rng.randn(1, 6, model.context.sequence_length)
                        * 0.1).astype(np.float32))
     mask_c = jnp.zeros((1, model.context.num_patches), bool)
-
-    passive = np.ones((1, n, s), dtype=bool)
-    passive[:, :n0] = False
-    active = np.ones((1, n, s), dtype=bool)
-    active[:, :n0] = False
-    for i in range(s):
-        passive[0, n0 + rng.choice(n0, 32, replace=False), i] = False
-        active[0, n0 + rng.randint(n0), i] = False
-    passive, active = jnp.asarray(passive), jnp.asarray(active)
-    shifts = jnp.asarray(rng.randint(-3, 4, size=(1, s, 2)), jnp.int32)
-    keys = jax.random.split(jax.random.PRNGKey(2), s).reshape(1, s, 2)
-    n_vis = n0 + 32 + 1
+    # demo mask policy shared with bench.py (scripts/_bench_common.py)
+    passive, active, shifts, keys, n_vis = demo_prompts(rng, n, s)
 
     two_source = fc.resolve_two_source(on_tpu)
     n_vis_c = w._static_n_vis(np.asarray(mask_c), model.context)

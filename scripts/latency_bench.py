@@ -14,6 +14,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -135,25 +136,9 @@ def main():
                 dtype=dtype, attn_impl='flash')
             chw = 224
         else:
-            ctx = conj.StreamSpec(
-                is_imu=True, in_chans=6, sequence_length=400,
-                imu_tubelet=16, encoder_embed_dim=64, encoder_depth=2,
-                encoder_num_heads=4, decoder_embed_dim=32, decoder_depth=2,
-                decoder_num_heads=4, decoder_num_classes=96, mlp_ratio=2.0,
-                concat_dummy_token=False, padded=True,
-                max_padding_tokens=25)
-            main_s = conj.StreamSpec(
-                img_size=(112, 112), patch_size=(8, 8), in_chans=3,
-                num_frames=2, encoder_embed_dim=96, encoder_depth=2,
-                encoder_num_heads=4, decoder_embed_dim=64, decoder_depth=2,
-                decoder_num_heads=4, mlp_ratio=2.0, padded=True,
-                max_padding_tokens=64)
-            cmodel = conj.ConjoinedVMAE(
-                main=main_s, context=ctx,
-                conjoin_encoder_layers=((0, 0), (1, 1)),
-                conjoin_decoder_layers=((0, 0),), dtype=dtype,
-                attn_impl='dense')
-            chw = 112
+            # small config shared with bench_conjoined.py
+            from _bench_common import small_conjoined_model
+            cmodel, chw = small_conjoined_model(dtype, 'dense')
         cparams = conj.init_conjoined_params(cmodel, jax.random.PRNGKey(2))
         cfp = (cparams if dtype == jnp.float32
                else fc.cast_params(cparams, dtype))

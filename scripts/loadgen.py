@@ -116,6 +116,9 @@ def main():
         results[label] = {
             'requests_per_sec': round(len(reqs) / dt, 3),
             'sims_per_sec': round(len(reqs) * args.samples / dt, 3),
+            # the service auto-degrades to 'exact' on a fast-engine
+            # failure; record what actually served the trial
+            'engine': service.engine,
             'micro_batching': (None if b is None else
                                {'dispatches': b.batches,
                                 'requests_batched': b.batched_items,

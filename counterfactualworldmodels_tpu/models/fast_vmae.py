@@ -73,6 +73,13 @@ def stack_vmae_params(model: PretrainVisionTransformer, params,
             'head_dim**-0.5; qk_scale overrides are only supported by the '
             'exact path (models/vmae.py). No released CWM checkpoint sets '
             'qk_scale (reference vmae.py:563-619 factories).')
+    if getattr(model, 'use_learnable_pos_emb', False):
+        raise ValueError(
+            'the shared-prefix engine adds the fixed sinusoid positional '
+            'table; a model with use_learnable_pos_emb=True would silently '
+            'diverge. Use the exact path (models/vmae.py) for learnable '
+            'positional embeddings. No released CWM checkpoint uses them '
+            '(reference vmae.py:563-619 factories).')
     dtype = dtype or model.dtype
 
     def cast(t):
@@ -431,7 +438,6 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     drop visible frame-1 tokens. Eager-path only (one small host fetch);
     the fused dispatch pipelines build their masks correct-by-
     construction and call the core directly."""
-    import numpy as np
     n0 = model.num_patches_per_frame
     if bool(np.asarray(mask_mocos[..., :n0]).any()):
         raise ValueError(

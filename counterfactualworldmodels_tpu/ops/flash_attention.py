@@ -32,7 +32,12 @@ _TUNED_TABLE = None
 
 
 def _tuned_blocks(n: int, nk: int, d: int = 64):
-    """Measured-best blocks from scripts/tune_flash.py, if archived."""
+    """Measured-best blocks from scripts/tune_flash.py, if archived.
+
+    Defensive validation at load: entries must be 16-aligned (the bf16
+    native tile is (16, 128); 16 also satisfies the f32 (8, 128) tile) and
+    respect the score-tile budget — a stale or hand-edited record must not
+    reintroduce a Mosaic tiling hazard."""
     global _TUNED_TABLE
     if _TUNED_TABLE is None:
         import json
@@ -44,25 +49,37 @@ def _tuned_blocks(n: int, nk: int, d: int = 64):
         except (OSError, ValueError):
             _TUNED_TABLE = {}
     rec = _TUNED_TABLE.get(f'{n}x{nk}x{d}')
-    return (rec['block_q'], rec['block_k']) if rec else None
+    if not rec:
+        return None
+    bq, bk = rec['block_q'], rec['block_k']
+    if bq % 16 or bk % 16 or bq * bk * 4 > _SCORE_TILE_BYTES:
+        return None
+    return bq, bk
 
 
-def _panel_budget_check(nk_resident: int, d: int, itemsize: int,
-                        interpret: bool, what: str):
-    """Refuse K/V panels beyond the VMEM budget with a clear error rather
-    than failing deep inside Mosaic (both kernels keep whole panels
-    resident; the workload's sequences are <=6.3k tokens)."""
-    panel_bytes = 2 * nk_resident * d * itemsize
-    if not interpret and panel_bytes > 8 * 1024 * 1024:
+def _vmem_budget_check(nk_padded: int, block_q: int, max_block_k: int,
+                       d: int, itemsize: int, interpret: bool, what: str):
+    """Refuse configurations beyond the VMEM budget with a clear error
+    rather than failing deep inside Mosaic. Counts the kernel's REAL
+    residency, not just raw panel bytes: zero-PADDED K/V panels (both
+    kernels keep whole panels resident), the double-buffered q/out
+    blocks, the f32 score + exp tiles, and the f32 accumulator."""
+    panel_bytes = 2 * nk_padded * d * itemsize
+    qo_bytes = 2 * 2 * block_q * d * itemsize       # q + out, 2x pipelined
+    score_bytes = 2 * block_q * max_block_k * 4     # s and p tiles, f32
+    acc_bytes = block_q * (d + 2) * 4               # acc + m + l, f32
+    total = panel_bytes + qo_bytes + score_bytes + acc_bytes
+    if not interpret and total > 14 * 1024 * 1024:
         raise ValueError(
-            f'{what}: K/V panels of {panel_bytes / 2 ** 20:.0f} MiB '
-            f'(keys={nk_resident}, d={d}) exceed the VMEM budget of this '
-            'kernel, which keeps whole panels resident; use '
+            f'{what}: estimated VMEM residency {total / 2 ** 20:.1f} MiB '
+            f'(padded keys={nk_padded}, d={d}, block_q={block_q}, '
+            f'block_k={max_block_k}) exceeds the ~14 MiB budget of this '
+            'kernel, which keeps whole K/V panels resident; use '
             'attn_impl="dense" or a k-streaming kernel for sequences '
             'this long')
 
 
-def _pick_blocks(n: int, nk: int, d: int = 64):
+def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
     """Choose (block_q, block_k) minimizing padding + loop overhead.
 
     A measured table (scripts/tune_flash.py -> ops/flash_tuned.json) wins
@@ -72,28 +89,43 @@ def _pick_blocks(n: int, nk: int, d: int = 64):
     256/512 default by ~30% — the kernel is MXU-bound at head_dim 64, so
     eliminating pad flops and the inner-loop carry dependency is worth more
     than tile reuse.
+
+    All blocks are multiples of 16: the bf16 native tile is (16, 128)
+    (f32's (8, 128) is also satisfied), so VMEM windows and the in-kernel
+    pl.ds key slices stay sublane-aligned on hardware — interpret mode
+    would accept 8-multiples that Mosaic rejects or mistiles.
+
+    force_block_q: pin block_q (the two-source kernel shares one q block
+    across both of its k panels) — block_k is then capped against the
+    PINNED q so the score tile respects the budget for the actual pair.
     """
     tuned = _tuned_blocks(n, nk, d)
-    if tuned:
+    if tuned and force_block_q is None:
         return tuned
-    block_q = None
-    for cand in range(min(448, n) - min(448, n) % 8, 127, -8):
-        if n % cand == 0:  # cand is a multiple of 8 by loop construction
-            block_q = cand
-            break
-    if block_q is None:
-        block_q = min(DEFAULT_BLOCK_Q, -(-n // 8) * 8)
-    nk8 = -(-nk // 8) * 8
-    if block_q * nk8 * 4 <= _SCORE_TILE_BYTES:
-        block_k = nk8
+    if force_block_q is not None:
+        block_q = force_block_q
+        if tuned and block_q * tuned[1] * 4 <= _SCORE_TILE_BYTES:
+            return block_q, tuned[1]
+    else:
+        block_q = None
+        for cand in range(min(448, n) - min(448, n) % 16, 127, -16):
+            if n % cand == 0:  # cand is a multiple of 16 by construction
+                block_q = cand
+                break
+        if block_q is None:
+            block_q = min(DEFAULT_BLOCK_Q, -(-n // 16) * 16)
+    nk16 = -(-nk // 16) * 16
+    if block_q * nk16 * 4 <= _SCORE_TILE_BYTES:
+        block_k = nk16
     else:
         block_k = None
         cap = _SCORE_TILE_BYTES // (4 * block_q)
-        for cand in range(min(cap - cap % 8, nk8), 255, -8):
-            if nk8 % cand == 0:
+        for cand in range(min(cap - cap % 16, nk16), 255, -16):
+            if nk16 % cand == 0:
                 block_k = cand
                 break
-        block_k = block_k or DEFAULT_BLOCK_K
+        block_k = block_k or min(DEFAULT_BLOCK_K,
+                                 max(16, cap - cap % 16))
     return block_q, block_k
 
 
@@ -146,10 +178,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
 def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
     bh, n, d = q.shape
     nk = k.shape[1]
-    _panel_budget_check(nk, d, q.dtype.itemsize, interpret,
-                        'flash_attention')
     n_pad_q = -(-n // block_q) * block_q
     n_pad_k = -(-nk // block_k) * block_k
+    _vmem_budget_check(n_pad_k, block_q, block_k, d, q.dtype.itemsize,
+                       interpret, 'flash_attention')
     qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, n_pad_k - nk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, n_pad_k - nk), (0, 0)))
@@ -246,16 +278,23 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
             'per-sample prefixes)')
     n0 = k0.shape[2]
     n1 = k1.shape[2]
-    # this kernel keeps BOTH the prefix and the suffix K/V panels resident
-    _panel_budget_check(n0 + n1, d, q.dtype.itemsize, interpret,
-                        'flash_attention_prefix')
+    if n0 == 0 or n1 == 0:
+        raise ValueError(
+            f'flash_attention_prefix: empty panel (N0={n0}, N1={n1}); '
+            'use flash_attention for single-source attention')
 
     block_q, block_k0 = _pick_blocks(nq, n0, d)
-    _, block_k1 = _pick_blocks(nq, max(n1, 8), d)
+    # the q block is shared across both k panels: pin it so block_k1 is
+    # capped against the ACTUAL pair (score tile = block_q x block_k1)
+    _, block_k1 = _pick_blocks(nq, n1, d, force_block_q=block_q)
 
     nq_p = -(-nq // block_q) * block_q
     n0_p = -(-n0 // block_k0) * block_k0
     n1_p = -(-n1 // block_k1) * block_k1
+    # this kernel keeps BOTH (padded) prefix and suffix K/V panels resident
+    _vmem_budget_check(n0_p + n1_p, block_q, max(block_k0, block_k1), d,
+                       q.dtype.itemsize, interpret,
+                       'flash_attention_prefix')
     qp = jnp.pad(q.reshape(s * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
     k0p = jnp.pad(k0.reshape(s0 * h, n0, d),
                   ((0, 0), (0, n0_p - n0), (0, 0)))

@@ -22,13 +22,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
 def candidate_blocks(n, nk):
-    qs = sorted({d for d in range(128, min(512, n) + 1, 8)
-                 if n % d == 0} | {256, -(-n // 8) * 8 if n < 256 else 256})
-    nk8 = -(-nk // 8) * 8
-    ks = sorted({d for d in range(256, nk8 + 1, 8) if nk8 % d == 0}
-                | {512, min(nk8, 1568)})
+    # 16-aligned only: the bf16 native tile is (16, 128) — 8-multiples
+    # pass interpret mode but can fail/mistile under Mosaic on hardware
+    # (ops/flash_attention.py:_pick_blocks enforces the same); the score
+    # tile cap matches _SCORE_TILE_BYTES so archived entries are never
+    # rejected by the loader's validation
+    qs = sorted({d for d in range(128, min(512, n) + 1, 16)
+                 if n % d == 0} | {256, -(-n // 16) * 16 if n < 256
+                                   else 256})
+    nk16 = -(-nk // 16) * 16
+    ks = sorted({d for d in range(256, nk16 + 1, 16) if nk16 % d == 0}
+                | {512, min(nk16, 1568)})
     return [(q, k) for q in qs for k in ks
-            if q * k * 4 <= 6 * 1024 * 1024][:24]
+            if q % 16 == 0 and k % 16 == 0
+            and q * k * 4 <= 5 * 1024 * 1024][:24]
 
 
 def main():

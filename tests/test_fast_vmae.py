@@ -469,3 +469,18 @@ def test_fidelity_vs_exact_model_trained_weights():
     print(f'trained-weights fidelity: loss {losses[0]:.3f}->'
           f'{losses[-1]:.3f} mean-rel-dev {rel:.4f} corr {corr:.4f}')
     assert corr > 0.95, (corr, rel)
+
+
+def test_stack_params_rejects_unsupported_model_knobs():
+    """stack_vmae_params fails loudly for model knobs the engine does not
+    implement (qk_scale override; learnable positional embeddings, which
+    the engine would silently replace with the sinusoid table)."""
+    import pytest
+    m = _model(use_learnable_pos_emb=True)
+    params = jvmae.init_params(m, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='learnable'):
+        fv.stack_vmae_params(m, params)
+    m2 = _model(qk_scale=0.3)
+    params2 = jvmae.init_params(m2, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match='qk_scale'):
+        fv.stack_vmae_params(m2, params2)

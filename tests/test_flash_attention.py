@@ -98,3 +98,36 @@ def test_flash_prefix_flagship_shapes_interpret():
         out = np.asarray(flash_attention_prefix(q, k0, v0, k1, v1))
         np.testing.assert_allclose(out, ref, atol=3e-5,
                                    err_msg=f's0={s0}')
+
+
+def test_pick_blocks_tile_aligned_and_budgeted():
+    """Every heuristic pick is 16-aligned (the bf16 native tile is
+    (16, 128); interpret mode would accept 8-multiples that Mosaic can
+    reject on hardware) and respects the f32 score-tile budget; a pinned
+    block_q caps block_k against the ACTUAL pair (the two-source kernel
+    shares one q block across both k panels)."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        _SCORE_TILE_BYTES, _pick_blocks)
+    for n, nk in [(3136, 6272), (3136, 3136), (1568, 4704), (33, 817),
+                  (100, 100), (3136, 817), (17, 16), (448, 25088)]:
+        bq, bk = _pick_blocks(n, nk)
+        assert bq % 16 == 0 and bk % 16 == 0, (n, nk, bq, bk)
+        assert bq * bk * 4 <= _SCORE_TILE_BYTES, (n, nk, bq, bk)
+        bq2, bk2 = _pick_blocks(n, nk, force_block_q=bq)
+        assert bq2 == bq and bq2 * bk2 * 4 <= _SCORE_TILE_BYTES
+
+
+def test_flash_prefix_rejects_empty_panels():
+    """N0=0 / N1=0 raise a clear ValueError instead of a zero-size
+    BlockSpec lowering failure or a bare ZeroDivisionError."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention_prefix)
+    rng = np.random.RandomState(2)
+    s, h, nq, d = 1, 1, 16, 64
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32))
+    kv = jnp.asarray(rng.randn(s, h, 16, d).astype(np.float32))
+    empty = jnp.zeros((s, h, 0, d), jnp.float32)
+    with pytest.raises(ValueError, match='empty panel'):
+        flash_attention_prefix(q, empty, empty, kv, kv)
+    with pytest.raises(ValueError, match='empty panel'):
+        flash_attention_prefix(q, kv, kv, empty, empty)

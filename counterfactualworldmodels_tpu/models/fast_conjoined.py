@@ -53,16 +53,16 @@ from __future__ import annotations
 import functools
 from typing import Any, NamedTuple, Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops import patches as patch_ops
-from ..ops.flash_attention import flash_attention, flash_attention_prefix
 from ..ops.normalization import imagenet_normalize
 from ..ops.pos_embed import sinusoid_encoding_table
 from .conjoined import ConjoinedVMAE
-from .fast_vmae import (HashLru, _dense_attention, _ln, _mlp, _proj, _qkv,
-                        resolve_two_source)
+from .fast_vmae import (HashLru, _ln, prefix_block_one,
+                        resolve_two_source, suffix_block_one)
 from .vmae import mask_order
 
 
@@ -86,7 +86,13 @@ def conjoined_fast_supported(model: ConjoinedVMAE) -> bool:
             and not model.with_self_attention
             and not model.shared_similarity
             and model.main.num_frames == 2
-            and model.main.tubelet_size == 1)
+            and model.main.tubelet_size == 1
+            # the engine never constructs VISIBLE null tokens; a model
+            # with min_padding_tokens > 0 puts min_padding visible nulls
+            # into the exact forward (pipelines/imu.py adds it to n_vis),
+            # so it must route to the exact path
+            and model.main.min_padding_tokens == 0
+            and model.context.min_padding_tokens == 0)
 
 
 # ---------------------------------------------------------------------------
@@ -109,53 +115,10 @@ def _g(pc, name):
     return pc[name] if name in pc else 1.0
 
 
-def _block_prefix_one(p, h, num_heads: int, use_flash: bool):
-    """One main-stream Block over prefix tokens; returns (h, (k, v))."""
-    scale = (h.shape[-1] // num_heads) ** -0.5
-    b, n, _ = h.shape
-    ln = _ln(h, p['norm1'])
-    q, k, v = _qkv(p['attn'], ln, num_heads)
-    if use_flash:
-        o = flash_attention(q * scale, k, v)
-    else:
-        o = _dense_attention(q * scale, k, v)
-    o = _proj(p['attn'], o, b, n)
-    if 'gamma_1' in p:
-        o = p['gamma_1'] * o
-    h = h + o
-    m = _mlp(p['mlp'], _ln(h, p['norm2']))
-    if 'gamma_2' in p:
-        m = p['gamma_2'] * m
-    return h + m, (k, v)
-
-
-def _block_suffix_one(p, kv0, h, num_heads: int, use_flash: bool,
-                      two_source: bool):
-    """One main-stream Block: suffix tokens attend [cached prefix kv; own]."""
-    scale = (h.shape[-1] // num_heads) ** -0.5
-    s, n, _ = h.shape
-    k0, v0 = kv0
-    ln = _ln(h, p['norm1'])
-    q, k, v = _qkv(p['attn'], ln, num_heads)
-    if two_source:
-        o = flash_attention_prefix(q * scale, k0, v0, k, v)
-    else:
-        kf = jnp.concatenate(
-            [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
-        vf = jnp.concatenate(
-            [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
-        if use_flash:
-            o = flash_attention(q * scale, kf, vf)
-        else:
-            o = _dense_attention(q * scale, kf, vf)
-    o = _proj(p['attn'], o, s, n)
-    if 'gamma_1' in p:
-        o = p['gamma_1'] * o
-    h = h + o
-    m = _mlp(p['mlp'], _ln(h, p['norm2']))
-    if 'gamma_2' in p:
-        m = p['gamma_2'] * m
-    return h + m
+# one definition of the main-stream block bodies, shared with the plain
+# engine (fast_vmae) so numerics fixes land in exactly one place
+_block_prefix_one = prefix_block_one
+_block_suffix_one = suffix_block_one
 
 
 def _cross_dims(pc, num_heads: int):
@@ -545,7 +508,29 @@ def predict_videos_conjoined_prefix(wrapper, params, x_mocos, mask_mocos,
     Returns [S, 2, C, H, W] reconstructed videos (input patches at visible
     positions, predictions at masked ones). two_source as in
     fast_vmae.resolve_two_source (resolved here, outside jit).
+
+    Eager-path guards (one small host fetch each, mirroring
+    fast_vmae.predict_videos_shared_prefix): a mask touching frame 0
+    would silently leak masked frame-0 pixels through the prefix cache
+    and mis-slice the frame-1 prompt tokens; a masked IMU context would
+    be silently treated as fully visible (the engine feeds all context
+    tokens). The fused dispatch pipelines build their inputs correct-by-
+    construction and call the core directly.
     """
+    m = wrapper.model.main
+    n0 = m.num_patches // m.num_frames
+    if bool(np.asarray(mask_mocos[..., :n0]).any()):
+        raise ValueError(
+            'predict_videos_conjoined_prefix: mask touches frame 0; the '
+            'conjoined shared-prefix engine requires frame 0 fully '
+            'visible — use the exact path '
+            '(pipelines.imu._conjoined_predict_video) for such prompts')
+    if mask_context is not None and bool(np.asarray(mask_context).any()):
+        raise ValueError(
+            'predict_videos_conjoined_prefix: mask_context marks IMU '
+            'tokens masked, which this engine does not implement (it '
+            'conditions on the FULL context) — use the exact path for '
+            'masked-context prompts')
     return _conjoined_videos_core(
         wrapper, params, x_mocos, mask_mocos, x_context, mask_context,
         n_vis, normalize, use_flash,

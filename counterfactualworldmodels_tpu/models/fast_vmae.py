@@ -151,26 +151,68 @@ def _dense_attention(q, k, v):
     return dense_attention(q, k, v, dtype=v.dtype)
 
 
+def prefix_block_one(p, h, num_heads: int, use_flash: bool):
+    """One pre-norm ViT Block over prefix tokens; returns (h, (k, v)).
+
+    THE single definition of the self-attention block body, shared by both
+    shared-prefix engines (fast_conjoined delegates here) — a numerics fix
+    must land in exactly one place or the engines' measured exact/fast
+    parity silently diverges."""
+    scale = (h.shape[-1] // num_heads) ** -0.5
+    b, n, _ = h.shape
+    ln = _ln(h, p['norm1'])
+    q, k, v = _qkv(p['attn'], ln, num_heads)
+    if use_flash:
+        o = flash_attention(q * scale, k, v)
+    else:
+        o = _dense_attention(q * scale, k, v)
+    o = _proj(p['attn'], o, b, n)
+    if 'gamma_1' in p:
+        o = p['gamma_1'] * o
+    h = h + o
+    m = _mlp(p['mlp'], _ln(h, p['norm2']))
+    if 'gamma_2' in p:
+        m = p['gamma_2'] * m
+    return h + m, (k, v)
+
+
+def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
+                     two_source: bool):
+    """One pre-norm ViT Block: per-sample tokens attend [cached prefix
+    kv0 ; own kv]. Shared by both engines — see prefix_block_one."""
+    scale = (h.shape[-1] // num_heads) ** -0.5
+    s, n, _ = h.shape
+    k0, v0 = kv0
+    ln = _ln(h, p['norm1'])
+    q, k, v = _qkv(p['attn'], ln, num_heads)
+    # two_source implies use_flash (resolve_two_source): enforce it here
+    # too so raw/sharded callers passing two_source=True with
+    # use_flash=False still get the dense escape hatch
+    if two_source and use_flash:
+        o = flash_attention_prefix(q * scale, k0, v0, k, v)
+    else:
+        kf = jnp.concatenate(
+            [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
+        vf = jnp.concatenate(
+            [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
+        if use_flash:
+            o = flash_attention(q * scale, kf, vf)
+        else:
+            o = _dense_attention(q * scale, kf, vf)
+    o = _proj(p['attn'], o, s, n)
+    if 'gamma_1' in p:
+        o = p['gamma_1'] * o
+    h = h + o
+    m = _mlp(p['mlp'], _ln(h, p['norm2']))
+    if 'gamma_2' in p:
+        m = p['gamma_2'] * m
+    return h + m
+
+
 def _prefix_blocks(stacked, h0, num_heads: int, use_flash: bool):
     """Full self-attention over the prefix; emits per-layer (k, v)."""
-    scale = (h0.shape[-1] // num_heads) ** -0.5
-    b, n, _ = h0.shape
-
     def body(h, p):
-        ln = _ln(h, p['norm1'])
-        q, k, v = _qkv(p['attn'], ln, num_heads)
-        if use_flash:
-            o = flash_attention(q * scale, k, v)
-        else:
-            o = _dense_attention(q * scale, k, v)
-        o = _proj(p['attn'], o, b, n)
-        if 'gamma_1' in p:
-            o = p['gamma_1'] * o
-        h = h + o
-        m = _mlp(p['mlp'], _ln(h, p['norm2']))
-        if 'gamma_2' in p:
-            m = p['gamma_2'] * m
-        return h + m, (k, v)
+        return prefix_block_one(p, h, num_heads, use_flash)
 
     return jax.lax.scan(body, h0, stacked)
 
@@ -193,32 +235,10 @@ def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
     two_source=True uses the two-source flash kernel, which reads the
     shared prefix panels in place instead of broadcasting S copies per
     layer (see bench.py degrade chain)."""
-    scale = (hs.shape[-1] // num_heads) ** -0.5
-    s, n, _ = hs.shape
-
     def body(h, xs):
-        p, (k0, v0) = xs
-        ln = _ln(h, p['norm1'])
-        q, k, v = _qkv(p['attn'], ln, num_heads)
-        if two_source:
-            o = flash_attention_prefix(q * scale, k0, v0, k, v)
-        else:
-            kf = jnp.concatenate(
-                [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
-            vf = jnp.concatenate(
-                [jnp.broadcast_to(v0, (s,) + v0.shape[1:]), v], axis=2)
-            if use_flash:
-                o = flash_attention(q * scale, kf, vf)
-            else:
-                o = _dense_attention(q * scale, kf, vf)
-        o = _proj(p['attn'], o, s, n)
-        if 'gamma_1' in p:
-            o = p['gamma_1'] * o
-        h = h + o
-        m = _mlp(p['mlp'], _ln(h, p['norm2']))
-        if 'gamma_2' in p:
-            m = p['gamma_2'] * m
-        return h + m, None
+        p, kv0 = xs
+        return suffix_block_one(p, kv0, h, num_heads, use_flash,
+                                two_source), None
 
     return jax.lax.scan(body, hs, (stacked, kvs))[0]
 

@@ -1,11 +1,16 @@
 """Multi-chip counterfactual inference: shard the sample axis.
 
 The counterfactual workload is embarrassingly parallel over the S sampled
-(mask, shift) variants (SURVEY.md §2.3). Here the flattened B*S batch of the
-fused pipeline (pipelines/segmentation.py) is sharded over a 1-D device
-mesh: each chip runs its slice of samples; the only cross-chip traffic is
-the all-gather XLA inserts when the caller reduces over samples (mean motion
-map / covariance).
+(mask, shift) variants (SURVEY.md §2.3). Each wrapper here runs the fused
+pipeline INSIDE shard_map over a 1-D 'samples' mesh axis: every chip
+executes its own slice of samples with local shapes, so the Pallas kernels
+(flash attention, RAFT lookup) run per-chip on local shards — GSPMD cannot
+partition a custom call, so relying on sharding propagation would silently
+all-gather the operands and replicate the dominant compute on every chip.
+Scene-level inputs (params, the shared frame 0, the IMU context) are
+replicated: each chip computes the prefix locally, zero cross-chip
+traffic; the only collective is the all-gather XLA inserts when the caller
+reduces over samples (mean motion map / covariance).
 """
 from __future__ import annotations
 
@@ -14,6 +19,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipelines.segmentation import (counterfactual_videos_and_flows,
                                       counterfactual_videos_and_flows_fast)
+from .pipeline import _shard_map, _SHARD_MAP_KW
+
+# every wrapper returns (videos, flows, masks) with samples leading
+_OUT3 = (P('samples'), P('samples'), P('samples'))
 
 
 def shard_counterfactual_batch(mesh: Mesh, *arrays, axis: int = 0,
@@ -34,50 +43,59 @@ def sharded_counterfactuals(mesh: Mesh, vmae_model, vmae_params, raft_model,
     """Run the fused counterfactual step with samples sharded across chips.
 
     Same signature/semantics as
-    pipelines.segmentation.counterfactual_videos_and_flows, but passive /
-    active [B, N, S], shifts/keys [B, S, ...] are placed with S sharded over
-    the mesh ('samples' axis) and parameters replicated. S must be divisible
-    by the mesh size.
+    pipelines.segmentation.counterfactual_videos_and_flows with B=1:
+    passive / active [1, N, S], shifts/keys [1, S, ...] shard their S axis
+    over the mesh ('samples'); x and parameters replicate. S must be
+    divisible by the mesh size.
     """
-    repl = NamedSharding(mesh, P())
-    vmae_params = jax.device_put(vmae_params, repl)
-    raft_params = jax.device_put(raft_params, repl)
-    x = jax.device_put(x, repl)
-    passive, active = shard_counterfactual_batch(mesh, passive, active,
-                                                 axis=2)
-    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
-    return counterfactual_videos_and_flows(
-        vmae_model, vmae_params, raft_model, raft_params, x, passive, active,
-        shifts, keys, n_vis, normalize, raft_iters, fix_passive)
+    assert x.shape[0] == 1, 'sample sharding assumes B=1'
+
+    def local(vp, rp, xl, p, a, sh, k):
+        return counterfactual_videos_and_flows(
+            vmae_model, vp, raft_model, rp, xl, p, a, sh, k, n_vis,
+            normalize, raft_iters, fix_passive)
+
+    f = _shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(None, None, 'samples'),
+                             P(None, None, 'samples'), P(None, 'samples'),
+                             P(None, 'samples')),
+                   out_specs=_OUT3, **_SHARD_MAP_KW)
+    return f(vmae_params, raft_params, x, passive, active, shifts, keys)
 
 
 def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
                                  raft_model, raft_params, x, passive, active,
                                  shifts, keys, n_vis: int, normalize: bool,
                                  raft_iters: int, use_flash: bool = False,
-                                 two_source: bool = False):
+                                 two_source: bool = False,
+                                 prefix_cache=None):
     """Sample-sharded shared-prefix engine (models/fast_vmae.py).
 
     The frame-0 prefix pass is sample-independent: its inputs (x, params)
-    are replicated, so GSPMD keeps the whole prefix encoder/decoder
-    replicated — each chip computes it once locally, zero cross-chip
-    traffic. The per-sample suffix work (motion-prompt construction, frame-1
-    encode/decode, RAFT probes) shards over the 'samples' mesh axis because
-    its operands carry the sharded S axis. Same signature/returns as
+    replicate, so each chip computes the prefix once locally (or reuses
+    the replicated ``prefix_cache`` — the warm-serving path — skipping it
+    entirely); the per-sample suffix work (motion-prompt construction,
+    frame-1 encode/decode, RAFT probes) runs on each chip's local sample
+    slice. Same signature/returns as
     pipelines.segmentation.counterfactual_videos_and_flows_fast; S must be
     divisible by the mesh size.
     """
-    repl = NamedSharding(mesh, P())
-    fast_params = jax.device_put(fast_params, repl)
-    raft_params = jax.device_put(raft_params, repl)
-    x = jax.device_put(x, repl)
-    passive, active = shard_counterfactual_batch(mesh, passive, active,
-                                                 axis=2)
-    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
-    return counterfactual_videos_and_flows_fast(
-        vmae_model, fast_params, raft_model, raft_params, x, passive,
-        active, shifts, keys, n_vis, normalize, raft_iters, True, use_flash,
-        two_source)
+    def local(fp, rp, xl, p, a, sh, k, *cache):
+        return counterfactual_videos_and_flows_fast(
+            vmae_model, fp, raft_model, rp, xl, p, a, sh, k, n_vis,
+            normalize, raft_iters, True, use_flash, two_source,
+            prefix_cache=cache[0] if cache else None)
+
+    in_specs = [P(), P(), P(), P(None, None, 'samples'),
+                P(None, None, 'samples'), P(None, 'samples'),
+                P(None, 'samples')]
+    args = [fast_params, raft_params, x, passive, active, shifts, keys]
+    if prefix_cache is not None:
+        in_specs.append(P())
+        args.append(prefix_cache)
+    f = _shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=_OUT3, **_SHARD_MAP_KW)
+    return f(*args)
 
 
 def sharded_counterfactuals_fast_multi(mesh: Mesh, vmae_model, fast_params,
@@ -109,19 +127,18 @@ def sharded_counterfactuals_fast_multi(mesh: Mesh, vmae_model, fast_params,
     from ..pipelines.segmentation import (
         counterfactual_videos_and_flows_fast_multi)
 
-    repl = NamedSharding(mesh, P())
-    fast_params = jax.device_put(fast_params, repl)
-    raft_params = jax.device_put(raft_params, repl)
-    x, passive, active, shifts, keys = shard_counterfactual_batch(
-        mesh, x, passive, active, shifts, keys, axis=0)
-    cache = jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, NamedSharding(
-            mesh, P(*([None, 'samples'] + [None] * (a.ndim - 2))))),
-        prefix_cache)
-    return counterfactual_videos_and_flows_fast_multi(
-        vmae_model, fast_params, raft_model, raft_params, x, passive,
-        active, shifts, n_vis, normalize, raft_iters, True, use_flash,
-        two_source, keys, cache)
+    def local(fp, rp, xl, p, a, sh, k, cache):
+        return counterfactual_videos_and_flows_fast_multi(
+            vmae_model, fp, raft_model, rp, xl, p, a, sh, n_vis, normalize,
+            raft_iters, True, use_flash, two_source, k, cache)
+
+    f = _shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P('samples'), P('samples'),
+                             P('samples'), P('samples'), P('samples'),
+                             P(None, 'samples')),
+                   out_specs=_OUT3, **_SHARD_MAP_KW)
+    return f(fast_params, raft_params, x, passive, active, shifts, keys,
+             prefix_cache)
 
 
 def sharded_imu_counterfactuals_fast(mesh: Mesh, wrapper, params, raft_model,
@@ -135,30 +152,32 @@ def sharded_imu_counterfactuals_fast(mesh: Mesh, wrapper, params, raft_model,
     (models/fast_conjoined.py).
 
     Same replication logic as sharded_counterfactuals_fast: the scene, the
-    IMU context, and the prefix cache are replicated (each chip computes or
+    IMU context, and the prefix cache replicate (each chip computes or
     holds the scene-level prefix locally — zero cross-chip traffic); the
     per-sample suffix work, including the exact per-sample context streams,
-    shards over the 'samples' axis. Same signature/returns as
+    runs on each chip's local sample slice. Same signature/returns as
     pipelines.imu._imu_counterfactual_step_fast; S must be divisible by the
     mesh size.
     """
     from ..pipelines.imu import _imu_counterfactual_step_fast
 
-    repl = NamedSharding(mesh, P())
-    params = jax.device_put(params, repl)
-    raft_params = jax.device_put(raft_params, repl)
-    x = jax.device_put(x, repl)
-    x_context = jax.device_put(x_context, repl)
-    mask_context = jax.device_put(mask_context, repl)
+    def local(pp, rp, xl, p, a, sh, k, xc, mc, *cache):
+        return _imu_counterfactual_step_fast(
+            wrapper, pp, raft_model, rp, xl, p, a, sh, k, xc, mc, n_vis,
+            normalize, raft_iters, use_flash, two_source,
+            cache[0] if cache else None)
+
+    in_specs = [P(), P(), P(), P(None, None, 'samples'),
+                P(None, None, 'samples'), P(None, 'samples'),
+                P(None, 'samples'), P(), P()]
+    args = [params, raft_params, x, passive, active, shifts, keys,
+            x_context, mask_context]
     if prefix_cache is not None:
-        prefix_cache = jax.device_put(prefix_cache, repl)
-    passive, active = shard_counterfactual_batch(mesh, passive, active,
-                                                 axis=2)
-    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
-    return _imu_counterfactual_step_fast(
-        wrapper, params, raft_model, raft_params, x, passive, active,
-        shifts, keys, x_context, mask_context, n_vis, normalize, raft_iters,
-        use_flash, two_source, prefix_cache)
+        in_specs.append(P())
+        args.append(prefix_cache)
+    f = _shard_map(local, mesh=mesh, in_specs=tuple(in_specs),
+                   out_specs=_OUT3, **_SHARD_MAP_KW)
+    return f(*args)
 
 
 def sharded_imu_counterfactuals(mesh: Mesh, wrapper, params, raft_model,
@@ -179,16 +198,16 @@ def sharded_imu_counterfactuals(mesh: Mesh, wrapper, params, raft_model,
     """
     from ..pipelines.imu import _imu_counterfactual_step
 
-    repl = NamedSharding(mesh, P())
-    params = jax.device_put(params, repl)
-    raft_params = jax.device_put(raft_params, repl)
-    x = jax.device_put(x, repl)
-    passive, active = shard_counterfactual_batch(mesh, passive, active,
-                                                 axis=2)
-    shifts, keys = shard_counterfactual_batch(mesh, shifts, keys, axis=1)
-    x_context, mask_context = shard_counterfactual_batch(
-        mesh, x_context, mask_context, axis=0)
-    return _imu_counterfactual_step(
-        wrapper, params, raft_model, raft_params, x, passive, active,
-        shifts, keys, x_context, mask_context, n_vis, n_vis_c, normalize,
-        raft_iters, fix_passive, shared0_ok)
+    def local(pp, rp, xl, p, a, sh, k, xc, mc):
+        return _imu_counterfactual_step(
+            wrapper, pp, raft_model, rp, xl, p, a, sh, k, xc, mc, n_vis,
+            n_vis_c, normalize, raft_iters, fix_passive, shared0_ok)
+
+    f = _shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(None, None, 'samples'),
+                             P(None, None, 'samples'), P(None, 'samples'),
+                             P(None, 'samples'), P('samples'),
+                             P('samples')),
+                   out_specs=_OUT3, **_SHARD_MAP_KW)
+    return f(params, raft_params, x, passive, active, shifts, keys,
+             x_context, mask_context)

@@ -58,13 +58,32 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     env_hints = any(os.environ.get(k) for k in
                     ('CWM_MULTIHOST',
                      'JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
-                     'MEGASCALE_COORDINATOR_ADDRESS', 'TPU_WORKER_HOSTNAMES',
+                     'MEGASCALE_COORDINATOR_ADDRESS',
                      'CLOUD_TPU_TASK_ID'))
-    if not explicit and not env_hints:
+    # TPU_WORKER_HOSTNAMES is only a multi-process hint when it actually
+    # lists MORE THAN ONE worker: single-chip relay/bench environments set
+    # it to one hostname (e.g. "localhost"), where initialize() would die
+    # with "coordinator_address should be defined"
+    workers = [w for w in
+               os.environ.get('TPU_WORKER_HOSTNAMES', '').split(',')
+               if w.strip()]
+    if not explicit and not env_hints and len(workers) <= 1:
         return False
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        if explicit:
+            raise
+        # auto-detection misfired (e.g. stale env from a relay harness):
+        # degrade to single-process rather than killing the CLI
+        import warnings
+        warnings.warn(
+            f'jax.distributed.initialize() failed ({e}); continuing '
+            'single-process. Pass coordinator_address explicitly for a '
+            'real multi-host run.', RuntimeWarning, stacklevel=2)
+        return False
     return True
 
 

@@ -13,7 +13,7 @@ Candidates:
 - ours-two-source in-repo prefix/suffix split kernel (no K/V concat)
 - stock-flash     jax.experimental.pallas.ops.tpu.flash_attention
 - splash          jax.experimental.pallas.ops.tpu.splash_attention (full mask)
-- xla             jnp.einsum softmax (compiler-scheduled), small B only
+- xla-dpa         jax.nn.dot_product_attention (compiler-scheduled)
 
 Usage: python scripts/bench_attention.py [--out ATTN_KERNELS_r03.json]
 """
@@ -72,28 +72,36 @@ def main():
         float(jnp.sum(jnp.abs(out).astype(jnp.float32)))  # axon sync
         best = 1e9
         for _ in range(3):
+            # enqueue iters dispatches, then ONE tiny reduction to force a
+            # real host round-trip (block_until_ready alone is not a full
+            # sync on the axon relay) — sync cost amortizes over iters
+            # instead of inflating every iteration
             t0 = time.perf_counter()
-            acc = jnp.float32(0)
+            last = None
             for _ in range(args.iters):
-                acc = acc + jnp.sum(jnp.abs(fn()).astype(jnp.float32))
-            float(acc)
+                last = fn()
+            float(jnp.sum(jnp.abs(last).astype(jnp.float32)))
             best = min(best, (time.perf_counter() - t0) / args.iters)
         return best
 
     rows = {}
 
-    def record(name, fn, ref=None):
+    def record(name, fn, ref=None, flops_scale=1.0):
         try:
             dt = timeit(fn)
             row = {'ms': round(dt * 1e3, 3),
-                   'tflops_per_s': round(flops / dt / 1e12, 1)}
+                   'tflops_per_s': round(flops * flops_scale / dt / 1e12,
+                                         1)}
+            out = fn()
             if ref is not None:
                 err = float(jnp.max(jnp.abs(
-                    fn().astype(jnp.float32) - ref.astype(jnp.float32))))
+                    out.astype(jnp.float32) - ref.astype(jnp.float32))))
                 row['max_abs_err_vs_ours'] = round(err, 5)
+            if flops_scale != 1.0:
+                row['flops_scale'] = flops_scale  # padded-query credit
             rows[name] = row
             print(f'{name}: {row}', file=sys.stderr)
-            return fn()
+            return out
         except Exception as e:
             rows[name] = {'error': f'{type(e).__name__}: {e}'[:300]}
             print(f'{name}: FAILED {type(e).__name__}: {e}',
@@ -125,7 +133,10 @@ def main():
             q_, k_, v_, sm_scale=1.0, block_sizes=bs))
         record('stock-flash/448', lambda: f_stock_b(q, k, v), ref)
     except Exception as e:
-        rows['stock-flash'] = {'error': f'import: {e}'[:200]}
+        # setdefault: a BlockSizes construction failure must not clobber a
+        # successfully recorded plain stock-flash row (ADVICE r03)
+        rows.setdefault('stock-flash/setup',
+                        {'error': f'{type(e).__name__}: {e}'[:200]})
 
     try:
         from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -145,9 +156,12 @@ def main():
             return vkern(qp, k_, v_)[:, :, :NQ]
 
         f_splash = jax.jit(splash_call)
-        record('splash', lambda: f_splash(q, k, v), ref)
+        # the kernel really computes NQP padded query rows — credit them
+        record('splash', lambda: f_splash(q, k, v), ref,
+               flops_scale=NQP / NQ)
     except Exception as e:
-        rows['splash'] = {'error': f'import: {e}'[:200]}
+        rows.setdefault('splash',
+                        {'error': f'{type(e).__name__}: {e}'[:200]})
 
     f_xla = jax.jit(lambda q_, k_, v_: jax.nn.dot_product_attention(
         jnp.swapaxes(q_, 1, 2), jnp.swapaxes(k_, 1, 2),

@@ -92,7 +92,10 @@ def test_train_conjoined_cli_smoke(tmp_path):
     checkpoints + resume work."""
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
-    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    # the driver's bench env sets a single-entry worker list; the CLIs
+    # must start cleanly under it (VERDICT r03 #2)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'TPU_WORKER_HOSTNAMES': 'localhost'})
     ckdir = str(tmp_path / 'ck')
     cmd = [sys.executable, os.path.join(_REPO, 'scripts',
                                         'train_conjoined.py'),
@@ -122,7 +125,10 @@ def test_train_cmae_cli_smoke(tmp_path):
     from counterfactualworldmodels_tpu.data.shards import write_shard
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
-    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    # the driver's bench env sets a single-entry worker list; the CLIs
+    # must start cleanly under it (VERDICT r03 #2)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'TPU_WORKER_HOSTNAMES': 'localhost'})
     ckdir = str(tmp_path / 'ck')
     cmd = [sys.executable, os.path.join(_REPO, 'scripts', 'train_cmae.py'),
            '--synthetic', '--steps', '4', '--log-every', '2',
@@ -167,7 +173,10 @@ def test_train_raft_cli_smoke(tmp_path):
     import numpy as np
     env = dict(os.environ)
     env.pop('PALLAS_AXON_POOL_IPS', None)
-    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1'})
+    # the driver's bench env sets a single-entry worker list; the CLIs
+    # must start cleanly under it (VERDICT r03 #2)
+    env.update({'JAX_PLATFORMS': 'cpu', 'CWM_BACKEND_CHECKED': '1',
+                'TPU_WORKER_HOSTNAMES': 'localhost'})
     ckdir = str(tmp_path / 'ck')
     cmd = [sys.executable, os.path.join(_REPO, 'scripts', 'train_raft.py'),
            '--mode', 'flow', '--synthetic', '--small', '--img-size', '64',

@@ -22,6 +22,21 @@ def test_initialize_distributed_noop(monkeypatch):
     assert jax.process_count() == 1
 
 
+def test_initialize_distributed_single_worker_hostname(monkeypatch):
+    """A single-entry TPU_WORKER_HOSTNAMES (the bench relay env sets
+    'localhost') is NOT a multi-process hint — init must no-op instead of
+    raising 'coordinator_address should be defined' (VERDICT r03 #2)."""
+    for k in ('JAX_COORDINATOR_ADDRESS', 'COORDINATOR_ADDRESS',
+              'MEGASCALE_COORDINATOR_ADDRESS', 'CLOUD_TPU_TASK_ID',
+              'CWM_MULTIHOST'):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'localhost')
+    assert parallel.initialize_distributed() is False
+    monkeypatch.setenv('TPU_WORKER_HOSTNAMES', 'localhost,')
+    assert parallel.initialize_distributed() is False
+    assert jax.process_count() == 1
+
+
 def test_make_hybrid_mesh_single_process_fallback():
     mesh = parallel.make_hybrid_mesh({'dp': 2}, {'tp': 4})
     assert mesh.axis_names == ('dp', 'tp')

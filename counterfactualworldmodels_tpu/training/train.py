@@ -44,7 +44,13 @@ def masked_prediction_loss(model: PretrainVisionTransformer, params, x, mask,
                            n_vis: int, normalize_inputs: bool = True,
                            normalize_targets: bool = True,
                            eps: float = 1e-6):
-    """MSE on masked patch pixels. x: [B, T, C, H, W] in [0, 1]."""
+    """MSE on masked patch pixels. x: [B, T, C, H, W] in [0, 1], or raw
+    uint8 [B, T, H, W, C] loader batches (out_dtype='u8'): the normalize
+    + layout transpose then run INSIDE the jitted step, where XLA fuses
+    them into the patch embed — the host moves 4x fewer bytes."""
+    if x.dtype == jnp.uint8:
+        from ..data.shards import u8_to_chw_01
+        x = u8_to_chw_01(x)
     xm = imagenet_normalize(x, temporal_dim=1) if normalize_inputs else x
     pred = model.apply({'params': params}, jnp.swapaxes(xm, 1, 2), mask,
                        n_vis)

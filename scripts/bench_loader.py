@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
 
-def measure(loader, batch_shape, seconds):
+def measure(loader, batch_shape, seconds, itemsize=4):
     it = iter(loader)
     next(it)  # warm (thread pool spin-up, page cache)
     n = 0
@@ -32,7 +32,7 @@ def measure(loader, batch_shape, seconds):
         n += 1
     dt = time.perf_counter() - t0
     clips = n * batch_shape[0]
-    out_bytes = n * 4
+    out_bytes = n * itemsize
     for d in batch_shape:
         out_bytes *= d
     return {'batches': n, 'clips_per_sec': round(clips / dt, 1),
@@ -76,20 +76,44 @@ def main():
     results['loaders']['python'] = measure(py, bshape, args.seconds)
     print('python:', json.dumps(results['loaders']['python']), flush=True)
 
+    # u8 mode: crop/flip only, normalize on device (the training default)
+    py8 = PythonClipLoader(shard, batch_size=args.batch, crop_size=crop,
+                           out_dtype='u8')
+    results['loaders']['python_u8'] = measure(py8, bshape, args.seconds,
+                                              itemsize=1)
+    print('python_u8:', json.dumps(results['loaders']['python_u8']),
+          flush=True)
+
     for t in (int(v) for v in args.threads.split(',') if v):
-        try:
-            nat = NativeClipLoader(shard, batch_size=args.batch,
-                                   crop_size=crop, num_threads=t)
-        except Exception as e:
-            print(f'native unavailable ({e})', file=sys.stderr)
-            break
-        key = f'native_t{t}'
-        results['loaders'][key] = measure(nat, bshape, args.seconds)
-        print(f'{key}:', json.dumps(results['loaders'][key]), flush=True)
-        nat.close()
+        for mode, zc in (('f32', False), ('u8', False), ('u8', True)):
+            try:
+                nat = NativeClipLoader(shard, batch_size=args.batch,
+                                       crop_size=crop, num_threads=t,
+                                       out_dtype=mode, zero_copy=zc)
+            except Exception as e:
+                print(f'native unavailable ({e})', file=sys.stderr)
+                break
+            key = f'native_{mode}{"zc" if zc else ""}_t{t}'
+            results['loaders'][key] = measure(
+                nat, bshape, args.seconds, itemsize=4 if mode == 'f32' else 1)
+            print(f'{key}:', json.dumps(results['loaders'][key]), flush=True)
+            nat.close()
 
     base = results['loaders']['python']['clips_per_sec']
     best = max(v['clips_per_sec'] for v in results['loaders'].values())
+    # mode-fair ratios: native vs the python loader with the SAME output
+    # contract, plus the headline best-vs-legacy-python number
+    nat_f32 = [v['clips_per_sec'] for k, v in results['loaders'].items()
+               if k.startswith('native_f32')]
+    nat_u8 = [v['clips_per_sec'] for k, v in results['loaders'].items()
+              if k.startswith('native_u8')]
+    if nat_f32:
+        results['native_f32_speedup_vs_python_f32'] = round(
+            max(nat_f32) / max(base, 1e-9), 2)
+    if nat_u8:
+        results['native_u8_speedup_vs_python_u8'] = round(
+            max(nat_u8) / max(
+                results['loaders']['python_u8']['clips_per_sec'], 1e-9), 2)
     results['native_speedup_vs_python'] = round(best / max(base, 1e-9), 2)
     if args.out:
         with open(args.out, 'w') as f:

@@ -50,6 +50,11 @@ def parse_args():
     ap.add_argument('--metrics', default=None, help='JSONL metrics path')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--no-remat', action='store_true')
+    ap.add_argument('--input-mode', default='u8', choices=['u8', 'f32'],
+                    help='shard loader output: u8 ships raw uint8 THWC '
+                         'batches and normalizes on device (default, 4x '
+                         'less host traffic); f32 is the legacy host-'
+                         'normalized path')
     ap.add_argument('--profile-dir', default=None,
                     help='XLA-trace a 3-step window after warmup '
                          '(view with TensorBoard/Perfetto)')
@@ -97,13 +102,13 @@ def make_data(args):
     crop = (args.img_size, args.img_size)
     try:
         loader = NativeClipLoader(args.shard, batch_size=args.batch_size,
-                                  crop_size=crop,
-                                  seed=args.seed)
+                                  crop_size=crop, seed=args.seed,
+                                  out_dtype=args.input_mode)
     except Exception as e:
         print(f'native loader unavailable ({e}); python fallback')
         loader = PythonClipLoader(args.shard, batch_size=args.batch_size,
-                                  crop_size=crop,
-                                  seed=args.seed)
+                                  crop_size=crop, seed=args.seed,
+                                  out_dtype=args.input_mode)
     return iter(loader)
 
 
@@ -212,7 +217,10 @@ def main():
     tracer = StepTraceWindow(args.profile_dir, start_step)
     for step in range(start_step, args.steps):
         tracer.tick(step)
-        batch = put(np.asarray(next(data), np.float32))
+        # u8 batches stay uint8 end-to-end; the jitted step normalizes
+        batch = np.asarray(next(data))
+        batch = put(batch if batch.dtype == np.uint8
+                    else batch.astype(np.float32, copy=False))
         key, mk = jax.random.split(key)
         state, metrics = step_fn(state, batch, mk)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:

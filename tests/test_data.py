@@ -59,6 +59,53 @@ def test_native_loader_crop_and_prefetch(tmp_path):
     loader.close()
 
 
+def test_u8_mode_matches_f32_after_device_normalize(tmp_path):
+    """out_dtype='u8' + on-device u8_to_chw_01 == the f32 host path, for
+    both loaders, and the native zero-copy view matches the copy path."""
+    from counterfactualworldmodels_tpu.data.shards import u8_to_chw_01
+    path, clips = _shard(tmp_path)
+    kw = dict(batch_size=3, seed=0, shuffle=False)
+    py_f = PythonClipLoader(path, out_dtype='f32', **kw)
+    py_u = PythonClipLoader(path, out_dtype='u8', **kw)
+    bf, bu = py_f.next_batch(), py_u.next_batch()
+    assert bu.dtype == np.uint8 and bu.shape == (3, 2, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(u8_to_chw_01(bu)), bf, atol=1e-6)
+
+    if build_native() is None:
+        pytest.skip('no g++')
+    nat_u = NativeClipLoader(path, num_threads=1, out_dtype='u8', **kw)
+    nat_zc = NativeClipLoader(path, num_threads=1, out_dtype='u8',
+                              zero_copy=True, **kw)
+    nu, nz = nat_u.next_batch(), nat_zc.next_batch()
+    np.testing.assert_array_equal(nu, bu)        # same unshuffled content
+    np.testing.assert_array_equal(np.asarray(nz), nu)
+    np.testing.assert_array_equal(nat_zc.last_indices, nat_u.last_indices)
+    nz2 = nat_zc.next_batch()                    # view rotation stays valid
+    np.testing.assert_array_equal(np.asarray(nz2), nat_u.next_batch())
+    nat_u.close()
+    nat_zc.close()
+
+
+def test_u8_mode_crop_flip_matches_f32_native(tmp_path):
+    """Native u8 crop+flip rows equal the native f32 decode of the same
+    seed (the two decoders share RNG/crop logic exactly)."""
+    if build_native() is None:
+        pytest.skip('no g++')
+    from counterfactualworldmodels_tpu.data.shards import u8_to_chw_01
+    path, clips = _shard(tmp_path, h=20, w=20)
+    kw = dict(batch_size=2, crop_size=(16, 16), num_threads=1, seed=5,
+              hflip=True, shuffle=True)
+    a = NativeClipLoader(path, out_dtype='f32', **kw)
+    b = NativeClipLoader(path, out_dtype='u8', **kw)
+    for _ in range(3):
+        xf, xu = a.next_batch(), b.next_batch()
+        np.testing.assert_array_equal(a.last_indices, b.last_indices)
+        np.testing.assert_allclose(np.asarray(u8_to_chw_01(xu)), xf,
+                                   atol=1e-6)
+    a.close()
+    b.close()
+
+
 def test_python_loader_fallback(tmp_path):
     path, clips = _shard(tmp_path)
     loader = PythonClipLoader(path, batch_size=3, seed=0, shuffle=False)

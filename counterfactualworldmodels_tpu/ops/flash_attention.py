@@ -1,11 +1,26 @@
 """Flash attention for TPU (Pallas).
 
 Replaces the reference's optional HazyResearch CUDA flash-attention path
-(cwm/models/VideoMAE/utils.py:71-73,102-106) with a Pallas kernel: online-
-softmax tiling over key blocks so the [N, N] score matrix never materializes
-in HBM. Numerically interchangeable with the dense softmax path
-(VideoMAE/utils.py:108-113): q arrives pre-scaled (softmax scale 1), scores
-and the accumulator run in f32.
+(cwm/models/VideoMAE/utils.py:71-73,102-106) with a Pallas kernel: the
+[N, N] score matrix never materializes in HBM. Numerically interchangeable
+with the dense softmax path (VideoMAE/utils.py:108-113): q arrives
+pre-scaled (softmax scale 1), scores and the accumulator run in f32.
+
+Kernel design (v2, tuned on v5e at the counterfactual suffix-decode
+shapes — see PERF.md "Suffix attention kernel"):
+
+- whole (zero-padded) K/V panels stay resident in VMEM per (batch, head)
+  program; the VMEM budget check refuses shapes beyond that regime;
+- keys are processed in python-unrolled CHUNKS whose expensive ops (QK^T,
+  softmax, PV) are mutually independent dataflow islands; only a cheap
+  [bq, 1]/[bq, d] running merge chains chunks, so Mosaic can overlap
+  chunk j+1's QK^T matmul with chunk j's softmax instead of serializing
+  on a fori_loop online-softmax carry;
+- softmax runs in the exp2 domain (p = exp2(s*log2e - m*log2e), one FMA +
+  one exp2 per score element instead of sub + exp);
+- padded-key masking is applied ONLY to chunks that statically contain
+  padding (measured: the always-mask iota+where cost ~4% at the bench
+  shape, and most workload shapes divide exactly).
 
 Layout: q, k, v [B, H, N, D] -> out [B, H, N, D]. Non-multiple-of-block
 sequence lengths are zero-padded; padded keys are masked to -inf, padded
@@ -23,6 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
+_LOG2E = 1.4426950408889634
+
 # f32 score-tile budget per program; [block_q, block_k] must fit in VMEM
 # alongside the full per-(batch, head) K/V panels the BlockSpec pins there
 _SCORE_TILE_BYTES = 5 * 1024 * 1024
@@ -34,9 +51,11 @@ _TUNED_TABLE = None
 def _tuned_blocks(n: int, nk: int, d: int = 64):
     """Measured-best blocks from scripts/tune_flash.py, if archived.
 
-    Defensive validation at load: entries must be 16-aligned (the bf16
-    native tile is (16, 128); 16 also satisfies the f32 (8, 128) tile) and
-    respect the score-tile budget — a stale or hand-edited record must not
+    Entries carry ``v: 2`` (the unrolled-partials kernel); records tuned
+    for the retired v1 carry-chain kernel are ignored. Defensive
+    validation at load: entries must be 16-aligned (the bf16 native tile
+    is (16, 128); 16 also satisfies the f32 (8, 128) tile) and respect
+    the score-tile budget — a stale or hand-edited record must not
     reintroduce a Mosaic tiling hazard."""
     global _TUNED_TABLE
     if _TUNED_TABLE is None:
@@ -49,7 +68,7 @@ def _tuned_blocks(n: int, nk: int, d: int = 64):
         except (OSError, ValueError):
             _TUNED_TABLE = {}
     rec = _TUNED_TABLE.get(f'{n}x{nk}x{d}')
-    if not rec:
+    if not rec or rec.get('v') != 2:
         return None
     bq, bk = rec['block_q'], rec['block_k']
     if bq % 16 or bk % 16 or bq * bk * 4 > _SCORE_TILE_BYTES:
@@ -57,17 +76,37 @@ def _tuned_blocks(n: int, nk: int, d: int = 64):
     return bq, bk
 
 
+def _tuned_2src(nq: int, n0: int, n1: int, d: int):
+    """Measured-best (block_q, block_k0, block_k1) for the two-source
+    kernel at this exact panel pair, if archived (same validation rules
+    as _tuned_blocks)."""
+    _tuned_blocks(0, 0, 0)  # ensure the table is loaded
+    rec = _TUNED_TABLE.get(f'2src:{nq}x{n0}x{n1}x{d}')
+    if not rec or rec.get('v') != 2:
+        return None
+    bq, bk0, bk1 = rec['block_q'], rec['block_k0'], rec['block_k1']
+    if any(x % 16 for x in (bq, bk0, bk1)):
+        return None
+    if bq * max(bk0, bk1) * 4 > _SCORE_TILE_BYTES:
+        return None
+    return bq, bk0, bk1
+
+
 def _vmem_budget_check(nk_padded: int, block_q: int, max_block_k: int,
                        d: int, itemsize: int, interpret: bool, what: str):
     """Refuse configurations beyond the VMEM budget with a clear error
     rather than failing deep inside Mosaic. Counts the kernel's REAL
-    residency, not just raw panel bytes: zero-PADDED K/V panels (both
-    kernels keep whole panels resident), the double-buffered q/out
-    blocks, the f32 score + exp tiles, and the f32 accumulator."""
-    panel_bytes = 2 * nk_padded * d * itemsize
-    qo_bytes = 2 * 2 * block_q * d * itemsize       # q + out, 2x pipelined
-    score_bytes = 2 * block_q * max_block_k * 4     # s and p tiles, f32
-    acc_bytes = block_q * (d + 2) * 4               # acc + m + l, f32
+    residency: zero-PADDED K/V panels at their LANE-PADDED width (the
+    VMEM tile is (8/16, 128), so d=64 panels occupy 128 lanes), the
+    double-buffered q/out blocks, two in-flight f32 score/exp tiles, and
+    the running softmax state."""
+    d_lanes = -(-d // 128) * 128
+    panel_bytes = 2 * nk_padded * d_lanes * itemsize
+    qo_bytes = 2 * 2 * block_q * d_lanes * itemsize  # q + out, 2x pipelined
+    score_bytes = 2 * block_q * max_block_k * 4      # s and p tiles, f32
+    # running (m, l, acc) state: two lane-padded [bq, 1] + one [bq, d],
+    # twice (the in-flight chunk's island + the merged state)
+    acc_bytes = 2 * block_q * (d_lanes + 2 * 128) * 4
     total = panel_bytes + qo_bytes + score_bytes + acc_bytes
     if not interpret and total > 14 * 1024 * 1024:
         raise ValueError(
@@ -80,19 +119,19 @@ def _vmem_budget_check(nk_padded: int, block_q: int, max_block_k: int,
 
 
 def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
-    """Choose (block_q, block_k) minimizing padding + loop overhead.
+    """Choose (block_q, block_k): q block and key CHUNK size.
 
     A measured table (scripts/tune_flash.py -> ops/flash_tuned.json) wins
     when present. Heuristic otherwise — measured on TPU v5e at the
-    counterfactual workload shapes (S=16 ViT-L 4x4 suffix decode: q 1568,
-    kv 4704): exact-divisor q blocks plus a single k block beat the padded
-    256/512 default by ~30% — the kernel is MXU-bound at head_dim 64, so
-    eliminating pad flops and the inner-loop carry dependency is worth more
-    than tile reuse.
+    counterfactual workload shapes (ViT-L 4x4 @224 suffix decode: q 3136,
+    kv 6272): large exact-divisor q blocks (the MXU streams M; bigger
+    blocks amortize panel residency and per-program overhead) with key
+    chunks of 1-4 exact-divisor slices beat padded defaults — pad flops
+    are pure waste for an MXU-bound kernel at head_dim 64.
 
     All blocks are multiples of 16: the bf16 native tile is (16, 128)
     (f32's (8, 128) is also satisfied), so VMEM windows and the in-kernel
-    pl.ds key slices stay sublane-aligned on hardware — interpret mode
+    static key slices stay sublane-aligned on hardware — interpret mode
     would accept 8-multiples that Mosaic rejects or mistiles.
 
     force_block_q: pin block_q (the two-source kernel shares one q block
@@ -129,47 +168,58 @@ def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
     return block_q, block_k
 
 
-def _init_softmax_carry(bq: int, d: int):
-    return (jnp.full((bq, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((bq, 1), jnp.float32),
-            jnp.zeros((bq, d), jnp.float32))
+def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state):
+    """Fold one resident K/V panel into the softmax ``state`` (m, l, acc).
 
-
-def _attend_panel(q, k_ref, v_ref, block_k: int, n_valid: int, carry):
-    """Fold one resident K/V panel into the online-softmax state.
-
-    Shared by the single-source and two-source kernels. Matmuls run in
-    the input dtype (bf16 inputs hit the MXU at bf16 rate) with f32
-    accumulation; softmax statistics (m, l) stay f32 throughout. Keys
-    at index >= n_valid are padding and masked to -inf.
+    Chunks are PYTHON-UNROLLED: chunk j's expensive ops (QK^T matmul,
+    softmax, PV matmul) form an independent dataflow island — only the
+    cheap [bq, 1]/[bq, d] running merge at the end of each chunk chains
+    to the previous chunk, so Mosaic can run chunk j+1's QK^T under
+    chunk j's softmax instead of serializing on an online-softmax carry
+    (a fori_loop body cannot be scheduled across iterations; measured
+    +15% at the dec_suffix bench shape). Matmuls run in the input dtype
+    (bf16 inputs hit the MXU at bf16 rate) with f32 accumulation. Keys
+    at index >= n_valid are padding; the -inf mask is applied only to
+    chunks that statically contain padding (the always-mask iota+where
+    cost ~4% at the bench shape).
     """
-    n_pad = k_ref.shape[1]
-
-    def body(i, c):
-        m, l, acc = c
-        k = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    n_pad = k_ref.shape[-2]
+    lead = (0,) * (len(k_ref.shape) - 2)  # collapse (1, [1,]) block dims
+    m_run, l_run, acc_run = state
+    for j in range(n_pad // block_k):
+        sl = lead + (slice(j * block_k, (j + 1) * block_k), slice(None))
+        k = k_ref[sl]
+        v = v_ref[sl]
+        s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        key_idx = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
-            + i * block_k
-        s = jnp.where(key_idx < n_valid, s, -jnp.inf)
-        m_new = jnp.maximum(m, s.max(-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + p.sum(-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v,
-                                        preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
-
-    return jax.lax.fori_loop(0, n_pad // block_k, body, carry)
+        if (j + 1) * block_k > n_valid:  # static: this chunk has padding
+            key_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1) + j * block_k
+            s = jnp.where(key_idx < n_valid, s, -jnp.inf)
+        m = s.max(-1, keepdims=True)
+        # p = exp(s - m) == exp2(s*log2e - m*log2e): one FMA + one exp2
+        p = jnp.exp2(s * _LOG2E - m * _LOG2E)
+        l = p.sum(-1, keepdims=True)
+        acc = jax.lax.dot_general(p.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if m_run is None:
+            m_run, l_run, acc_run = m, l, acc
+        else:
+            # cheap running merge; an all-padding chunk has m = -inf and
+            # contributes exp2(-inf - m_new) = 0 exactly
+            m_new = jnp.maximum(m_run, m)
+            a_old = jnp.exp2((m_run - m_new) * _LOG2E)
+            a_new = jnp.exp2((m - m_new) * _LOG2E)
+            l_run = l_run * a_old + l * a_new
+            acc_run = acc_run * a_old + acc * a_new
+            m_run = m_new
+    return m_run, l_run, acc_run
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
-    q = q_ref[0]                               # [BQ, D]
-    bq, d = q.shape
-    m, l, acc = _attend_panel(q, k_ref, v_ref, block_k, n_valid,
-                              _init_softmax_carry(bq, d))
+    m, l, acc = _panel_partials(q_ref[0], k_ref, v_ref, block_k, n_valid,
+                                (None, None, None))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -212,9 +262,9 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
 
 def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
                     interpret: bool = None) -> jnp.ndarray:
-    """Online-softmax attention. q [B, H, Nq, D] pre-scaled; k, v
-    [B, H, Nk, D] (cross-attention shapes allowed: Nq != Nk). Block sizes
-    are auto-tuned to the sequence lengths unless given.
+    """Flash attention. q [B, H, Nq, D] pre-scaled; k, v [B, H, Nk, D]
+    (cross-attention shapes allowed: Nq != Nk). Block sizes are
+    auto-tuned to the sequence lengths unless given.
 
     On non-TPU backends the kernel runs in interpreter mode (slow; tests
     only) unless ``interpret`` is forced.
@@ -237,19 +287,22 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
 def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                    block_k0: int, block_k1: int, n0_valid: int,
                    n1_valid: int):
-    """Two-source online softmax: shared prefix K/V panels then per-sample
-    own panels, one softmax state across both (_attend_panel twice)."""
-    q = q_ref[0]
-    bq, d = q.shape
-    carry = _attend_panel(q, k0_ref, v0_ref, block_k0, n0_valid,
-                          _init_softmax_carry(bq, d))
-    m, l, acc = _attend_panel(q, k1_ref, v1_ref, block_k1, n1_valid, carry)
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    """Two-source softmax: shared prefix K/V panels then per-sample own
+    panels; all chunks of both panels contribute independent partials to
+    ONE softmax (combined at the end)."""
+    q = q_ref[0, 0]
+    state = _panel_partials(q, k0_ref, v0_ref, block_k0, n0_valid,
+                            (None, None, None))
+    m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid, state)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'block_q',
+                                             'block_k0', 'block_k1'))
 def flash_attention_prefix(q, k0, v0, k1, v1,
-                           interpret: bool = None) -> jnp.ndarray:
+                           interpret: bool = None,
+                           block_q: int = None, block_k0: int = None,
+                           block_k1: int = None) -> jnp.ndarray:
     """Attention over [shared prefix keys ; per-sample own keys] WITHOUT
     materializing the prefix per sample.
 
@@ -263,6 +316,11 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     caches of S different scenes — the multi-scene batched warm path,
     fast_vmae.stack_prefix_caches). Panel b then maps to sample b//H's
     own prefix instead of the shared one.
+
+    The grid is ordered (H, S, q-blocks) so that, in the shared-prefix
+    layout, consecutive programs of one head revisit the SAME prefix
+    panel — Pallas skips the re-fetch, so each prefix panel is DMA'd once
+    per head instead of once per (sample, head).
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
@@ -283,10 +341,18 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
             f'flash_attention_prefix: empty panel (N0={n0}, N1={n1}); '
             'use flash_attention for single-source attention')
 
-    block_q, block_k0 = _pick_blocks(nq, n0, d)
+    tuned2 = _tuned_2src(nq, n0, n1, d)
+    if tuned2 and not (block_q or block_k0 or block_k1):
+        block_q, block_k0, block_k1 = tuned2
+    auto_q, auto_k0 = _pick_blocks(nq, n0, d)
+    block_q = block_q or auto_q
+    block_k0 = block_k0 or (auto_k0 if block_q == auto_q else
+                            _pick_blocks(nq, n0, d,
+                                         force_block_q=block_q)[1])
     # the q block is shared across both k panels: pin it so block_k1 is
     # capped against the ACTUAL pair (score tile = block_q x block_k1)
-    _, block_k1 = _pick_blocks(nq, n1, d, force_block_q=block_q)
+    block_k1 = block_k1 or _pick_blocks(nq, n1, d,
+                                        force_block_q=block_q)[1]
 
     nq_p = -(-nq // block_q) * block_q
     n0_p = -(-n0 // block_k0) * block_k0
@@ -295,41 +361,43 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     _vmem_budget_check(n0_p + n1_p, block_q, max(block_k0, block_k1), d,
                        q.dtype.itemsize, interpret,
                        'flash_attention_prefix')
-    qp = jnp.pad(q.reshape(s * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
-    k0p = jnp.pad(k0.reshape(s0 * h, n0, d),
-                  ((0, 0), (0, n0_p - n0), (0, 0)))
-    v0p = jnp.pad(v0.reshape(s0 * h, n0, d),
-                  ((0, 0), (0, n0_p - n0), (0, 0)))
-    k1p = jnp.pad(k1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
-    v1p = jnp.pad(v1.reshape(s * h, n1, d), ((0, 0), (0, n1_p - n1), (0, 0)))
+    # [S, H, N, D] kept 4-D: the grid is (H, S, i) so panel index maps can
+    # address heads and samples separately
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
+    k0p = jnp.pad(k0, ((0, 0), (0, 0), (0, n0_p - n0), (0, 0)))
+    v0p = jnp.pad(v0, ((0, 0), (0, 0), (0, n0_p - n0), (0, 0)))
+    k1p = jnp.pad(k1, ((0, 0), (0, 0), (0, n1_p - n1), (0, 0)))
+    v1p = jnp.pad(v1, ((0, 0), (0, 0), (0, n1_p - n1), (0, 0)))
 
-    grid = (s * h, nq_p // block_q)
+    # shared prefix (s0=1): panel index (0, h) is CONSTANT while s and i
+    # iterate -> fetched once per head. Stacked prefixes (s0=S): panel
+    # follows the sample.
+    prefix_map = ((lambda h_, s_, i: (0, h_, 0, 0)) if s0 == 1
+                  else (lambda h_, s_, i: (s_, h_, 0, 0)))
+    grid = (h, s, nq_p // block_q)
     out = pl.pallas_call(
         functools.partial(_flash2_kernel, block_k0=block_k0,
                           block_k1=block_k1, n0_valid=n0, n1_valid=n1),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda h_, s_, i: (s_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            # prefix panels: shared (s0=1) -> block index b % H, every
-            # sample of a head reads the SAME panel, nothing materialized
-            # per sample; per-sample (s0=S, stacked scenes) -> panel b
-            pl.BlockSpec((1, n0_p, d),
-                         (lambda b, i, _h=h: (b % _h, 0, 0)) if s0 == 1
-                         else (lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n0_p, d), prefix_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n0_p, d),
-                         (lambda b, i, _h=h: (b % _h, 0, 0)) if s0 == 1
-                         else (lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n0_p, d), prefix_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1_p, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, n1_p, d),
+                         lambda h_, s_, i: (s_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1_p, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 1, n1_p, d),
+                         lambda h_, s_, i: (s_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda h_, s_, i: (s_, h_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s * h, nq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((s, h, nq_p, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * s * h * nq_p * (n0_p + n1_p) * d,
             bytes_accessed=(qp.size + k0p.size + v0p.size + k1p.size
@@ -337,4 +405,4 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
             transcendentals=s * h * nq_p * (n0_p + n1_p)),
         interpret=interpret,
     )(qp, k0p, v0p, k1p, v1p)
-    return out[:, :nq].reshape(s, h, nq, d)
+    return out[:, :, :nq]

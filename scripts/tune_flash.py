@@ -26,7 +26,9 @@ def candidate_blocks(n, nk):
     # pass interpret mode but can fail/mistile under Mosaic on hardware
     # (ops/flash_attention.py:_pick_blocks enforces the same); the score
     # tile cap matches _SCORE_TILE_BYTES so archived entries are never
-    # rejected by the loader's validation
+    # rejected by the loader's validation. The v2 kernel unrolls
+    # exact-divisor key chunks, so k candidates are divisors of the
+    # 16-padded panel (big chunks = few unrolled islands)
     qs = sorted({d for d in range(128, min(512, n) + 1, 16)
                  if n % d == 0} | {256, -(-n // 16) * 16 if n < 256
                                    else 256})
@@ -108,7 +110,7 @@ def main():
             if best is None or dt < best[0]:
                 best = (dt, bq, bk)
         if best:
-            table[f'{nq}x{nk}x{d}'] = {'block_q': best[1],
+            table[f'{nq}x{nk}x{d}'] = {'v': 2, 'block_q': best[1],
                                        'block_k': best[2],
                                        'ms': round(best[0], 3),
                                        'shape': [b, h, nq, nk, d],
@@ -172,6 +174,38 @@ def main():
             return (time.perf_counter() - t0) / args.iters * 1e3
 
         entry = {'shape': [s, h, n0, n1, d], 'name': 'dec_suffix_2src'}
+        # sweep the two-source kernel's own blocks (panel chunks need not
+        # match the single-source entries) and archive the best as a
+        # '2src:' record flash_attention_prefix consults first
+        best2 = None
+        for bq, ck in [(448, 1568), (448, 784), (448, 3136), (224, 1568),
+                       (448, 448), (224, 3136)]:
+            if bq * ck * 4 > 5 * 1024 * 1024:
+                continue
+            try:
+                dt = t_of(lambda: flash_attention_prefix(
+                    q, k0, v0, k1, v1, block_q=bq, block_k0=ck,
+                    block_k1=ck))
+            except Exception as e:
+                print(f'2src ({bq},{ck}): {type(e).__name__}',
+                      file=sys.stderr)
+                continue
+            print(f'2src ({bq:4d},{ck:5d}): {dt:7.2f} ms', file=sys.stderr)
+            if best2 is None or dt < best2[0]:
+                best2 = (dt, bq, ck)
+        if best2 is not None and s == args.s[0]:
+            table[f'2src:{n1}x{n0}x{n1}x{d}'] = {
+                'v': 2, 'block_q': best2[1], 'block_k0': best2[2],
+                'block_k1': best2[2], 'ms': round(best2[0], 3),
+                'shape': [s, h, n0, n1, d]}
+            with open(args.out, 'w') as f:
+                json.dump(table, f, indent=1)
+            if os.path.realpath(args.out) == os.path.realpath(
+                    os.path.join(os.path.dirname(fa.__file__),
+                                 'flash_tuned.json')):
+                fa._TUNED_TABLE = None
+            else:
+                fa._TUNED_TABLE = table
         try:
             entry['two_source_ms'] = round(
                 t_of(lambda: flash_attention_prefix(q, k0, v0, k1, v1)), 3)

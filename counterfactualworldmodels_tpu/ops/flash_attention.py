@@ -76,10 +76,11 @@ def _tuned_blocks(n: int, nk: int, d: int = 64):
     return bq, bk
 
 
-def _tuned_2src(nq: int, n0: int, n1: int, d: int):
+def _tuned_2src(nq: int, n0: int, n1: int, d: int, itemsize: int = 2):
     """Measured-best (block_q, block_k0, block_k1) for the two-source
     kernel at this exact panel pair, if archived (same validation rules
-    as _tuned_blocks)."""
+    as _tuned_blocks, with the score-tile cap evaluated at the PAIR's
+    total panel residency)."""
     _tuned_blocks(0, 0, 0)  # ensure the table is loaded
     rec = _TUNED_TABLE.get(f'2src:{nq}x{n0}x{n1}x{d}')
     if not rec or rec.get('v') != 2:
@@ -87,7 +88,8 @@ def _tuned_2src(nq: int, n0: int, n1: int, d: int):
     bq, bk0, bk1 = rec['block_q'], rec['block_k0'], rec['block_k1']
     if any(x % 16 for x in (bq, bk0, bk1)):
         return None
-    if bq * max(bk0, bk1) * 4 > _SCORE_TILE_BYTES:
+    if (bq * max(bk0, bk1) * 4
+            > _score_tile_cap(n0 + n1, bq, d, itemsize)):
         return None
     return bq, bk0, bk1
 
@@ -118,7 +120,24 @@ def _vmem_budget_check(nk_padded: int, block_q: int, max_block_k: int,
             'this long')
 
 
-def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
+def _score_tile_cap(nk_resident: int, block_q: int, d: int,
+                    itemsize: int) -> int:
+    """Max score-tile bytes consistent with _vmem_budget_check's residency
+    model at this panel size: 14 MiB minus panels, q/out, and softmax
+    state, split over the TWO in-flight score tiles. Without this,
+    _pick_blocks could choose a tile that passes the per-tile cap but
+    blows the whole-kernel budget once the panels are counted (seen at
+    the conjoined nq=3168/nk=6336 shapes)."""
+    d_lanes = -(-d // 128) * 128
+    panel_bytes = 2 * nk_resident * d_lanes * itemsize
+    qo_bytes = 2 * 2 * block_q * d_lanes * itemsize
+    acc_bytes = 2 * block_q * (d_lanes + 2 * 128) * 4
+    free = 14 * 1024 * 1024 - panel_bytes - qo_bytes - acc_bytes
+    return max(0, min(_SCORE_TILE_BYTES, free // 2))
+
+
+def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None,
+                 nk_resident: int = None, itemsize: int = 2):
     """Choose (block_q, block_k): q block and key CHUNK size.
 
     A measured table (scripts/tune_flash.py -> ops/flash_tuned.json) wins
@@ -137,13 +156,23 @@ def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
     force_block_q: pin block_q (the two-source kernel shares one q block
     across both of its k panels) — block_k is then capped against the
     PINNED q so the score tile respects the budget for the actual pair.
+
+    nk_resident: total padded keys the kernel keeps resident (for the
+    two-source kernel: BOTH panels) — the score-tile cap shrinks as the
+    panels grow so the whole-kernel VMEM budget holds. Defaults to nk.
     """
+    nk_res16 = -(-(nk_resident or nk) // 16) * 16
     tuned = _tuned_blocks(n, nk, d)
+    if tuned is not None:
+        tile_cap = _score_tile_cap(nk_res16, tuned[0], d, itemsize)
+        if tuned[0] * tuned[1] * 4 > tile_cap:
+            tuned = None  # tuned at a smaller-panel shape; re-derive
     if tuned and force_block_q is None:
         return tuned
     if force_block_q is not None:
         block_q = force_block_q
-        if tuned and block_q * tuned[1] * 4 <= _SCORE_TILE_BYTES:
+        if tuned and (block_q * tuned[1] * 4
+                      <= _score_tile_cap(nk_res16, block_q, d, itemsize)):
             return block_q, tuned[1]
     else:
         block_q = None
@@ -154,11 +183,12 @@ def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
         if block_q is None:
             block_q = min(DEFAULT_BLOCK_Q, -(-n // 16) * 16)
     nk16 = -(-nk // 16) * 16
-    if block_q * nk16 * 4 <= _SCORE_TILE_BYTES:
+    tile_cap = _score_tile_cap(nk_res16, block_q, d, itemsize)
+    if block_q * nk16 * 4 <= tile_cap:
         block_k = nk16
     else:
         block_k = None
-        cap = _SCORE_TILE_BYTES // (4 * block_q)
+        cap = tile_cap // (4 * block_q)
         for cand in range(min(cap - cap % 16, nk16), 255, -16):
             if nk16 % cand == 0:
                 block_k = cand
@@ -168,7 +198,8 @@ def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None):
     return block_q, block_k
 
 
-def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state):
+def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state,
+                    score_dtype=jnp.float32):
     """Fold one resident K/V panel into the softmax ``state`` (m, l, acc).
 
     Chunks are PYTHON-UNROLLED: chunk j's expensive ops (QK^T matmul,
@@ -182,6 +213,12 @@ def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state):
     at index >= n_valid are padding; the -inf mask is applied only to
     chunks that statically contain padding (the always-mask iota+where
     cost ~4% at the bench shape).
+
+    score_dtype: dtype the MXU emits the QK^T score tile in. The kernel
+    class is bound by score-tile result-write bytes (PERF.md roofline),
+    so bfloat16 halves the binding traffic (~2x) at the cost of rounding
+    each logit to bf16 (~0.4% relative) BEFORE the (still f32) softmax.
+    Exp/merge statistics and the accumulator stay f32 either way.
     """
     n_pad = k_ref.shape[-2]
     lead = (0,) * (len(k_ref.shape) - 2)  # collapse (1, [1,]) block dims
@@ -192,13 +229,20 @@ def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state):
         v = v_ref[sl]
         s = jax.lax.dot_general(q2, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if score_dtype != jnp.float32:
+            # Mosaic requires a 32-bit matmul accumulator, so the rounding
+            # is a fused epilogue cast: the [bq, bk] tile then lives in
+            # VMEM (and feeds max/exp) at half the bytes
+            s = s.astype(score_dtype)
         if (j + 1) * block_k > n_valid:  # static: this chunk has padding
             key_idx = jax.lax.broadcasted_iota(
                 jnp.int32, (1, block_k), 1) + j * block_k
-            s = jnp.where(key_idx < n_valid, s, -jnp.inf)
-        m = s.max(-1, keepdims=True)
-        # p = exp(s - m) == exp2(s*log2e - m*log2e): one FMA + one exp2
-        p = jnp.exp2(s * _LOG2E - m * _LOG2E)
+            s = jnp.where(key_idx < n_valid, s,
+                          jnp.asarray(-jnp.inf, score_dtype))
+        m = s.max(-1, keepdims=True).astype(jnp.float32)
+        # p = exp(s - m) == exp2(s*log2e - m*log2e): one FMA + one exp2;
+        # computed in f32 (a vreg-fused cast when s is bf16)
+        p = jnp.exp2(s.astype(jnp.float32) * _LOG2E - m * _LOG2E)
         l = p.sum(-1, keepdims=True)
         acc = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
@@ -217,15 +261,17 @@ def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state):
     return m_run, l_run, acc_run
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, n_valid: int,
+                  score_dtype):
     m, l, acc = _panel_partials(q_ref[0], k_ref, v_ref, block_k, n_valid,
-                                (None, None, None))
+                                (None, None, None), score_dtype)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('block_q', 'block_k',
-                                             'interpret'))
-def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
+                                             'interpret', 'score_dtype'))
+def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool,
+                score_dtype: str = 'float32'):
     bh, n, d = q.shape
     nk = k.shape[1]
     n_pad_q = -(-n // block_q) * block_q
@@ -238,7 +284,8 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
 
     grid = (bh, n_pad_q // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, n_valid=nk),
+        functools.partial(_flash_kernel, block_k=block_k, n_valid=nk,
+                          score_dtype=jnp.dtype(score_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -261,10 +308,16 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool):
 
 
 def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
-                    interpret: bool = None) -> jnp.ndarray:
+                    interpret: bool = None,
+                    score_dtype: str = 'float32') -> jnp.ndarray:
     """Flash attention. q [B, H, Nq, D] pre-scaled; k, v [B, H, Nk, D]
     (cross-attention shapes allowed: Nq != Nk). Block sizes are
     auto-tuned to the sequence lengths unless given.
+
+    score_dtype: 'float32' (default, exact-parity logits) or 'bfloat16'
+    (MXU emits bf16 score tiles — ~2x on the score-write-bound decode
+    shapes, each logit rounded to bf16 before the f32 softmax; see
+    _panel_partials).
 
     On non-TPU backends the kernel runs in interpreter mode (slow; tests
     only) unless ``interpret`` is forced.
@@ -274,35 +327,39 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
     b, h, n, d = q.shape
     nk = k.shape[2]
     if block_q is None or block_k is None:
-        auto_q, auto_k = _pick_blocks(n, nk, d)
+        auto_q, auto_k = _pick_blocks(n, nk, d, itemsize=q.dtype.itemsize)
         block_q = block_q or auto_q
         block_k = block_k or auto_k
     q3 = q.reshape(b * h, n, d)
     k3 = k.reshape(b * h, nk, d)
     v3 = v.reshape(b * h, nk, d)
-    out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret)
+    out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret,
+                      str(score_dtype))
     return out.reshape(b, h, n, d)
 
 
 def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                    block_k0: int, block_k1: int, n0_valid: int,
-                   n1_valid: int):
+                   n1_valid: int, score_dtype):
     """Two-source softmax: shared prefix K/V panels then per-sample own
     panels; all chunks of both panels contribute independent partials to
     ONE softmax (combined at the end)."""
     q = q_ref[0, 0]
     state = _panel_partials(q, k0_ref, v0_ref, block_k0, n0_valid,
-                            (None, None, None))
-    m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid, state)
+                            (None, None, None), score_dtype)
+    m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid,
+                                state, score_dtype)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'block_q',
-                                             'block_k0', 'block_k1'))
+                                             'block_k0', 'block_k1',
+                                             'score_dtype'))
 def flash_attention_prefix(q, k0, v0, k1, v1,
                            interpret: bool = None,
                            block_q: int = None, block_k0: int = None,
-                           block_k1: int = None) -> jnp.ndarray:
+                           block_k1: int = None,
+                           score_dtype: str = 'float32') -> jnp.ndarray:
     """Attention over [shared prefix keys ; per-sample own keys] WITHOUT
     materializing the prefix per sample.
 
@@ -341,18 +398,23 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
             f'flash_attention_prefix: empty panel (N0={n0}, N1={n1}); '
             'use flash_attention for single-source attention')
 
-    tuned2 = _tuned_2src(nq, n0, n1, d)
+    item = q.dtype.itemsize
+    tuned2 = _tuned_2src(nq, n0, n1, d, item)
     if tuned2 and not (block_q or block_k0 or block_k1):
         block_q, block_k0, block_k1 = tuned2
-    auto_q, auto_k0 = _pick_blocks(nq, n0, d)
+    # both panels stay resident: cap every score tile against their SUM
+    auto_q, auto_k0 = _pick_blocks(nq, n0, d, nk_resident=n0 + n1,
+                                   itemsize=item)
     block_q = block_q or auto_q
     block_k0 = block_k0 or (auto_k0 if block_q == auto_q else
-                            _pick_blocks(nq, n0, d,
-                                         force_block_q=block_q)[1])
+                            _pick_blocks(nq, n0, d, force_block_q=block_q,
+                                         nk_resident=n0 + n1,
+                                         itemsize=item)[1])
     # the q block is shared across both k panels: pin it so block_k1 is
     # capped against the ACTUAL pair (score tile = block_q x block_k1)
-    block_k1 = block_k1 or _pick_blocks(nq, n1, d,
-                                        force_block_q=block_q)[1]
+    block_k1 = block_k1 or _pick_blocks(nq, n1, d, force_block_q=block_q,
+                                        nk_resident=n0 + n1,
+                                        itemsize=item)[1]
 
     nq_p = -(-nq // block_q) * block_q
     n0_p = -(-n0 // block_k0) * block_k0
@@ -377,7 +439,8 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     grid = (h, s, nq_p // block_q)
     out = pl.pallas_call(
         functools.partial(_flash2_kernel, block_k0=block_k0,
-                          block_k1=block_k1, n0_valid=n0, n1_valid=n1),
+                          block_k1=block_k1, n0_valid=n0, n1_valid=n1,
+                          score_dtype=jnp.dtype(score_dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),

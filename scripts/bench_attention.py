@@ -18,6 +18,7 @@ Candidates:
 Usage: python scripts/bench_attention.py [--out ATTN_KERNELS_r03.json]
 """
 import argparse
+import functools
 import json
 import os
 import sys
@@ -61,6 +62,11 @@ def main():
     q = mk(B, H, NQ, D)
     k = mk(B, H, NK, D)
     v = mk(B, H, NK, D)
+    # the prefix rows are SHARED across samples (that is the workload):
+    # make the dense candidates see the same keys the two-source kernel
+    # reads, so error columns compare like against like
+    k = k.at[:, :, :NP].set(k[:1, :, :NP])
+    v = v.at[:, :, :NP].set(v[:1, :, :NP])
     k0, v0 = k[:1, :, :NP], v[:1, :, :NP]      # shared prefix panels
     k1, v1 = k[:, :, NP:], v[:, :, NP:]        # per-sample suffix panels
 
@@ -114,6 +120,14 @@ def main():
 
     f_two = jax.jit(flash_attention_prefix)
     record('ours-two-source', lambda: f_two(q, k0, v0, k1, v1), ref)
+
+    f_ours16 = jax.jit(functools.partial(flash_attention,
+                                         score_dtype='bfloat16'))
+    record('ours/bf16-scores', lambda: f_ours16(q, k, v), ref)
+    f_two16 = jax.jit(functools.partial(flash_attention_prefix,
+                                        score_dtype='bfloat16'))
+    record('ours-two-source/bf16-scores',
+           lambda: f_two16(q, k0, v0, k1, v1), ref)
 
     try:
         from jax.experimental.pallas.ops.tpu import (

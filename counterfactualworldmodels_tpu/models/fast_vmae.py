@@ -151,6 +151,40 @@ def _dense_attention(q, k, v):
     return dense_attention(q, k, v, dtype=v.dtype)
 
 
+def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0):
+    """Two-source dense attention WITHOUT materializing broadcast+concat
+    K/V: softmax over [shared prefix scores ; own scores], f32 like
+    dense_attention. q [S, H, Nq, d]; k0/v0 [S0, H, N0, d] with S0 in
+    {1, S}; k1/v1 [S, H, N1, d].
+
+    The concat path broadcasts the prefix panels S-fold per layer
+    (S=256 ViT-L encoder suffix: ~1.6 GB per tensor per layer of pure
+    HBM traffic if XLA fails to fuse it); here only the per-sample
+    score matrix ever exists, which is inherent to attention.
+
+    weight0: key multiplicity of the prefix panel (pooled-prefix mode) —
+    each prefix key counts as weight0 identical keys in the softmax.
+    """
+    qf = q.astype(jnp.float32)
+    if k0.shape[0] == 1:
+        s0 = jnp.einsum('shqd,hkd->shqk', qf, k0[0].astype(jnp.float32))
+    else:
+        s0 = jnp.einsum('shqd,shkd->shqk', qf, k0.astype(jnp.float32))
+    s1 = jnp.einsum('shqd,shkd->shqk', qf, k1.astype(jnp.float32))
+    if weight0 != 1.0:
+        s0 = s0 + float(np.log(weight0))
+    m = jnp.maximum(s0.max(-1, keepdims=True), s1.max(-1, keepdims=True))
+    p0 = jnp.exp(s0 - m)
+    p1 = jnp.exp(s1 - m)
+    l = p0.sum(-1, keepdims=True) + p1.sum(-1, keepdims=True)
+    if v0.shape[0] == 1:
+        o = jnp.einsum('shqk,hkd->shqd', p0, v0[0].astype(jnp.float32))
+    else:
+        o = jnp.einsum('shqk,shkd->shqd', p0, v0.astype(jnp.float32))
+    o = o + jnp.einsum('shqk,shkd->shqd', p1, v1.astype(jnp.float32))
+    return (o / l).astype(v1.dtype)
+
+
 def prefix_block_one(p, h, num_heads: int, use_flash: bool):
     """One pre-norm ViT Block over prefix tokens; returns (h, (k, v)).
 
@@ -177,19 +211,25 @@ def prefix_block_one(p, h, num_heads: int, use_flash: bool):
 
 
 def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
-                     two_source: bool):
+                     two_source: bool, prefix_weight: float = 1.0):
     """One pre-norm ViT Block: per-sample tokens attend [cached prefix
-    kv0 ; own kv]. Shared by both engines — see prefix_block_one."""
+    kv0 ; own kv]. Shared by both engines — see prefix_block_one.
+
+    prefix_weight: key multiplicity of the prefix panel (pooled-prefix
+    mode; 1.0 = exact). Routed through whichever attention impl runs."""
     scale = (h.shape[-1] // num_heads) ** -0.5
     s, n, _ = h.shape
     k0, v0 = kv0
     ln = _ln(h, p['norm1'])
     q, k, v = _qkv(p['attn'], ln, num_heads)
-    # two_source implies use_flash (resolve_two_source): enforce it here
-    # too so raw/sharded callers passing two_source=True with
-    # use_flash=False still get the dense escape hatch
     if two_source and use_flash:
-        o = flash_attention_prefix(q * scale, k0, v0, k, v)
+        o = flash_attention_prefix(q * scale, k0, v0, k, v,
+                                   prefix_weight=prefix_weight)
+    elif two_source or prefix_weight != 1.0:
+        # dense two-source: no S-fold broadcast+concat of the prefix
+        # panels (also the only dense impl that can weight the prefix)
+        o = _dense_attention_prefix(q * scale, k0, v0, k, v,
+                                    weight0=prefix_weight)
     else:
         kf = jnp.concatenate(
             [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
@@ -229,18 +269,49 @@ def resolve_two_source(use_flash: bool, two_source=None) -> bool:
 
 
 def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
-                   two_source: bool):
+                   two_source: bool, prefix_weight: float = 1.0):
     """Per-sample tokens attending to [cached prefix kv ; own kv].
 
-    two_source=True uses the two-source flash kernel, which reads the
-    shared prefix panels in place instead of broadcasting S copies per
-    layer (see bench.py degrade chain)."""
+    two_source=True uses the two-source attention (flash kernel on TPU,
+    concat-free dense otherwise), which reads the shared prefix panels
+    in place instead of broadcasting S copies per layer (see bench.py
+    degrade chain). prefix_weight: see suffix_block_one."""
     def body(h, xs):
         p, kv0 = xs
         return suffix_block_one(p, kv0, h, num_heads, use_flash,
-                                two_source), None
+                                two_source, prefix_weight), None
 
     return jax.lax.scan(body, hs, (stacked, kvs))[0]
+
+
+def _pool_panel(panel, pool: int, gh: int, gw: int):
+    """Average-pool one [L, S0, H, N0, d] prefix K/V panel pool x pool
+    over its (gh, gw) token grid (N0 = t * gh * gw, row-major). f32
+    accumulation, cast back to the panel dtype."""
+    l, s0, h, n0, d = panel.shape
+    t = n0 // (gh * gw)
+    p = panel.reshape(l, s0, h, t, gh // pool, pool, gw // pool, pool, d)
+    p = p.astype(jnp.float32).mean(axis=(5, 7))
+    return p.reshape(l, s0, h, t * (gh // pool) * (gw // pool),
+                     d).astype(panel.dtype)
+
+
+def pool_dec_prefix(dec_kvs, pool: int, gh: int, gw: int):
+    """Pooled-prefix mode: shrink the decoder prefix K/V panels pool^2-fold.
+
+    Each pooled key/value is the mean of a pool x pool spatial window of
+    frame-0 decoder keys/values; downstream attention weights it as pool^2
+    identical keys (prefix_weight), so if the window's keys/values are
+    equal the softmax is EXACT — the approximation error is only the
+    within-window variation of the scene context. Cuts the suffix
+    decoder's score elements (the measured throughput bound, PERF.md)
+    from Nq*(N0+Nq) to Nq*(N0/pool^2+Nq): ~38%% fewer at pool=2.
+    """
+    if gh % pool or gw % pool:
+        raise ValueError(f'prefix grid {gh}x{gw} not divisible by '
+                         f'pool={pool}')
+    k0, v0 = dec_kvs
+    return (_pool_panel(k0, pool, gh, gw), _pool_panel(v0, pool, gh, gw))
 
 
 class PrefixCache(NamedTuple):
@@ -284,7 +355,8 @@ def encode_prefix(model: PretrainVisionTransformer, fp: FastParams,
 def predict_frame1_from_prefix(model: PretrainVisionTransformer,
                                fp: FastParams, use_flash: bool,
                                cache: PrefixCache, x1n, vis1_idx,
-                               two_source: Optional[bool] = None):
+                               two_source: Optional[bool] = None,
+                               prefix_pool: int = 1):
     """Per-sample pass: encode the visible frame-1 tokens against the
     cached prefix, decode every frame-1 position.
 
@@ -292,19 +364,23 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     int32 [S, n_sfx] visible patch indices within frame 1 (row-major
     order). Returns [S, N1, out_dim] predictions for ALL frame-1 patches.
     two_source: see resolve_two_source (None -> env default).
+    prefix_pool: >1 pools the decoder prefix K/V panels pool x pool
+    (pool_dec_prefix) — a throughput/fidelity trade quantified in
+    tests/test_fast_vmae.py and scripts/fidelity_report.py.
 
     ``cache`` may be a stacked multi-scene cache (stack_prefix_caches,
     batch dim S): sample i then attends scene i's own prefix.
     """
     return _predict_frame1_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
-                                cache, x1n, vis1_idx)
+                                cache, x1n, vis1_idx, int(prefix_pool))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 7))
 def _predict_frame1_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
-                         cache: PrefixCache, x1n, vis1_idx):
+                         cache: PrefixCache, x1n, vis1_idx,
+                         prefix_pool: int = 1):
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     dtype = fp.patch_kernel.dtype
@@ -322,9 +398,11 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     tok = tok + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
 
     # encoder suffix: ~n_sfx (~33) queries — far below the flash kernel's
-    # minimum block, so dense attention wins regardless of use_flash
+    # minimum block, so dense attention wins regardless of use_flash;
+    # two_source=True routes to the concat-free dense impl (no S-fold
+    # prefix K/V broadcast per layer)
     hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
-                        model.encoder_num_heads, False, False)
+                        model.encoder_num_heads, False, True)
     hs = _ln(hs, fp.enc_norm)
     zs = jnp.dot(hs, fp.e2d_kernel,
                  preferred_element_type=jnp.float32).astype(dtype)
@@ -339,8 +417,14 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
     z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
 
-    y1 = _suffix_blocks(fp.dec_blocks, cache.dec_kvs, z1,
-                        model.decoder_num_heads, use_flash, two_source)
+    dec_kvs, pw = cache.dec_kvs, 1.0
+    if prefix_pool > 1:
+        ph, pw_ = model.full_patch_size[-2:]
+        gh, gw = x1n.shape[-2] // ph, x1n.shape[-1] // pw_
+        dec_kvs = pool_dec_prefix(dec_kvs, prefix_pool, gh, gw)
+        pw = float(prefix_pool * prefix_pool)
+    y1 = _suffix_blocks(fp.dec_blocks, dec_kvs, z1,
+                        model.decoder_num_heads, use_flash, two_source, pw)
     y1 = _ln(y1, fp.dec_norm)
     return (jnp.dot(y1, fp.head_kernel,
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -447,7 +531,8 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  n_vis: int, normalize: bool,
                                  x_mocos, mask_mocos,
                                  cache: Optional[PrefixCache] = None,
-                                 two_source: Optional[bool] = None):
+                                 two_source: Optional[bool] = None,
+                                 prefix_pool: int = 1):
     """See _predict_videos_core; two_source as in resolve_two_source
     (resolved here, outside jit, so the knob is part of the cache key).
 
@@ -467,15 +552,17 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
             'such prompts')
     return _predict_videos_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
-                                n_vis, normalize, x_mocos, mask_mocos, cache)
+                                n_vis, normalize, x_mocos, mask_mocos, cache,
+                                int(prefix_pool))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9))
 def _predict_videos_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
                          n_vis: int, normalize: bool,
                          x_mocos, mask_mocos,
-                         cache: Optional[PrefixCache] = None):
+                         cache: Optional[PrefixCache] = None,
+                         prefix_pool: int = 1):
     """Drop-in fast path for pipelines.prediction.predict_video on the
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
@@ -508,7 +595,7 @@ def _predict_videos_core(model: PretrainVisionTransformer,
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]
     y1 = _predict_frame1_core(model, fp, use_flash, two_source, cache,
-                              xm[:, 1], vis1_idx)
+                              xm[:, 1], vis1_idx, prefix_pool)
 
     # --- reconstruct: frame 0 = input; frame 1 = input at visible patches,
     # prediction elsewhere (same layout as prediction.scatter_pred_patches)

@@ -199,7 +199,7 @@ def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None,
 
 
 def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state,
-                    score_dtype=jnp.float32):
+                    score_dtype=jnp.float32, weight: float = 1.0):
     """Fold one resident K/V panel into the softmax ``state`` (m, l, acc).
 
     Chunks are PYTHON-UNROLLED: chunk j's expensive ops (QK^T matmul,
@@ -219,6 +219,12 @@ def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state,
     so bfloat16 halves the binding traffic (~2x) at the cost of rounding
     each logit to bf16 (~0.4% relative) BEFORE the (still f32) softmax.
     Exp/merge statistics and the accumulator stay f32 either way.
+
+    weight: static multiplicity of every key in this panel — each key
+    counts as ``weight`` identical keys in the softmax (l and acc scale
+    by it; equivalent to adding ln(weight) to the panel's logits). Used
+    by the pooled-prefix mode, where one pooled key stands for pool^2
+    originals. 1.0 is a no-op.
     """
     n_pad = k_ref.shape[-2]
     lead = (0,) * (len(k_ref.shape) - 2)  # collapse (1, [1,]) block dims
@@ -247,6 +253,11 @@ def _panel_partials(q2, k_ref, v_ref, block_k: int, n_valid: int, state,
         acc = jax.lax.dot_general(p.astype(v.dtype), v,
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+        if weight != 1.0:
+            # each key counts `weight` times: scale the [bq, 1]/[bq, d]
+            # partials (m stays the raw max — stability only)
+            l = l * weight
+            acc = acc * weight
         if m_run is None:
             m_run, l_run, acc_run = m, l, acc
         else:
@@ -340,13 +351,14 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
 
 def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                    block_k0: int, block_k1: int, n0_valid: int,
-                   n1_valid: int, score_dtype):
+                   n1_valid: int, score_dtype, prefix_weight: float):
     """Two-source softmax: shared prefix K/V panels then per-sample own
     panels; all chunks of both panels contribute independent partials to
     ONE softmax (combined at the end)."""
     q = q_ref[0, 0]
     state = _panel_partials(q, k0_ref, v0_ref, block_k0, n0_valid,
-                            (None, None, None), score_dtype)
+                            (None, None, None), score_dtype,
+                            weight=prefix_weight)
     m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid,
                                 state, score_dtype)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
@@ -354,12 +366,14 @@ def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'block_q',
                                              'block_k0', 'block_k1',
-                                             'score_dtype'))
+                                             'score_dtype',
+                                             'prefix_weight'))
 def flash_attention_prefix(q, k0, v0, k1, v1,
                            interpret: bool = None,
                            block_q: int = None, block_k0: int = None,
                            block_k1: int = None,
-                           score_dtype: str = 'float32') -> jnp.ndarray:
+                           score_dtype: str = 'float32',
+                           prefix_weight: float = 1.0) -> jnp.ndarray:
     """Attention over [shared prefix keys ; per-sample own keys] WITHOUT
     materializing the prefix per sample.
 
@@ -440,7 +454,8 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
     out = pl.pallas_call(
         functools.partial(_flash2_kernel, block_k0=block_k0,
                           block_k1=block_k1, n0_valid=n0, n1_valid=n1,
-                          score_dtype=jnp.dtype(score_dtype)),
+                          score_dtype=jnp.dtype(score_dtype),
+                          prefix_weight=float(prefix_weight)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import copy
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -148,11 +149,22 @@ class FlowGenerator(PredictorBasedGenerator):
                  patch_sampling_kwargs={},
                  engine: str = 'fast',
                  prefix_cache_size: int = 4,
+                 prefix_pool: Optional[int] = None,
                  **kwargs):
         super().__init__(*args, **kwargs)
         assert engine in ('exact', 'fast'), engine
         self.engine = engine
         self.prefix_cache_size = prefix_cache_size
+        # pooled-prefix mode (fast engine only): pool the decoder prefix
+        # K/V panels pool x pool, weighting each pooled key pool^2-fold —
+        # ~38% fewer suffix-attention score elements at pool=2 (the
+        # measured throughput bound, PERF.md) for a quantified fidelity
+        # cost (tests/test_fast_vmae.py, scripts/fidelity_report.py).
+        # None -> CWM_PREFIX_POOL env (default 1 = off).
+        if prefix_pool is None:
+            prefix_pool = int(os.environ.get('CWM_PREFIX_POOL', '1') or 1)
+        assert prefix_pool >= 1, prefix_pool
+        self.prefix_pool = int(prefix_pool)
         self._prefix_lru = None  # built lazily on first fast chunk
         self._fast_params_src = None  # identity key: rebuilt on params swap
         self._fast_disabled = False  # set by _disable_fast_engine on failure
@@ -476,7 +488,8 @@ class FlowGenerator(PredictorBasedGenerator):
                 cache, _ = self._prefix_lru.get(x[0:1, 0])
                 vid = fast_vmae.predict_videos_shared_prefix(
                     self.predictor, self._fast_params, self._use_flash,
-                    n_vis, self.imagenet_normalize_inputs, x, mask, cache)
+                    n_vis, self.imagenet_normalize_inputs, x, mask, cache,
+                    prefix_pool=self.prefix_pool)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 jax.block_until_ready(vid)
@@ -522,7 +535,7 @@ class FlowGenerator(PredictorBasedGenerator):
                     n_vis, self.imagenet_normalize_inputs, iters, True,
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
-                    prefix_cache=cache)
+                    prefix_cache=cache, prefix_pool=self.prefix_pool)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 return jax.block_until_ready(out)
@@ -687,14 +700,16 @@ FlowGenerator.flowshow = _flowshow
 FlowGenerator.get_error_maps = _get_error_maps
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 2, 9, 10, 11, 12, 13, 14, 16))
 def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
                                          shifts, keys, n_vis: int,
                                          normalize: bool, raft_iters: int,
                                          fix_passive: bool, use_flash: bool,
                                          two_source: bool = False,
-                                         prefix_cache=None):
+                                         prefix_cache=None,
+                                         prefix_pool: int = 1):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
     across samples (fix_passive). The ViT runs via the prefix-isolated
@@ -726,7 +741,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
 
     y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
                              n_vis, normalize, x_mocos, mask_mocos,
-                             prefix_cache)
+                             prefix_cache, prefix_pool)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
 

@@ -114,6 +114,28 @@ def main():
 
     rows['full-but-cheap-ln'] = timeit(jax.jit(no_ln), stacked, kvs, hs)
 
+    real_mlp = fv._mlp
+
+    def tanh_mlp(p_mlp, x):
+        h = (jnp.dot(x, p_mlp['fc1']['kernel'],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+             + p_mlp['fc1']['bias'])
+        h = jax.nn.gelu(h, approximate=True)
+        return (jnp.dot(h, p_mlp['fc2']['kernel'],
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+                + p_mlp['fc2']['bias'])
+
+    def cheap_gelu(stacked_, kvs_, hs_):
+        fv._mlp = tanh_mlp
+        try:
+            return fv._suffix_blocks(stacked_, kvs_, hs_, num_heads=H,
+                                     use_flash=True, two_source=True)
+        finally:
+            fv._mlp = real_mlp
+
+    rows['full-but-tanh-gelu'] = timeit(jax.jit(cheap_gelu), stacked, kvs,
+                                        hs)
+
     # attention alone at the same shapes (kernel ceiling check in situ)
     q = mk(S, H, N, d)
     k1 = mk(S, H, N, d)

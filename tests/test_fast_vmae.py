@@ -484,3 +484,59 @@ def test_stack_params_rejects_unsupported_model_knobs():
     params2 = jvmae.init_params(m2, jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match='qk_scale'):
         fv.stack_vmae_params(m2, params2)
+
+
+def test_pooled_prefix_exact_for_constant_windows():
+    """prefix_pool is EXACT when the decoder prefix K/V are constant
+    within each pool x pool window: pooling then weighting pool^2-fold is
+    the identity on such panels (the semantics pool_dec_prefix documents).
+    """
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    x_mocos, mask, n_vis = _workload(model)
+    xm = imagenet_normalize(x_mocos, temporal_dim=1)
+    cache = fv.encode_prefix(model, fp, False, xm[0:1, 0])
+
+    # make the dec prefix panels window-constant: pool, then upsample back
+    gh = model.img_size[0] // model.full_patch_size[-2]
+    gw = model.img_size[1] // model.full_patch_size[-1]
+    pool = 2
+
+    def window_constant(panel):
+        l, s0, h, n0, d = panel.shape
+        t = n0 // (gh * gw)
+        p = panel.reshape(l, s0, h, t, gh // pool, pool, gw // pool, pool, d)
+        p = jnp.broadcast_to(p.mean(axis=(5, 7), keepdims=True), p.shape)
+        return p.reshape(panel.shape)
+
+    cache_c = cache._replace(
+        dec_kvs=tuple(window_constant(p) for p in cache.dec_kvs))
+
+    n0 = model.num_patches_per_frame
+    vis1 = fv.mask_order(mask[:, n0:])[:, :n_vis - n0]
+    y_ref = fv.predict_frame1_from_prefix(model, fp, False, cache_c,
+                                          xm[:, 1], vis1, two_source=True)
+    y_pool = fv.predict_frame1_from_prefix(model, fp, False, cache_c,
+                                           xm[:, 1], vis1, two_source=True,
+                                           prefix_pool=pool)
+    np.testing.assert_allclose(np.asarray(y_pool), np.asarray(y_ref),
+                               atol=1e-4)
+
+
+def test_pooled_prefix_fidelity_smoke():
+    """pool=2 on a real cache: close to the unpooled fast path (high
+    correlation), but genuinely different (the pooling actually ran)."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(1))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    x_mocos, mask, n_vis = _workload(model, seed=2)
+    y = fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
+                                        x_mocos, mask)
+    y2 = fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
+                                         x_mocos, mask, prefix_pool=2)
+    a = np.asarray(y, np.float64).ravel()
+    b = np.asarray(y2, np.float64).ravel()
+    assert not np.allclose(a, b)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr

@@ -131,3 +131,57 @@ def test_flash_prefix_rejects_empty_panels():
         flash_attention_prefix(q, empty, empty, kv, kv)
     with pytest.raises(ValueError, match='empty panel'):
         flash_attention_prefix(q, kv, kv, empty, empty)
+
+
+def test_flash_prefix_weight_matches_replicated_keys():
+    """prefix_weight=w with one prefix key per group == unweighted
+    attention where that key appears w times: the pooled-prefix weighting
+    semantics (each pooled key counts as pool^2 originals) are EXACT for
+    locally-constant prefix panels."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_prefix)
+    rng = np.random.RandomState(2)
+    s, h, nq, n0, n1, d, w = 2, 2, 12, 9, 12, 16, 4
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32)) * 0.3
+    k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+
+    # reference: each prefix key replicated w times in a plain concat
+    k0r = jnp.repeat(k0, w, axis=2)
+    v0r = jnp.repeat(v0, w, axis=2)
+    kf = jnp.concatenate([jnp.broadcast_to(k0r, (s, h, n0 * w, d)), k1], 2)
+    vf = jnp.concatenate([jnp.broadcast_to(v0r, (s, h, n0 * w, d)), v1], 2)
+    ref = np.asarray(flash_attention(q, kf, vf))
+
+    out = np.asarray(flash_attention_prefix(q, k0, v0, k1, v1,
+                                            prefix_weight=float(w)))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+    # dense two-source impl agrees too
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        _dense_attention_prefix)
+    out_d = np.asarray(_dense_attention_prefix(q, k0, v0, k1, v1,
+                                               weight0=float(w)))
+    np.testing.assert_allclose(out_d, ref, atol=3e-5)
+
+
+def test_dense_attention_prefix_matches_concat():
+    """Concat-free dense two-source == dense over [broadcast prefix; own],
+    shared (s0=1) and stacked (s0=S) prefix layouts."""
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        _dense_attention, _dense_attention_prefix)
+    rng = np.random.RandomState(3)
+    s, h, nq, n0, n1, d = 3, 2, 7, 11, 7, 16
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32)) * 0.3
+    k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    for s0 in (1, s):
+        k0 = jnp.asarray(rng.randn(s0, h, n0, d).astype(np.float32))
+        v0 = jnp.asarray(rng.randn(s0, h, n0, d).astype(np.float32))
+        kf = jnp.concatenate([jnp.broadcast_to(k0, (s, h, n0, d)), k1], 2)
+        vf = jnp.concatenate([jnp.broadcast_to(v0, (s, h, n0, d)), v1], 2)
+        ref = np.asarray(_dense_attention(q, kf, vf))
+        out = np.asarray(_dense_attention_prefix(q, k0, v0, k1, v1))
+        np.testing.assert_allclose(out, ref, atol=3e-5)

@@ -133,6 +133,9 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'],
                     help='base is light enough for CPU smoke runs')
     ap.add_argument('--raft-iters', type=int, default=24)
+    ap.add_argument('--prefix-pools', default='2',
+                    help='comma-separated pooled-prefix factors to also '
+                         'measure vs exact (empty = none)')
     ap.add_argument('--conjoined', default='auto',
                     choices=['auto', 'flagship', 'small', 'off'],
                     help='also measure the conjoined (IMU) engine: '
@@ -180,6 +183,7 @@ def main():
     # an artifact (mirrors bench.py's degrade chain)
     import traceback
     two_source = resolve_two_source(on_tpu)
+    pools = [int(v) for v in args.prefix_pools.split(',') if v.strip()]
     for path in paths:
         img = Image.open(path).convert('RGB').resize((224, 224))
         x = jnp.asarray(np.asarray(img), jnp.float32).transpose(2, 0, 1)[None] / 255.
@@ -220,17 +224,35 @@ def main():
                 keys, n_vis, True, args.raft_iters, True, on_tpu,
                 two_source)
 
-        ye = np.asarray(y_e.reshape(s, -1), np.float32)
-        yf = np.asarray(y_f.reshape(s, -1), np.float32)
-        fe = np.asarray(f_e.reshape(-1), np.float32)
-        ff = np.asarray(f_f.reshape(-1), np.float32)
-        video_corr = float(np.corrcoef(ye.reshape(-1), yf.reshape(-1))[0, 1])
-        flow_corr = float(np.corrcoef(fe, ff)[0, 1])
-        flow_rel = float(np.abs(fe - ff).mean() / (np.abs(fe).mean() + 1e-8))
-        per_image.append({'image': os.path.basename(path),
-                          'video_corr': round(video_corr, 5),
-                          'flow_corr': round(flow_corr, 5),
-                          'flow_mean_rel_dev': round(flow_rel, 5)})
+        def vs_exact(y_x, f_x):
+            yx = np.asarray(y_x.reshape(s, -1), np.float32)
+            ye_ = np.asarray(y_e.reshape(s, -1), np.float32)
+            fe_ = np.asarray(f_e.reshape(-1), np.float32)
+            fx = np.asarray(f_x.reshape(-1), np.float32)
+            return {
+                'video_corr': round(float(np.corrcoef(
+                    ye_.reshape(-1), yx.reshape(-1))[0, 1]), 5),
+                'flow_corr': round(float(np.corrcoef(fe_, fx)[0, 1]), 5),
+                'flow_mean_rel_dev': round(float(
+                    np.abs(fe_ - fx).mean()
+                    / (np.abs(fe_).mean() + 1e-8)), 5),
+            }
+
+        row = {'image': os.path.basename(path), **vs_exact(y_f, f_f)}
+        # pooled-prefix fidelity (same prompts, vs the SAME exact run)
+        for pool in pools:
+            try:
+                y_p, f_p, _ = jax.block_until_ready(
+                    counterfactual_videos_and_flows_fast(
+                        model, fp, raft, raft_params, x, passive, active,
+                        shifts, keys, n_vis, True, args.raft_iters, True,
+                        on_tpu, two_source, prefix_pool=pool))
+                row[f'pool{pool}'] = vs_exact(y_p, f_p)
+            except Exception as e:
+                traceback.print_exc()
+                row[f'pool{pool}'] = {
+                    'error': f'{type(e).__name__}: {e}'[:200]}
+        per_image.append(row)
 
     conjoined = None
     if args.conjoined != 'off':

@@ -470,6 +470,19 @@ def test_fidelity_vs_exact_model_trained_weights():
           f'{losses[-1]:.3f} mean-rel-dev {rel:.4f} corr {corr:.4f}')
     assert corr > 0.95, (corr, rel)
 
+    # pooled-prefix deviation with the SAME trained weights (the honest
+    # proxy: at random init attention is near-uniform and pooling looks
+    # free; trained attention is sharp, so this bounds the real cost)
+    y_pool = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n_vis, True, x_mocos, mask, prefix_pool=2))
+    rel_p = (np.abs(y_pool[:, 1] - y_exact[:, 1]).mean()
+             / np.abs(y_exact[:, 1]).mean())
+    corr_p = np.corrcoef(y_pool[:, 1].ravel(),
+                         y_exact[:, 1].ravel())[0, 1]
+    print(f'trained-weights pooled-prefix (pool=2) fidelity: '
+          f'mean-rel-dev {rel_p:.4f} corr {corr_p:.4f}')
+    assert corr_p > 0.9, (corr_p, rel_p)
+
 
 def test_stack_params_rejects_unsupported_model_knobs():
     """stack_vmae_params fails loudly for model knobs the engine does not

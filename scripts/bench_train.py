@@ -49,7 +49,7 @@ def vmae_train_flops(model, batch, n_vis):
     return 3 * fwd * batch
 
 
-def bench_vmae(steps, model_name):
+def bench_vmae(steps, model_name, accum_steps: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -61,6 +61,7 @@ def bench_vmae(steps, model_name):
     model = (vmae.large_4x4patch_2frames_1tube(**kw) if model_name == 'large'
              else vmae.base_8x8patch_2frames_1tube(**kw))
     batch = 8 if on_tpu else 1
+    batch = max(batch, accum_steps)
     opt = T.make_optimizer()
     key = jax.random.PRNGKey(0)
     _, n_vis = T.make_batch_masks(key, model, batch, 0.9)
@@ -69,7 +70,8 @@ def bench_vmae(steps, model_name):
     def mask_fn(k, b):
         return T.make_batch_masks(k, model, b, 0.9)[0]
 
-    step = jax.jit(T.make_train_step(model, opt, n_vis, mask_fn=mask_fn),
+    step = jax.jit(T.make_train_step(model, opt, n_vis, mask_fn=mask_fn,
+                                     accum_steps=accum_steps),
                    donate_argnums=(0,))
     x = jnp.asarray(np.random.RandomState(0).rand(
         batch, 2, 3, 224, 224), jnp.float32)
@@ -82,10 +84,86 @@ def bench_vmae(steps, model_name):
     _sync(m['loss'])
     dt = (time.perf_counter() - t0) / steps
     flops = vmae_train_flops(model, batch, n_vis)
-    return {'family': f'vmae_{model_name}', 'batch': batch,
+    name = f'vmae_{model_name}' + (f'_accum{accum_steps}'
+                                   if accum_steps > 1 else '')
+    return {'family': name, 'batch': batch, 'accum_steps': accum_steps,
+            'remat': True,
             'sec_per_step': round(dt, 4),
             'clips_per_sec': round(batch / dt, 2),
             'mfu': round(flops / dt / V5E_PEAK_FLOPS, 4)}
+
+
+def bench_loader_in_loop(steps):
+    """The native loader feeding the real ViT-B train step on device:
+    quantifies the input pipeline's share of a training step (VERDICT r03
+    #6 — if input wait is a small fraction of step time, loader
+    throughput is not the binding constraint at this config)."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from counterfactualworldmodels_tpu.data import shards as D
+    from counterfactualworldmodels_tpu.models import vmae
+    from counterfactualworldmodels_tpu.training import train as T
+    on_tpu = jax.default_backend() == 'tpu'
+    kw = dict(dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+              attn_impl='flash' if on_tpu else 'dense')
+    hw = 224 if on_tpu else 32
+    model = (vmae.base_8x8patch_2frames_1tube(**kw) if on_tpu else
+             vmae.PretrainVisionTransformer(
+                 img_size=(hw, hw), patch_size=(8, 8),
+                 encoder_embed_dim=48, encoder_depth=2,
+                 encoder_num_heads=4, decoder_embed_dim=32,
+                 decoder_depth=1, decoder_num_heads=2, num_frames=2))
+    batch = 8 if on_tpu else 2
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, 'bench.clips')
+        D.write_shard(path, (rng.rand(64, 2, hw, hw, 3) * 255)
+                      .astype(np.uint8))
+        opt = T.make_optimizer()
+        key = jax.random.PRNGKey(0)
+        _, n_vis = T.make_batch_masks(key, model, batch, 0.9)
+        state = T.init_train_state(model, opt, key, n_vis=n_vis)
+
+        def mask_fn(k, b):
+            return T.make_batch_masks(k, model, b, 0.9)[0]
+
+        step = jax.jit(T.make_train_step(model, opt, n_vis,
+                                         mask_fn=mask_fn),
+                       donate_argnums=(0,))
+        loader = D.NativeClipLoader(path, batch_size=batch, num_threads=2,
+                                    out_dtype='u8', zero_copy=True)
+        try:
+            def loader_step(state, i):
+                xb = D.u8_to_chw_01(jnp.asarray(loader.next_batch()))
+                return step(state, xb, jax.random.fold_in(key, i))
+
+            state, m = loader_step(state, 0)   # compile + warm
+            _sync(m['loss'])
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, m = loader_step(state, 10 + i)
+            _sync(m['loss'])
+            dt_loader = (time.perf_counter() - t0) / steps
+
+            # same step count on a resident synthetic batch = step-only
+            x = jnp.asarray(rng.rand(batch, 2, 3, hw, hw), jnp.float32)
+            state, m = step(state, x, jax.random.fold_in(key, 5000))
+            _sync(m['loss'])
+            t0 = time.perf_counter()
+            for i in range(steps):
+                state, m = step(state, x, jax.random.fold_in(key, 600 + i))
+            _sync(m['loss'])
+            dt_synth = (time.perf_counter() - t0) / steps
+        finally:
+            loader.close()
+    return {'family': 'vmae_base_loader_in_loop', 'batch': batch,
+            'img': hw,
+            'sec_per_step': round(dt_loader, 4),
+            'sec_per_step_synthetic': round(dt_synth, 4),
+            'clips_per_sec': round(batch / dt_loader, 2),
+            'input_share': round(max(0.0, 1 - dt_synth / dt_loader), 4)}
 
 
 def bench_raft(steps):
@@ -191,8 +269,10 @@ def main():
         enable_persistent_cache)
     enable_persistent_cache()
     steps = int(os.environ.get('CWM_TRAIN_BENCH_STEPS', '8'))
-    fams = os.environ.get('CWM_TRAIN_BENCH_FAMILIES',
-                          'vmae,conjoined,raft').split(',')
+    fams = os.environ.get(
+        'CWM_TRAIN_BENCH_FAMILIES',
+        'vmae,vmae_large,vmae_large_accum,loader,conjoined,raft'
+    ).split(',')
     model_name = os.environ.get('CWM_TRAIN_BENCH_MODEL',
                                 'base')
     out = {'backend': jax.default_backend(),
@@ -212,6 +292,12 @@ def main():
         try:
             if fam == 'vmae':
                 r = bench_vmae(steps, model_name)
+            elif fam == 'vmae_large':
+                r = bench_vmae(steps, 'large')
+            elif fam == 'vmae_large_accum':
+                r = bench_vmae(steps, 'large', accum_steps=2)
+            elif fam == 'loader':
+                r = bench_loader_in_loop(steps)
             elif fam == 'raft':
                 r = bench_raft(steps)
             elif fam == 'conjoined':

@@ -149,9 +149,78 @@ def main():
         fa._TUNED_TABLE = table  # --out elsewhere: inject directly
     from counterfactualworldmodels_tpu.ops.flash_attention import (
         flash_attention_prefix)
+    # (name, n0, n1, h): plain decoder suffix (the conjoined engine adds
+    # only its 64 null-padding rows to n1), plus the pooled-prefix
+    # variants (prefix panel /4 and /16 keys)
+    two_src_shapes = [
+        ('dec_suffix_2src', 3136, 3136, 8),
+        ('dec_suffix_2src_pool2', 784, 3136, 8),
+        ('dec_suffix_2src_pool4', 196, 3136, 8),
+    ]
     for s in args.s:
-        # headline bench shape (plain engine decoder suffix); the conjoined
-        # engine adds only its 64 null-padding rows to n1
+        for name2, n0, n1, h in two_src_shapes:
+            d = 64
+            q = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                            jnp.bfloat16) * 0.125
+            k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32),
+                             jnp.bfloat16)
+            v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32),
+                             jnp.bfloat16)
+            k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                             jnp.bfloat16)
+            v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
+                             jnp.bfloat16)
+
+            def t_of(fn):
+                float(jnp.sum(jnp.abs(fn()).astype(jnp.float32)))
+                t0 = time.perf_counter()
+                acc = jnp.float32(0)
+                for _ in range(args.iters):
+                    acc = acc + jnp.sum(jnp.abs(fn()).astype(jnp.float32))
+                float(acc)
+                return (time.perf_counter() - t0) / args.iters * 1e3
+
+            # sweep the two-source kernel's own blocks (panel chunks need
+            # not match the single-source entries) and archive the best as
+            # a '2src:' record flash_attention_prefix consults first. The
+            # prefix chunk is capped at the panel (ck0 = min(ck, n0)).
+            best2 = None
+            for bq, ck in [(448, 1568), (448, 784), (448, 3136),
+                           (224, 1568), (448, 448), (224, 3136),
+                           (448, 196), (448, 1045)]:
+                if bq * ck * 4 > 5 * 1024 * 1024 or (n1 % ck and ck > n0):
+                    continue
+                ck0 = min(ck, n0)
+                if n0 % ck0 or n1 % ck:
+                    continue
+                try:
+                    dt = t_of(lambda: flash_attention_prefix(
+                        q, k0, v0, k1, v1, block_q=bq, block_k0=ck0,
+                        block_k1=ck))
+                except Exception as e:
+                    print(f'{name2} ({bq},{ck}): {type(e).__name__}',
+                          file=sys.stderr)
+                    continue
+                print(f'{name2} ({bq:4d},{ck:5d}): {dt:7.2f} ms',
+                      file=sys.stderr)
+                if best2 is None or dt < best2[0]:
+                    best2 = (dt, bq, ck0, ck)
+            if best2 is not None and s == args.s[0]:
+                table[f'2src:{n1}x{n0}x{n1}x{d}'] = {
+                    'v': 2, 'block_q': best2[1], 'block_k0': best2[2],
+                    'block_k1': best2[3], 'ms': round(best2[0], 3),
+                    'shape': [s, h, n0, n1, d], 'name': name2}
+            with open(args.out, 'w') as f:
+                json.dump(table, f, indent=1)
+            if os.path.realpath(args.out) == os.path.realpath(
+                    os.path.join(os.path.dirname(fa.__file__),
+                                 'flash_tuned.json')):
+                fa._TUNED_TABLE = None
+            else:
+                fa._TUNED_TABLE = table
+        # two-source vs broadcast+concat comparison at the PLAIN decoder
+        # suffix shape (q/k0/v0/k1/v1 are the last-iterated pooled shape,
+        # so rebuild the plain panels here)
         h, n0, n1, d = 8, 3136, 3136, 64
         q = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
                         jnp.bfloat16) * 0.125
@@ -163,49 +232,7 @@ def main():
                          jnp.bfloat16)
         v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32),
                          jnp.bfloat16)
-
-        def t_of(fn):
-            float(jnp.sum(jnp.abs(fn()).astype(jnp.float32)))
-            t0 = time.perf_counter()
-            acc = jnp.float32(0)
-            for _ in range(args.iters):
-                acc = acc + jnp.sum(jnp.abs(fn()).astype(jnp.float32))
-            float(acc)
-            return (time.perf_counter() - t0) / args.iters * 1e3
-
         entry = {'shape': [s, h, n0, n1, d], 'name': 'dec_suffix_2src'}
-        # sweep the two-source kernel's own blocks (panel chunks need not
-        # match the single-source entries) and archive the best as a
-        # '2src:' record flash_attention_prefix consults first
-        best2 = None
-        for bq, ck in [(448, 1568), (448, 784), (448, 3136), (224, 1568),
-                       (448, 448), (224, 3136)]:
-            if bq * ck * 4 > 5 * 1024 * 1024:
-                continue
-            try:
-                dt = t_of(lambda: flash_attention_prefix(
-                    q, k0, v0, k1, v1, block_q=bq, block_k0=ck,
-                    block_k1=ck))
-            except Exception as e:
-                print(f'2src ({bq},{ck}): {type(e).__name__}',
-                      file=sys.stderr)
-                continue
-            print(f'2src ({bq:4d},{ck:5d}): {dt:7.2f} ms', file=sys.stderr)
-            if best2 is None or dt < best2[0]:
-                best2 = (dt, bq, ck)
-        if best2 is not None and s == args.s[0]:
-            table[f'2src:{n1}x{n0}x{n1}x{d}'] = {
-                'v': 2, 'block_q': best2[1], 'block_k0': best2[2],
-                'block_k1': best2[2], 'ms': round(best2[0], 3),
-                'shape': [s, h, n0, n1, d]}
-            with open(args.out, 'w') as f:
-                json.dump(table, f, indent=1)
-            if os.path.realpath(args.out) == os.path.realpath(
-                    os.path.join(os.path.dirname(fa.__file__),
-                                 'flash_tuned.json')):
-                fa._TUNED_TABLE = None
-            else:
-                fa._TUNED_TABLE = table
         try:
             entry['two_source_ms'] = round(
                 t_of(lambda: flash_attention_prefix(q, k0, v0, k1, v1)), 3)

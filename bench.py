@@ -298,31 +298,33 @@ def main():
     pooled = None
     pool = int(os.environ.get('CWM_BENCH_POOL', '2') or 0)
     if pool > 1 and engine.startswith('shared-prefix') and mesh is None:
-        try:
-            p3, a3, sh3, k3 = build_prompts(s)
+        p3, a3, sh3, k3 = build_prompts(s)
+        pooled = {'s': s, 'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json'}
+        for spool in (1, pool):
+            try:
+                def dispatch_pool():
+                    _, flows, _ = counterfactual_videos_and_flows_fast(
+                        model, fp, raft, raft_params, x, p3, a3, sh3, k3,
+                        n_vis, True, raft_iters, True, on_tpu, two_source,
+                        prefix_pool=pool, suffix_pool=spool)
+                    return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
-            def dispatch_pool():
-                _, flows, _ = counterfactual_videos_and_flows_fast(
-                    model, fp, raft, raft_params, x, p3, a3, sh3, k3,
-                    n_vis, True, raft_iters, True, on_tpu, two_source,
-                    prefix_pool=pool)
-                return jnp.sum(jnp.abs(flows).astype(jnp.float32))
-
-            dtp = measure(dispatch_pool)
-            rate_p = (b * s) / dtp
-            pooled = {'pool': pool, 's': s,
-                      'sims_per_sec': round(rate_p, 3),
-                      'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json'}
-            if (rate_p > sims_per_sec
-                    and os.environ.get('CWM_BENCH_POOL_HEADLINE', '1')
-                    != '0'):
-                sims_per_sec, dt = rate_p, dtp
-                engine = f'shared-prefix/pooled{pool}'
-        except Exception:
-            traceback.print_exc()
-            print('pooled-prefix probe failed; headline keeps the exact-'
-                  'numerics engine', file=sys.stderr)
-            jax.clear_caches()
+                dtp = measure(dispatch_pool)
+                rate_p = (b * s) / dtp
+                label = (f'pooled{pool}' if spool == 1
+                         else f'pooled{pool}+suffix{spool}')
+                pooled[label] = round(rate_p, 3)
+                if (rate_p > sims_per_sec
+                        and os.environ.get('CWM_BENCH_POOL_HEADLINE', '1')
+                        != '0'):
+                    sims_per_sec, dt = rate_p, dtp
+                    engine = f'shared-prefix/{label}'
+            except Exception:
+                traceback.print_exc()
+                print(f'pooled probe (suffix_pool={spool}) failed; '
+                      'headline keeps the best measured config',
+                      file=sys.stderr)
+                jax.clear_caches()
 
     # per-stage breakdown (separate dispatches; small overhead each)
     stages = {}

@@ -151,7 +151,8 @@ def _dense_attention(q, k, v):
     return dense_attention(q, k, v, dtype=v.dtype)
 
 
-def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0):
+def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0,
+                            weight1: float = 1.0):
     """Two-source dense attention WITHOUT materializing broadcast+concat
     K/V: softmax over [shared prefix scores ; own scores], f32 like
     dense_attention. q [S, H, Nq, d]; k0/v0 [S0, H, N0, d] with S0 in
@@ -162,8 +163,8 @@ def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0):
     HBM traffic if XLA fails to fuse it); here only the per-sample
     score matrix ever exists, which is inherent to attention.
 
-    weight0: key multiplicity of the prefix panel (pooled-prefix mode) —
-    each prefix key counts as weight0 identical keys in the softmax.
+    weight0/weight1: key multiplicity of the prefix/own panel (pooled
+    modes) — each key counts as weight identical keys in the softmax.
     """
     qf = q.astype(jnp.float32)
     if k0.shape[0] == 1:
@@ -173,6 +174,8 @@ def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0):
     s1 = jnp.einsum('shqd,shkd->shqk', qf, k1.astype(jnp.float32))
     if weight0 != 1.0:
         s0 = s0 + float(np.log(weight0))
+    if weight1 != 1.0:
+        s1 = s1 + float(np.log(weight1))
     m = jnp.maximum(s0.max(-1, keepdims=True), s1.max(-1, keepdims=True))
     p0 = jnp.exp(s0 - m)
     p1 = jnp.exp(s1 - m)
@@ -210,26 +213,48 @@ def prefix_block_one(p, h, num_heads: int, use_flash: bool):
     return h + m, (k, v)
 
 
+def _pool_kv_grid(x, pool: int, grid):
+    """Average-pool per-sample K/V [S, H, N, d] pool x pool over the
+    (gh, gw) token grid (N = gh*gw row-major); f32 accumulation."""
+    gh, gw = grid
+    s, h, n, d = x.shape
+    p = x.reshape(s, h, gh // pool, pool, gw // pool, pool, d)
+    p = p.astype(jnp.float32).mean(axis=(3, 5))
+    return p.reshape(s, h, (gh // pool) * (gw // pool), d).astype(x.dtype)
+
+
 def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
-                     two_source: bool, prefix_weight: float = 1.0):
+                     two_source: bool, prefix_weight: float = 1.0,
+                     suffix_pool: int = 1, grid=None):
     """One pre-norm ViT Block: per-sample tokens attend [cached prefix
     kv0 ; own kv]. Shared by both engines — see prefix_block_one.
 
     prefix_weight: key multiplicity of the prefix panel (pooled-prefix
-    mode; 1.0 = exact). Routed through whichever attention impl runs."""
+    mode; 1.0 = exact). Routed through whichever attention impl runs.
+    suffix_pool: >1 pools the PER-SAMPLE keys/values pool x pool over the
+    (gh, gw) token ``grid`` and weights them pool^2-fold — queries stay
+    full-resolution, so every output position is still computed; only
+    what it READS from the other suffix positions is coarsened."""
     scale = (h.shape[-1] // num_heads) ** -0.5
     s, n, _ = h.shape
     k0, v0 = kv0
     ln = _ln(h, p['norm1'])
     q, k, v = _qkv(p['attn'], ln, num_heads)
+    suffix_weight = 1.0
+    if suffix_pool > 1:
+        k = _pool_kv_grid(k, suffix_pool, grid)
+        v = _pool_kv_grid(v, suffix_pool, grid)
+        suffix_weight = float(suffix_pool * suffix_pool)
     if two_source and use_flash:
         o = flash_attention_prefix(q * scale, k0, v0, k, v,
-                                   prefix_weight=prefix_weight)
-    elif two_source or prefix_weight != 1.0:
+                                   prefix_weight=prefix_weight,
+                                   suffix_weight=suffix_weight)
+    elif two_source or prefix_weight != 1.0 or suffix_weight != 1.0:
         # dense two-source: no S-fold broadcast+concat of the prefix
-        # panels (also the only dense impl that can weight the prefix)
+        # panels (also the only dense impl that can weight the panels)
         o = _dense_attention_prefix(q * scale, k0, v0, k, v,
-                                    weight0=prefix_weight)
+                                    weight0=prefix_weight,
+                                    weight1=suffix_weight)
     else:
         kf = jnp.concatenate(
             [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
@@ -269,17 +294,19 @@ def resolve_two_source(use_flash: bool, two_source=None) -> bool:
 
 
 def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
-                   two_source: bool, prefix_weight: float = 1.0):
+                   two_source: bool, prefix_weight: float = 1.0,
+                   suffix_pool: int = 1, grid=None):
     """Per-sample tokens attending to [cached prefix kv ; own kv].
 
     two_source=True uses the two-source attention (flash kernel on TPU,
     concat-free dense otherwise), which reads the shared prefix panels
     in place instead of broadcasting S copies per layer (see bench.py
-    degrade chain). prefix_weight: see suffix_block_one."""
+    degrade chain). prefix_weight / suffix_pool: see suffix_block_one."""
     def body(h, xs):
         p, kv0 = xs
         return suffix_block_one(p, kv0, h, num_heads, use_flash,
-                                two_source, prefix_weight), None
+                                two_source, prefix_weight, suffix_pool,
+                                grid), None
 
     return jax.lax.scan(body, hs, (stacked, kvs))[0]
 
@@ -356,7 +383,8 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
                                fp: FastParams, use_flash: bool,
                                cache: PrefixCache, x1n, vis1_idx,
                                two_source: Optional[bool] = None,
-                               prefix_pool: int = 1):
+                               prefix_pool: int = 1,
+                               suffix_pool: int = 1):
     """Per-sample pass: encode the visible frame-1 tokens against the
     cached prefix, decode every frame-1 position.
 
@@ -365,22 +393,25 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     order). Returns [S, N1, out_dim] predictions for ALL frame-1 patches.
     two_source: see resolve_two_source (None -> env default).
     prefix_pool: >1 pools the decoder prefix K/V panels pool x pool
-    (pool_dec_prefix) — a throughput/fidelity trade quantified in
-    tests/test_fast_vmae.py and scripts/fidelity_report.py.
+    (pool_dec_prefix); suffix_pool: >1 pools the per-sample decoder
+    keys/values likewise (queries stay full-res). Throughput/fidelity
+    trades quantified in tests/test_fast_vmae.py and
+    scripts/fidelity_report.py.
 
     ``cache`` may be a stacked multi-scene cache (stack_prefix_caches,
     batch dim S): sample i then attends scene i's own prefix.
     """
     return _predict_frame1_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
-                                cache, x1n, vis1_idx, int(prefix_pool))
+                                cache, x1n, vis1_idx, int(prefix_pool),
+                                int(suffix_pool))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 7, 8))
 def _predict_frame1_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
                          cache: PrefixCache, x1n, vis1_idx,
-                         prefix_pool: int = 1):
+                         prefix_pool: int = 1, suffix_pool: int = 1):
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     dtype = fp.patch_kernel.dtype
@@ -418,13 +449,14 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
 
     dec_kvs, pw = cache.dec_kvs, 1.0
+    ph, pw_ = model.full_patch_size[-2:]
+    gh, gw = x1n.shape[-2] // ph, x1n.shape[-1] // pw_
     if prefix_pool > 1:
-        ph, pw_ = model.full_patch_size[-2:]
-        gh, gw = x1n.shape[-2] // ph, x1n.shape[-1] // pw_
         dec_kvs = pool_dec_prefix(dec_kvs, prefix_pool, gh, gw)
         pw = float(prefix_pool * prefix_pool)
     y1 = _suffix_blocks(fp.dec_blocks, dec_kvs, z1,
-                        model.decoder_num_heads, use_flash, two_source, pw)
+                        model.decoder_num_heads, use_flash, two_source, pw,
+                        suffix_pool, (gh, gw))
     y1 = _ln(y1, fp.dec_norm)
     return (jnp.dot(y1, fp.head_kernel,
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -532,7 +564,8 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  x_mocos, mask_mocos,
                                  cache: Optional[PrefixCache] = None,
                                  two_source: Optional[bool] = None,
-                                 prefix_pool: int = 1):
+                                 prefix_pool: int = 1,
+                                 suffix_pool: int = 1):
     """See _predict_videos_core; two_source as in resolve_two_source
     (resolved here, outside jit, so the knob is part of the cache key).
 
@@ -553,16 +586,16 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     return _predict_videos_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
                                 n_vis, normalize, x_mocos, mask_mocos, cache,
-                                int(prefix_pool))
+                                int(prefix_pool), int(suffix_pool))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9, 10))
 def _predict_videos_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
                          n_vis: int, normalize: bool,
                          x_mocos, mask_mocos,
                          cache: Optional[PrefixCache] = None,
-                         prefix_pool: int = 1):
+                         prefix_pool: int = 1, suffix_pool: int = 1):
     """Drop-in fast path for pipelines.prediction.predict_video on the
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
@@ -595,7 +628,7 @@ def _predict_videos_core(model: PretrainVisionTransformer,
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]
     y1 = _predict_frame1_core(model, fp, use_flash, two_source, cache,
-                              xm[:, 1], vis1_idx, prefix_pool)
+                              xm[:, 1], vis1_idx, prefix_pool, suffix_pool)
 
     # --- reconstruct: frame 0 = input; frame 1 = input at visible patches,
     # prediction elsewhere (same layout as prediction.scatter_pred_patches)

@@ -351,7 +351,8 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
 
 def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                    block_k0: int, block_k1: int, n0_valid: int,
-                   n1_valid: int, score_dtype, prefix_weight: float):
+                   n1_valid: int, score_dtype, prefix_weight: float,
+                   suffix_weight: float):
     """Two-source softmax: shared prefix K/V panels then per-sample own
     panels; all chunks of both panels contribute independent partials to
     ONE softmax (combined at the end)."""
@@ -360,20 +361,22 @@ def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
                             (None, None, None), score_dtype,
                             weight=prefix_weight)
     m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid,
-                                state, score_dtype)
+                                state, score_dtype, weight=suffix_weight)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'block_q',
                                              'block_k0', 'block_k1',
                                              'score_dtype',
-                                             'prefix_weight'))
+                                             'prefix_weight',
+                                             'suffix_weight'))
 def flash_attention_prefix(q, k0, v0, k1, v1,
                            interpret: bool = None,
                            block_q: int = None, block_k0: int = None,
                            block_k1: int = None,
                            score_dtype: str = 'float32',
-                           prefix_weight: float = 1.0) -> jnp.ndarray:
+                           prefix_weight: float = 1.0,
+                           suffix_weight: float = 1.0) -> jnp.ndarray:
     """Attention over [shared prefix keys ; per-sample own keys] WITHOUT
     materializing the prefix per sample.
 
@@ -455,7 +458,8 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
         functools.partial(_flash2_kernel, block_k0=block_k0,
                           block_k1=block_k1, n0_valid=n0, n1_valid=n1,
                           score_dtype=jnp.dtype(score_dtype),
-                          prefix_weight=float(prefix_weight)),
+                          prefix_weight=float(prefix_weight),
+                          suffix_weight=float(suffix_weight)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),

@@ -150,6 +150,7 @@ class FlowGenerator(PredictorBasedGenerator):
                  engine: str = 'fast',
                  prefix_cache_size: int = 4,
                  prefix_pool: Optional[int] = None,
+                 suffix_pool: Optional[int] = None,
                  **kwargs):
         super().__init__(*args, **kwargs)
         assert engine in ('exact', 'fast'), engine
@@ -165,6 +166,12 @@ class FlowGenerator(PredictorBasedGenerator):
             prefix_pool = int(os.environ.get('CWM_PREFIX_POOL', '1') or 1)
         assert prefix_pool >= 1, prefix_pool
         self.prefix_pool = int(prefix_pool)
+        # suffix_pool likewise pools the PER-SAMPLE decoder keys/values
+        # (queries stay full-res); None -> CWM_SUFFIX_POOL (default off)
+        if suffix_pool is None:
+            suffix_pool = int(os.environ.get('CWM_SUFFIX_POOL', '1') or 1)
+        assert suffix_pool >= 1, suffix_pool
+        self.suffix_pool = int(suffix_pool)
         self._prefix_lru = None  # built lazily on first fast chunk
         self._fast_params_src = None  # identity key: rebuilt on params swap
         self._fast_disabled = False  # set by _disable_fast_engine on failure
@@ -489,7 +496,8 @@ class FlowGenerator(PredictorBasedGenerator):
                 vid = fast_vmae.predict_videos_shared_prefix(
                     self.predictor, self._fast_params, self._use_flash,
                     n_vis, self.imagenet_normalize_inputs, x, mask, cache,
-                    prefix_pool=self.prefix_pool)
+                    prefix_pool=self.prefix_pool,
+                    suffix_pool=self.suffix_pool)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 jax.block_until_ready(vid)
@@ -535,7 +543,8 @@ class FlowGenerator(PredictorBasedGenerator):
                     n_vis, self.imagenet_normalize_inputs, iters, True,
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
-                    prefix_cache=cache, prefix_pool=self.prefix_pool)
+                    prefix_cache=cache, prefix_pool=self.prefix_pool,
+                    suffix_pool=self.suffix_pool)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 return jax.block_until_ready(out)
@@ -701,7 +710,7 @@ FlowGenerator.get_error_maps = _get_error_maps
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 2, 9, 10, 11, 12, 13, 14, 16))
+                   static_argnums=(0, 2, 9, 10, 11, 12, 13, 14, 16, 17))
 def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
                                          shifts, keys, n_vis: int,
@@ -709,7 +718,8 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          fix_passive: bool, use_flash: bool,
                                          two_source: bool = False,
                                          prefix_cache=None,
-                                         prefix_pool: int = 1):
+                                         prefix_pool: int = 1,
+                                         suffix_pool: int = 1):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
     across samples (fix_passive). The ViT runs via the prefix-isolated
@@ -741,7 +751,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
 
     y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
                              n_vis, normalize, x_mocos, mask_mocos,
-                             prefix_cache, prefix_pool)
+                             prefix_cache, prefix_pool, suffix_pool)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
 

@@ -133,9 +133,11 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'],
                     help='base is light enough for CPU smoke runs')
     ap.add_argument('--raft-iters', type=int, default=24)
-    ap.add_argument('--prefix-pools', default='2',
-                    help='comma-separated pooled-prefix factors to also '
-                         'measure vs exact (empty = none)')
+    ap.add_argument('--prefix-pools', default='2:1,2:2',
+                    help='comma-separated prefix[:suffix] pool configs to '
+                         'also measure vs exact (empty = none), e.g. '
+                         '"2:1,2:2" = pooled prefix only, then pooled '
+                         'prefix+suffix')
     ap.add_argument('--conjoined', default='auto',
                     choices=['auto', 'flagship', 'small', 'off'],
                     help='also measure the conjoined (IMU) engine: '
@@ -183,7 +185,12 @@ def main():
     # an artifact (mirrors bench.py's degrade chain)
     import traceback
     two_source = resolve_two_source(on_tpu)
-    pools = [int(v) for v in args.prefix_pools.split(',') if v.strip()]
+    pools = []
+    for v in args.prefix_pools.split(','):
+        if not v.strip():
+            continue
+        pp, _, sp = v.partition(':')
+        pools.append((int(pp), int(sp or 1)))
     for path in paths:
         img = Image.open(path).convert('RGB').resize((224, 224))
         x = jnp.asarray(np.asarray(img), jnp.float32).transpose(2, 0, 1)[None] / 255.
@@ -239,19 +246,22 @@ def main():
             }
 
         row = {'image': os.path.basename(path), **vs_exact(y_f, f_f)}
-        # pooled-prefix fidelity (same prompts, vs the SAME exact run)
-        for pool in pools:
+        # pooled-prefix/suffix fidelity (same prompts, vs the SAME exact
+        # run)
+        for pool, spool in pools:
+            key_ = (f'pool{pool}' if spool == 1
+                    else f'pool{pool}_suffix{spool}')
             try:
                 y_p, f_p, _ = jax.block_until_ready(
                     counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, passive, active,
                         shifts, keys, n_vis, True, args.raft_iters, True,
-                        on_tpu, two_source, prefix_pool=pool))
-                row[f'pool{pool}'] = vs_exact(y_p, f_p)
+                        on_tpu, two_source, prefix_pool=pool,
+                        suffix_pool=spool))
+                row[key_] = vs_exact(y_p, f_p)
             except Exception as e:
                 traceback.print_exc()
-                row[f'pool{pool}'] = {
-                    'error': f'{type(e).__name__}: {e}'[:200]}
+                row[key_] = {'error': f'{type(e).__name__}: {e}'[:200]}
         per_image.append(row)
 
     conjoined = None

@@ -483,6 +483,17 @@ def test_fidelity_vs_exact_model_trained_weights():
           f'mean-rel-dev {rel_p:.4f} corr {corr_p:.4f}')
     assert corr_p > 0.9, (corr_p, rel_p)
 
+    # pooled SUFFIX keys on top (the most aggressive mode)
+    y_sp = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n_vis, True, x_mocos, mask, prefix_pool=2,
+        suffix_pool=2))
+    rel_s = (np.abs(y_sp[:, 1] - y_exact[:, 1]).mean()
+             / np.abs(y_exact[:, 1]).mean())
+    corr_s = np.corrcoef(y_sp[:, 1].ravel(), y_exact[:, 1].ravel())[0, 1]
+    print(f'trained-weights pooled prefix+suffix (2,2) fidelity: '
+          f'mean-rel-dev {rel_s:.4f} corr {corr_s:.4f}')
+    assert corr_s > 0.9, (corr_s, rel_s)
+
 
 def test_stack_params_rejects_unsupported_model_knobs():
     """stack_vmae_params fails loudly for model knobs the engine does not

@@ -185,3 +185,32 @@ def test_dense_attention_prefix_matches_concat():
         ref = np.asarray(_dense_attention(q, kf, vf))
         out = np.asarray(_dense_attention_prefix(q, k0, v0, k1, v1))
         np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_flash_suffix_weight_matches_replicated_keys():
+    """suffix_weight=w == per-sample keys each appearing w times (the
+    pooled-suffix mode's weighting semantics)."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_prefix)
+    from counterfactualworldmodels_tpu.models.fast_vmae import (
+        _dense_attention_prefix)
+    rng = np.random.RandomState(4)
+    s, h, nq, n0, n1, d, w = 2, 2, 12, 9, 8, 16, 4
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32)) * 0.3
+    k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+    v1 = jnp.asarray(rng.randn(s, h, n1, d).astype(np.float32))
+
+    kf = jnp.concatenate([jnp.broadcast_to(k0, (s, h, n0, d)),
+                          jnp.repeat(k1, w, axis=2)], 2)
+    vf = jnp.concatenate([jnp.broadcast_to(v0, (s, h, n0, d)),
+                          jnp.repeat(v1, w, axis=2)], 2)
+    ref = np.asarray(flash_attention(q, kf, vf))
+
+    out = np.asarray(flash_attention_prefix(q, k0, v0, k1, v1,
+                                            suffix_weight=float(w)))
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+    out_d = np.asarray(_dense_attention_prefix(q, k0, v0, k1, v1,
+                                               weight1=float(w)))
+    np.testing.assert_allclose(out_d, ref, atol=3e-5)

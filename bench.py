@@ -300,19 +300,22 @@ def main():
     if pool > 1 and engine.startswith('shared-prefix') and mesh is None:
         p3, a3, sh3, k3 = build_prompts(s)
         pooled = {'s': s, 'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json'}
-        for spool in (1, pool):
+        for spool, gelu in ((1, 'erf'), (pool, 'erf'), (pool, 'tanh')):
             try:
                 def dispatch_pool():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p3, a3, sh3, k3,
                         n_vis, True, raft_iters, True, on_tpu, two_source,
-                        prefix_pool=pool, suffix_pool=spool)
+                        prefix_pool=pool, suffix_pool=spool, gelu=gelu)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
                 dtp = measure(dispatch_pool)
                 rate_p = (b * s) / dtp
-                label = (f'pooled{pool}' if spool == 1
-                         else f'pooled{pool}+suffix{spool}')
+                label = f'pooled{pool}'
+                if spool > 1:
+                    label += f'+suffix{spool}'
+                if gelu != 'erf':
+                    label += f'+{gelu}'
                 pooled[label] = round(rate_p, 3)
                 if (rate_p > sims_per_sec
                         and os.environ.get('CWM_BENCH_POOL_HEADLINE', '1')
@@ -321,8 +324,8 @@ def main():
                     engine = f'shared-prefix/{label}'
             except Exception:
                 traceback.print_exc()
-                print(f'pooled probe (suffix_pool={spool}) failed; '
-                      'headline keeps the best measured config',
+                print(f'pooled probe (suffix_pool={spool}, gelu={gelu}) '
+                      'failed; headline keeps the best measured config',
                       file=sys.stderr)
                 jax.clear_caches()
 

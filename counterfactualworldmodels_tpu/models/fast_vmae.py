@@ -137,14 +137,27 @@ def _proj(p_attn, out, b, n):
             + p_attn['proj']['bias'])
 
 
-def _mlp(p_mlp, x):
+def _mlp(p_mlp, x, gelu: str = 'erf'):
     h = (jnp.dot(x, p_mlp['fc1']['kernel'],
                  preferred_element_type=jnp.float32).astype(x.dtype)
          + p_mlp['fc1']['bias'])
-    h = jax.nn.gelu(h, approximate=False)
+    # 'erf' matches the reference's torch nn.GELU exactly; 'tanh' is the
+    # cheap approximation (measured 195 ms cheaper per S=256 suffix
+    # dispatch on v5e — XLA's erf is ~25 VPU ops/element), max abs
+    # activation error ~3e-4, far below the engine's bf16 isolation error
+    h = jax.nn.gelu(h, approximate=(gelu == 'tanh'))
     return (jnp.dot(h, p_mlp['fc2']['kernel'],
                     preferred_element_type=jnp.float32).astype(h.dtype)
             + p_mlp['fc2']['bias'])
+
+
+def resolve_gelu(gelu: Optional[str] = None) -> str:
+    """Resolve the gelu knob OUTSIDE jit (like resolve_two_source): None
+    reads CWM_FAST_GELU ('erf' default = reference-exact)."""
+    if gelu is None:
+        gelu = os.environ.get('CWM_FAST_GELU', 'erf')
+    assert gelu in ('erf', 'tanh'), gelu
+    return gelu
 
 
 def _dense_attention(q, k, v):
@@ -225,7 +238,7 @@ def _pool_kv_grid(x, pool: int, grid):
 
 def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
                      two_source: bool, prefix_weight: float = 1.0,
-                     suffix_pool: int = 1, grid=None):
+                     suffix_pool: int = 1, grid=None, gelu: str = 'erf'):
     """One pre-norm ViT Block: per-sample tokens attend [cached prefix
     kv0 ; own kv]. Shared by both engines — see prefix_block_one.
 
@@ -268,7 +281,7 @@ def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
     if 'gamma_1' in p:
         o = p['gamma_1'] * o
     h = h + o
-    m = _mlp(p['mlp'], _ln(h, p['norm2']))
+    m = _mlp(p['mlp'], _ln(h, p['norm2']), gelu)
     if 'gamma_2' in p:
         m = p['gamma_2'] * m
     return h + m
@@ -295,7 +308,7 @@ def resolve_two_source(use_flash: bool, two_source=None) -> bool:
 
 def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
                    two_source: bool, prefix_weight: float = 1.0,
-                   suffix_pool: int = 1, grid=None):
+                   suffix_pool: int = 1, grid=None, gelu: str = 'erf'):
     """Per-sample tokens attending to [cached prefix kv ; own kv].
 
     two_source=True uses the two-source attention (flash kernel on TPU,
@@ -306,7 +319,7 @@ def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
         p, kv0 = xs
         return suffix_block_one(p, kv0, h, num_heads, use_flash,
                                 two_source, prefix_weight, suffix_pool,
-                                grid), None
+                                grid, gelu), None
 
     return jax.lax.scan(body, hs, (stacked, kvs))[0]
 
@@ -384,7 +397,8 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
                                cache: PrefixCache, x1n, vis1_idx,
                                two_source: Optional[bool] = None,
                                prefix_pool: int = 1,
-                               suffix_pool: int = 1):
+                               suffix_pool: int = 1,
+                               gelu: Optional[str] = None):
     """Per-sample pass: encode the visible frame-1 tokens against the
     cached prefix, decode every frame-1 position.
 
@@ -404,14 +418,15 @@ def predict_frame1_from_prefix(model: PretrainVisionTransformer,
     return _predict_frame1_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
                                 cache, x1n, vis1_idx, int(prefix_pool),
-                                int(suffix_pool))
+                                int(suffix_pool), resolve_gelu(gelu))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 7, 8, 9))
 def _predict_frame1_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
                          cache: PrefixCache, x1n, vis1_idx,
-                         prefix_pool: int = 1, suffix_pool: int = 1):
+                         prefix_pool: int = 1, suffix_pool: int = 1,
+                         gelu: str = 'erf'):
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     dtype = fp.patch_kernel.dtype
@@ -433,7 +448,7 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     # two_source=True routes to the concat-free dense impl (no S-fold
     # prefix K/V broadcast per layer)
     hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
-                        model.encoder_num_heads, False, True)
+                        model.encoder_num_heads, False, True, gelu=gelu)
     hs = _ln(hs, fp.enc_norm)
     zs = jnp.dot(hs, fp.e2d_kernel,
                  preferred_element_type=jnp.float32).astype(dtype)
@@ -456,7 +471,7 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
         pw = float(prefix_pool * prefix_pool)
     y1 = _suffix_blocks(fp.dec_blocks, dec_kvs, z1,
                         model.decoder_num_heads, use_flash, two_source, pw,
-                        suffix_pool, (gh, gw))
+                        suffix_pool, (gh, gw), gelu)
     y1 = _ln(y1, fp.dec_norm)
     return (jnp.dot(y1, fp.head_kernel,
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -565,7 +580,8 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
                                  cache: Optional[PrefixCache] = None,
                                  two_source: Optional[bool] = None,
                                  prefix_pool: int = 1,
-                                 suffix_pool: int = 1):
+                                 suffix_pool: int = 1,
+                                 gelu: Optional[str] = None):
     """See _predict_videos_core; two_source as in resolve_two_source
     (resolved here, outside jit, so the knob is part of the cache key).
 
@@ -586,16 +602,18 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     return _predict_videos_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
                                 n_vis, normalize, x_mocos, mask_mocos, cache,
-                                int(prefix_pool), int(suffix_pool))
+                                int(prefix_pool), int(suffix_pool),
+                                resolve_gelu(gelu))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9, 10, 11))
 def _predict_videos_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
                          n_vis: int, normalize: bool,
                          x_mocos, mask_mocos,
                          cache: Optional[PrefixCache] = None,
-                         prefix_pool: int = 1, suffix_pool: int = 1):
+                         prefix_pool: int = 1, suffix_pool: int = 1,
+                         gelu: str = 'erf'):
     """Drop-in fast path for pipelines.prediction.predict_video on the
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
@@ -628,7 +646,8 @@ def _predict_videos_core(model: PretrainVisionTransformer,
     mask1 = mask_mocos[:, n0:]
     vis1_idx = mask_order(mask1)[:, :n_sfx]
     y1 = _predict_frame1_core(model, fp, use_flash, two_source, cache,
-                              xm[:, 1], vis1_idx, prefix_pool, suffix_pool)
+                              xm[:, 1], vis1_idx, prefix_pool, suffix_pool,
+                              gelu)
 
     # --- reconstruct: frame 0 = input; frame 1 = input at visible patches,
     # prediction elsewhere (same layout as prediction.scatter_pred_patches)

@@ -544,7 +544,8 @@ class FlowGenerator(PredictorBasedGenerator):
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
                     prefix_cache=cache, prefix_pool=self.prefix_pool,
-                    suffix_pool=self.suffix_pool)
+                    suffix_pool=self.suffix_pool,
+                    gelu=fast_vmae.resolve_gelu())
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 return jax.block_until_ready(out)
@@ -710,7 +711,8 @@ FlowGenerator.get_error_maps = _get_error_maps
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(0, 2, 9, 10, 11, 12, 13, 14, 16, 17))
+                   static_argnums=(0, 2, 9, 10, 11, 12, 13, 14, 16, 17,
+                                   18))
 def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
                                          shifts, keys, n_vis: int,
@@ -719,7 +721,8 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          two_source: bool = False,
                                          prefix_cache=None,
                                          prefix_pool: int = 1,
-                                         suffix_pool: int = 1):
+                                         suffix_pool: int = 1,
+                                         gelu: str = 'erf'):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
     across samples (fix_passive). The ViT runs via the prefix-isolated
@@ -751,7 +754,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
 
     y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
                              n_vis, normalize, x_mocos, mask_mocos,
-                             prefix_cache, prefix_pool, suffix_pool)
+                             prefix_cache, prefix_pool, suffix_pool, gelu)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
 

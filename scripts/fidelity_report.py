@@ -133,11 +133,10 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'],
                     help='base is light enough for CPU smoke runs')
     ap.add_argument('--raft-iters', type=int, default=24)
-    ap.add_argument('--prefix-pools', default='2:1,2:2',
-                    help='comma-separated prefix[:suffix] pool configs to '
-                         'also measure vs exact (empty = none), e.g. '
-                         '"2:1,2:2" = pooled prefix only, then pooled '
-                         'prefix+suffix')
+    ap.add_argument('--prefix-pools', default='2:1,2:2,2:2:tanh',
+                    help='comma-separated prefix[:suffix[:gelu]] pool '
+                         'configs to also measure vs exact (empty = '
+                         'none), e.g. "2:1,2:2,2:2:tanh"')
     ap.add_argument('--conjoined', default='auto',
                     choices=['auto', 'flagship', 'small', 'off'],
                     help='also measure the conjoined (IMU) engine: '
@@ -189,8 +188,10 @@ def main():
     for v in args.prefix_pools.split(','):
         if not v.strip():
             continue
-        pp, _, sp = v.partition(':')
-        pools.append((int(pp), int(sp or 1)))
+        parts = v.split(':')
+        pools.append((int(parts[0]),
+                      int(parts[1]) if len(parts) > 1 and parts[1] else 1,
+                      parts[2] if len(parts) > 2 else 'erf'))
     for path in paths:
         img = Image.open(path).convert('RGB').resize((224, 224))
         x = jnp.asarray(np.asarray(img), jnp.float32).transpose(2, 0, 1)[None] / 255.
@@ -248,16 +249,19 @@ def main():
         row = {'image': os.path.basename(path), **vs_exact(y_f, f_f)}
         # pooled-prefix/suffix fidelity (same prompts, vs the SAME exact
         # run)
-        for pool, spool in pools:
-            key_ = (f'pool{pool}' if spool == 1
-                    else f'pool{pool}_suffix{spool}')
+        for pool, spool, gelu in pools:
+            key_ = f'pool{pool}'
+            if spool > 1:
+                key_ += f'_suffix{spool}'
+            if gelu != 'erf':
+                key_ += f'_{gelu}'
             try:
                 y_p, f_p, _ = jax.block_until_ready(
                     counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, passive, active,
                         shifts, keys, n_vis, True, args.raft_iters, True,
                         on_tpu, two_source, prefix_pool=pool,
-                        suffix_pool=spool))
+                        suffix_pool=spool, gelu=gelu))
                 row[key_] = vs_exact(y_p, f_p)
             except Exception as e:
                 traceback.print_exc()

@@ -44,6 +44,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--s', type=int, nargs='+', default=[16])
     ap.add_argument('--iters', type=int, default=8)
+    ap.add_argument('--only-2src', action='store_true',
+                    help='skip the single-source sweeps (whose padded '
+                         'K/V copies OOM at large --s) and tune only the '
+                         'two-source records')
     ap.add_argument('--out', default=os.path.join(
         os.path.dirname(__file__), '..', 'counterfactualworldmodels_tpu',
         'ops', 'flash_tuned.json'))
@@ -75,11 +79,12 @@ def main():
     # than letting later batch sizes silently overwrite the entry
     shapes = []
     n0 = 3136
-    shapes += [
-        ('enc_prefix', 1, 16, n0, n0, 64),
-        ('dec_prefix', 1, 8, n0, n0, 64),
-        ('dec_suffix', args.s[0], 8, n0, 2 * n0, 64),
-    ]
+    if not args.only_2src:
+        shapes += [
+            ('enc_prefix', 1, 16, n0, n0, 64),
+            ('dec_prefix', 1, 8, n0, n0, 64),
+            ('dec_suffix', args.s[0], 8, n0, 2 * n0, 64),
+        ]
 
     rng = np.random.RandomState(0)
     table = {}

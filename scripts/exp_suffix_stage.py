@@ -67,11 +67,24 @@ def main():
         return best
 
     rows = {}
-    for pool in [int(v) for v in args.pools.split(',') if v]:
-        rows[f'suffix_pool{pool}_ms'] = round(timeit(
+    for cfg in args.pools.split(','):
+        if not cfg:
+            continue
+        parts = cfg.split(':')
+        pool = int(parts[0])
+        spool = int(parts[1]) if len(parts) > 1 and parts[1] else 1
+        gelu = parts[2] if len(parts) > 2 else 'erf'
+        key = f'suffix_pool{pool}'
+        if spool > 1:
+            key += f'_s{spool}'
+        if gelu != 'erf':
+            key += f'_{gelu}'
+        rows[key + '_ms'] = round(timeit(
             lambda: fv.predict_frame1_from_prefix(
                 model, fp, on_tpu, cache, xm[:, 1], vis1,
-                two_source=on_tpu, prefix_pool=pool)) * 1e3, 1)
+                two_source=on_tpu, prefix_pool=pool, suffix_pool=spool,
+                gelu=gelu)) * 1e3, 1)
+        print(key, rows[key + '_ms'], file=sys.stderr)
     print(json.dumps({'s': s, 'backend': jax.default_backend(), **rows}))
 
 

@@ -68,7 +68,10 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
                                  shifts, keys, n_vis: int, normalize: bool,
                                  raft_iters: int, use_flash: bool = False,
                                  two_source: bool = False,
-                                 prefix_cache=None):
+                                 prefix_cache=None,
+                                 prefix_pool: int = 1,
+                                 suffix_pool: int = 1,
+                                 gelu: str = 'erf'):
     """Sample-sharded shared-prefix engine (models/fast_vmae.py).
 
     The frame-0 prefix pass is sample-independent: its inputs (x, params)
@@ -84,7 +87,8 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
         return counterfactual_videos_and_flows_fast(
             vmae_model, fp, raft_model, rp, xl, p, a, sh, k, n_vis,
             normalize, raft_iters, True, use_flash, two_source,
-            prefix_cache=cache[0] if cache else None)
+            prefix_cache=cache[0] if cache else None,
+            prefix_pool=prefix_pool, suffix_pool=suffix_pool, gelu=gelu)
 
     in_specs = [P(), P(), P(), P(None, None, 'samples'),
                 P(None, None, 'samples'), P(None, 'samples'),

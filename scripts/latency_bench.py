@@ -152,10 +152,17 @@ def main():
         cvis1 = jnp.asarray(rng.choice(cn0, 33, replace=False)[None],
                             jnp.int32)
 
+        # the interactive path runs this inside a jitted core
+        # (imu.py -> predict_videos_conjoined_prefix); time the same
+        # compiled program, not the eager trace (each eager op is a host
+        # round-trip on the axon relay — measured 3.8 s of pure dispatch)
+        import functools as _ft
+        f_imu = jax.jit(_ft.partial(fc.predict_frame1_conjoined, cmodel,
+                                    use_flash=on_tpu,
+                                    two_source=two_source))
+
         def run_warm_imu():
-            y1 = fc.predict_frame1_conjoined(cmodel, cfp, ccache,
-                                             cxm[:, :, 1], cvis1, on_tpu,
-                                             two_source)
+            y1 = f_imu(cfp, ccache, cxm[:, :, 1], cvis1)
             return float(jnp.sum(jnp.abs(y1).astype(jnp.float32)))
 
         rec['warm_prefix_imu'] = timed(run_warm_imu)

@@ -9,7 +9,7 @@ offset axis is added to x and the second to y (corr.py:43-49).
 """
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -167,7 +167,8 @@ def lookup_pyramid_lanes(pyramid_t: List[jnp.ndarray], coords: jnp.ndarray,
 
 
 def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
-                   radius: int, padded: bool = False) -> jnp.ndarray:
+                   radius: int, padded: bool = False,
+                   impl: Optional[str] = None) -> jnp.ndarray:
     """Index the correlation pyramid around current flow coords.
 
     coords: [B, H, W, 2] (x, y) pixel coords at 1/8 res. ``padded`` marks
@@ -175,6 +176,11 @@ def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
     Returns [B, H, W, num_levels * (2r+1)^2] features, ordered exactly like
     the reference (levels outer; within a level, offset (i, j) row-major
     where i offsets x and j offsets y).
+
+    impl: None = backend auto (Pallas kernel on TPU, gather elsewhere);
+    'kernel' forces the Pallas window kernel; 'gather' forces the pure-jnp
+    gather/lerp formulation — the only path with a reverse-mode derivative
+    (the Pallas kernels define no VJP), so training uses it.
     """
     b, h, w, _ = coords.shape
     r = radius
@@ -185,7 +191,10 @@ def lookup_pyramid(pyramid: List[jnp.ndarray], coords: jnp.ndarray,
 
     x = coords[..., 0].reshape(b * h * w)
     y = coords[..., 1].reshape(b * h * w)
-    use_pallas = jax.default_backend() == 'tpu'
+    if impl is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    else:
+        use_pallas = impl == 'kernel'
     out = []
     for i, level in enumerate(pyramid):
         lh = level.shape[1] - 2 * pad

@@ -91,17 +91,20 @@ class _UpdateStep(nn.Module):
     corr_radius: int
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
-    lanes: bool = False  # pyramid in the query-on-lanes layout (TPU kernel)
+    # 'lanes' = query-on-lanes Pallas kernel layout, 'window' = backend-auto
+    # window lookup, 'gather' = pure-jnp gather/lerp (the differentiable path)
+    lookup: str = 'window'
     emit_flow: bool = False  # per-iteration upsampled flows (training)
 
     @nn.compact
     def __call__(self, carry, inp, coords0, pyramid):
         net, coords1, _prev_mask = carry
-        if self.lanes:
+        if self.lookup == 'lanes':
             corr = lookup_pyramid_lanes(pyramid, coords1, self.corr_radius)
         else:
-            corr = lookup_pyramid(pyramid, coords1, self.corr_radius,
-                                  padded=True)
+            corr = lookup_pyramid(
+                pyramid, coords1, self.corr_radius, padded=True,
+                impl='gather' if self.lookup == 'gather' else None)
         flow = coords1 - coords0
         if self.small:
             block = SmallUpdateBlock(self.corr_levels, self.corr_radius,
@@ -142,6 +145,12 @@ class RAFT(nn.Module):
     output_dim: Optional[int] = None
     iters: int = 24
     dtype: jnp.dtype = jnp.float32
+    # Correlation-lookup implementation. None = backend auto (lanes Pallas
+    # kernel on TPU unless CWM_RAFT_LANES=0, gather elsewhere); 'lanes' /
+    # 'window' force those kernels; 'gather' forces the pure-jnp path —
+    # required under jax.grad (the Pallas lookups define no VJP), so the
+    # training steps clone the model with corr_lookup='gather'.
+    corr_lookup: Optional[str] = None
 
     @property
     def radius(self):
@@ -195,10 +204,14 @@ class RAFT(nn.Module):
         # CWM_RAFT_LANES=0 falls back to the r01-validated window-lookup
         # kernel (read at trace time; benches flip it if the lanes kernel
         # fails to compile on a given TPU generation)
-        import os
-        lanes = (jax.default_backend() == 'tpu'
-                 and os.environ.get('CWM_RAFT_LANES', '1') != '0')
-        if lanes:
+        lookup = self.corr_lookup
+        if lookup is None:
+            import os
+            lookup = ('lanes' if (jax.default_backend() == 'tpu'
+                                  and os.environ.get('CWM_RAFT_LANES', '1')
+                                  != '0')
+                      else 'window')
+        if lookup == 'lanes':
             pyramid = build_pyramid_lanes(corr, self.corr_levels)
         else:
             pyramid = pad_pyramid(build_pyramid(corr, self.corr_levels),
@@ -222,7 +235,7 @@ class RAFT(nn.Module):
                        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                        length=iters)
         step = scan(self.small, self.corr_levels, self.radius,
-                    self.hidden_dim, self.dtype, lanes,
+                    self.hidden_dim, self.dtype, lookup,
                     emit_flow=with_sequence, name='update_step')
         (net, coords1, up_mask), flow_seq = step((net, coords1, mask0),
                                                  inp, coords0, pyramid)

@@ -318,6 +318,66 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool,
     return out[:, :n]
 
 
+def _chunked_dense_attention(q, k, v):
+    """Differentiable reference attention, scanned over query chunks with
+    per-chunk rematerialization — O(chunk * Nk) live score memory in both
+    passes instead of O(Nq * Nk). Numerics match the dense path (f32
+    logits/softmax); used as the backward rule for the Pallas forward
+    (which defines no VJP of its own)."""
+    b, h, n, d = q.shape
+    # bound the live f32 score tile to ~128 MB
+    per_row = b * h * k.shape[2] * 4
+    chunk = max(64, min(1024, int(2 ** 27 // max(per_row, 1) // 64 * 64)))
+    if n <= chunk:
+        attn = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        return jnp.einsum('bhqk,bhkd->bhqd', attn, v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+    nc = -(-n // chunk)
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, nc * chunk - n), (0, 0)))
+    qs = jnp.moveaxis(qp.reshape(b, h, nc, chunk, d), 2, 0)
+
+    def body(_, qc):
+        s = jnp.einsum('bhqd,bhkd->bhqk', qc, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum('bhqk,bhkd->bhqd', p, v,
+                       preferred_element_type=jnp.float32).astype(q.dtype)
+        return None, o
+
+    _, out = jax.lax.scan(jax.checkpoint(body), None, qs)
+    out = jnp.moveaxis(out, 0, 2).reshape(b, h, nc * chunk, d)
+    return out[:, :, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, block_q, block_k, interpret, score_dtype):
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    out = _flash_bhnd(q.reshape(b * h, n, d), k.reshape(b * h, nk, d),
+                      v.reshape(b * h, nk, d), block_q, block_k, interpret,
+                      score_dtype)
+    return out.reshape(b, h, n, d)
+
+
+def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret, score_dtype):
+    return (_flash_attention_vjp(q, k, v, block_q, block_k, interpret,
+                                 score_dtype), (q, k, v))
+
+
+def _flash_vjp_bwd(block_q, block_k, interpret, score_dtype, res, g):
+    # The Pallas kernel has no derivative; differentiate the chunked dense
+    # reference instead (flash-style cost: ~2 extra fwd passes, bounded
+    # memory). Forward outputs agree with the kernel to its own tolerance.
+    q, k, v = res
+    _, pullback = jax.vjp(_chunked_dense_attention, q, k, v)
+    return pullback(g.astype(q.dtype))
+
+
+_flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
                     interpret: bool = None,
                     score_dtype: str = 'float32') -> jnp.ndarray:
@@ -330,6 +390,10 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
     shapes, each logit rounded to bf16 before the f32 softmax; see
     _panel_partials).
 
+    Differentiable: the forward runs the Pallas kernel; reverse-mode
+    gradients come from a chunked dense reference (same math, bounded
+    memory), so attn_impl='flash' models train as-is.
+
     On non-TPU backends the kernel runs in interpreter mode (slow; tests
     only) unless ``interpret`` is forced.
     """
@@ -341,12 +405,8 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
         auto_q, auto_k = _pick_blocks(n, nk, d, itemsize=q.dtype.itemsize)
         block_q = block_q or auto_q
         block_k = block_k or auto_k
-    q3 = q.reshape(b * h, n, d)
-    k3 = k.reshape(b * h, nk, d)
-    v3 = v.reshape(b * h, nk, d)
-    out = _flash_bhnd(q3, k3, v3, block_q, block_k, interpret,
-                      str(score_dtype))
-    return out.reshape(b, h, n, d)
+    return _flash_attention_vjp(q, k, v, block_q, block_k, interpret,
+                                str(score_dtype))
 
 
 def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,

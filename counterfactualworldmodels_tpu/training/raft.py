@@ -119,6 +119,11 @@ def make_raft_train_step(model: RAFT, optimizer, gamma: float = 0.8,
     """Returns train_step(state, image1, image2, flow_gt, valid)
     -> (state, {'loss', 'epe', 'grad_norm'}); accum_steps > 1
     scan-accumulates microbatch gradients in-program."""
+    # The Pallas corr-lookup kernels (TPU inference default) define no
+    # VJP; training must run the pure-jnp gather formulation.
+    if model.corr_lookup is None:
+        model = model.clone(corr_lookup='gather')
+
     def loss_fn(params, image1, image2, flow_gt, valid):
         return raft_flow_loss(model, params, image1, image2, flow_gt,
                               valid, gamma, max_flow, iters)
@@ -152,6 +157,8 @@ def make_keypoint_distill_step(model: RAFT, optimizer,
     keypoint head (``model.output_dim`` must be set)."""
     assert model.output_dim is not None, \
         'keypoint distillation needs a RAFT built with output_dim'
+    if model.corr_lookup is None:  # Pallas lookups have no VJP (see above)
+        model = model.clone(corr_lookup='gather')
 
     def loss_fn(params, image, target):
         return keypoint_distill_loss(model, params, image, target, iters)

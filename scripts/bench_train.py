@@ -206,9 +206,8 @@ def bench_conjoined(steps):
     from counterfactualworldmodels_tpu.training import train as T
     on_tpu = jax.default_backend() == 'tpu'
     if on_tpu:
-        wrapper = jc.imu400_base_4x4patch_2frames_1tube(
+        model = jc.imu400_base_4x4patch_2frames_1tube(
             dtype=jnp.bfloat16, attn_impl='flash')
-        model = wrapper.model
         batch, img = 4, 224
     else:
         from counterfactualworldmodels_tpu.models.conjoined import (

@@ -214,3 +214,37 @@ def test_flash_suffix_weight_matches_replicated_keys():
     out_d = np.asarray(_dense_attention_prefix(q, k0, v0, k1, v1,
                                                weight1=float(w)))
     np.testing.assert_allclose(out_d, ref, atol=3e-5)
+
+
+def test_flash_attention_gradient_matches_dense():
+    """flash_attention is differentiable (custom_vjp over the chunked
+    dense reference) — gradients must match the dense formulation to the
+    kernel's forward tolerance. This is what makes attn_impl='flash'
+    models trainable on TPU (the r04 train bench failure)."""
+    import jax
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention)
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(1, 2, 24, 8).astype(np.float32)) * 0.4
+    k = jnp.asarray(rng.randn(1, 2, 40, 8).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 40, 8).astype(np.float32))
+
+    def dense(q, k, v):
+        s = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum('bhqk,bhkd->bhqd', p, v)
+
+    @jax.jit
+    def g_flash(q, k, v):
+        return jax.grad(lambda *a: jnp.sum(flash_attention(
+            *a, block_q=8, block_k=8, interpret=True) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+
+    @jax.jit
+    def g_dense(q, k, v):
+        return jax.grad(lambda *a: jnp.sum(dense(*a) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(g_flash(q, k, v), g_dense(q, k, v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-3)

@@ -648,7 +648,8 @@ class CwmService:
     def _warm_mixed_dispatch(self, n_vis, items):
         return self._dispatch_multi_scene(n_vis, items)
 
-    def warmup(self, buckets=(1, 4, 16), active_counts=(1,), log=print):
+    def warmup(self, buckets=(1, 4, 16), active_counts=(1, 2, 3),
+               log=print):
         """Pre-compile the serving programs before accepting traffic.
 
         Runs one dispatch per (route, padded batch size) on synthetic
@@ -659,8 +660,12 @@ class CwmService:
         seconds; paying all of them at startup (under the persistent XLA
         compilation cache) keeps the first real requests at steady-state
         latency. Programs are additionally keyed by the visible-patch
-        count: ``active_counts`` lists the prompt sizes to warm (k active
-        patches -> n_vis = n_patches//2 + k for the plain service).
+        count: ``active_counts`` lists the prompt sizes to warm (k total
+        distinct prompt patches -> n_vis = n_patches//2 + k for the plain
+        service; the split between active and passive does not change the
+        program, only the union count does — a 1-active + 1-passive click
+        runs the k=2 program). Prompts whose patch count was not warmed
+        pay one compile on first use (then cached persistently).
 
         Service counters are restored and the prefix caches cleared
         afterwards (``_req_counter`` resets, so request numerics match an
@@ -1136,6 +1141,10 @@ def main():
                          'persistent XLA cache, not on the first users)')
     ap.add_argument('--warmup-buckets', default='1,4,16',
                     help='comma-separated S buckets to warm (--warmup)')
+    ap.add_argument('--warmup-prompt-sizes', default='1,2,3',
+                    help='comma-separated prompt patch counts to warm '
+                         '(--warmup): each distinct total count of '
+                         'active+passive patches keys its own program')
     args = ap.parse_args()
 
     import jax
@@ -1158,9 +1167,11 @@ def main():
     backend = jax.default_backend()
     if args.warmup:
         buckets = tuple(int(v) for v in args.warmup_buckets.split(',') if v)
-        print(f'warming up {len(buckets)} buckets (backend={backend})...',
-              flush=True)
-        warmed = service.warmup(buckets=buckets)
+        sizes = tuple(int(v) for v in args.warmup_prompt_sizes.split(',')
+                      if v)
+        print(f'warming up {len(buckets)} buckets x {len(sizes)} prompt '
+              f'sizes (backend={backend})...', flush=True)
+        warmed = service.warmup(buckets=buckets, active_counts=sizes)
         total = sum(dt for (_, _, dt) in warmed)
         print(f'warmup done: {len(warmed)} programs in {total:.1f}s',
               flush=True)

@@ -503,10 +503,12 @@ def test_serve_warmup():
     G = serve.build_generator(args)
     svc = serve.CwmService(G, 32, engine='fast', batch_window_ms=5,
                            seed=0, max_scene_batch=4)
-    warmed = svc.warmup(buckets=(1, 2), log=None)
+    warmed = svc.warmup(buckets=(1, 2), active_counts=(1, 2), log=None)
     routes = [r for (r, _, _) in warmed]
     assert routes.count('predict') == 1
-    assert routes.count('counterfactual[fast]') == 2     # buckets 1, 2
+    # buckets (1, 2) x prompt-patch counts (1, 2): each distinct
+    # active+passive union count keys its own program
+    assert routes.count('counterfactual[fast]') == 4
     assert routes.count('mixed-scene') == 1              # scene bucket 2
     assert all(dt >= 0 for (_, _, dt) in warmed)
     # counters restored, caches cleared -> cold-server semantics

@@ -299,19 +299,29 @@ def main():
     pool = int(os.environ.get('CWM_BENCH_POOL', '2') or 0)
     if pool > 1 and engine.startswith('shared-prefix') and mesh is None:
         p3, a3, sh3, k3 = build_prompts(s)
-        pooled = {'s': s, 'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json'}
-        for spool, gelu in ((1, 'erf'), (pool, 'erf'), (pool, 'tanh')):
+        pooled = {'s': s,
+                  'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json + '
+                                  'FIDELITY_r04_pool4_tpu.json'}
+        rungs = [(pool, 1, 'erf'), (pool, pool, 'erf'), (pool, pool, 'tanh')]
+        if pool == 2 and os.environ.get('CWM_BENCH_POOL4', '1') != '0':
+            # pool4 fidelity measured indistinguishable from pool2 at the
+            # flagship config (FIDELITY_r04_pool4_tpu.json: rel dev
+            # 0.0133-0.0141 vs 0.0134 unpooled, flow corr 0.9998+) — the
+            # per-sample decoder K/V is mask-token dominated and pools
+            # cleanly even 4x4
+            rungs += [(4, 4, 'erf'), (4, 4, 'tanh')]
+        for ppool, spool, gelu in rungs:
             try:
                 def dispatch_pool():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p3, a3, sh3, k3,
                         n_vis, True, raft_iters, True, on_tpu, two_source,
-                        prefix_pool=pool, suffix_pool=spool, gelu=gelu)
+                        prefix_pool=ppool, suffix_pool=spool, gelu=gelu)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
                 dtp = measure(dispatch_pool)
                 rate_p = (b * s) / dtp
-                label = f'pooled{pool}'
+                label = f'pooled{ppool}'
                 if spool > 1:
                     label += f'+suffix{spool}'
                 if gelu != 'erf':
@@ -324,9 +334,9 @@ def main():
                     engine = f'shared-prefix/{label}'
             except Exception:
                 traceback.print_exc()
-                print(f'pooled probe (suffix_pool={spool}, gelu={gelu}) '
-                      'failed; headline keeps the best measured config',
-                      file=sys.stderr)
+                print(f'pooled probe (pool={ppool}, suffix_pool={spool}, '
+                      f'gelu={gelu}) failed; headline keeps the best '
+                      'measured config', file=sys.stderr)
                 jax.clear_caches()
 
     # per-stage breakdown (separate dispatches; small overhead each)

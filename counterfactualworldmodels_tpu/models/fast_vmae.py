@@ -178,8 +178,25 @@ def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0,
 
     weight0/weight1: key multiplicity of the prefix/own panel (pooled
     modes) — each key counts as weight identical keys in the softmax.
+
+    A zero-width own panel (N1 == 0: a factual prompt whose frame 1 is
+    fully masked — the reference's default /predict workload,
+    cwm/models/masking.py:478-545 at mask_ratio 1.0) degenerates to
+    single-source attention over the prefix; `s1.max(-1)` over a
+    zero-size axis would otherwise throw at trace time.
     """
     qf = q.astype(jnp.float32)
+    if k1.shape[2] == 0:
+        if k0.shape[0] == 1:
+            s0 = jnp.einsum('shqd,hkd->shqk', qf, k0[0].astype(jnp.float32))
+        else:
+            s0 = jnp.einsum('shqd,shkd->shqk', qf, k0.astype(jnp.float32))
+        p0 = jax.nn.softmax(s0, axis=-1)
+        if v0.shape[0] == 1:
+            o = jnp.einsum('shqk,hkd->shqd', p0, v0[0].astype(jnp.float32))
+        else:
+            o = jnp.einsum('shqk,shkd->shqd', p0, v0.astype(jnp.float32))
+        return o.astype(v1.dtype)
     if k0.shape[0] == 1:
         s0 = jnp.einsum('shqd,hkd->shqk', qf, k0[0].astype(jnp.float32))
     else:
@@ -431,37 +448,47 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
     n1 = model.num_patches - n0
     dtype = fp.patch_kernel.dtype
     s = x1n.shape[0]
+    n_sfx = vis1_idx.shape[1]
 
-    # --- encode suffix: gather visible patches, embed, add positions
-    p1 = patch_ops.patchify(x1n[:, :, None], model.full_patch_size,
-                            temporal_dim=2, squeeze_channel_dim=True)
-    p1v = jnp.take_along_axis(p1, vis1_idx[..., None], axis=1)
-    tok = (jnp.dot(p1v.astype(dtype), fp.patch_kernel,
-                   preferred_element_type=jnp.float32).astype(dtype)
-           + fp.patch_bias)
-    pos_enc = sinusoid_encoding_table(
-        model.num_patches, model.encoder_embed_dim)[0].astype(dtype)
-    tok = tok + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
-
-    # encoder suffix: ~n_sfx (~33) queries — far below the flash kernel's
-    # minimum block, so dense attention wins regardless of use_flash;
-    # two_source=True routes to the concat-free dense impl (no S-fold
-    # prefix K/V broadcast per layer)
-    hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
-                        model.encoder_num_heads, False, True, gelu=gelu)
-    hs = _ln(hs, fp.enc_norm)
-    zs = jnp.dot(hs, fp.e2d_kernel,
-                 preferred_element_type=jnp.float32).astype(dtype)
-
-    # --- decoder frame-1 rows: mask tokens everywhere, encoded tokens at
-    # the visible slots (order within the sequence is irrelevant: attention
-    # is permutation-equivariant and positions ride the embeddings)
     pos_dec = sinusoid_encoding_table(
         model.num_patches, model.decoder_embed_dim)[0].astype(dtype)
     base = jnp.broadcast_to(fp.mask_token.astype(dtype) + pos_dec[n0:],
                             (s, n1, pos_dec.shape[-1]))
-    vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
-    z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
+    if n_sfx == 0:
+        # factual prompt with frame 1 fully masked (the reference's default
+        # /predict workload — cwm/models/masking.py:478-545 at mask_ratio
+        # 1.0): no visible frame-1 tokens exist, so the encoder-suffix pass
+        # is empty and the decoder rows are pure mask tokens. Skipping the
+        # suffix stage is exact, not an approximation.
+        z1 = base
+    else:
+        # --- encode suffix: gather visible patches, embed, add positions
+        p1 = patch_ops.patchify(x1n[:, :, None], model.full_patch_size,
+                                temporal_dim=2, squeeze_channel_dim=True)
+        p1v = jnp.take_along_axis(p1, vis1_idx[..., None], axis=1)
+        tok = (jnp.dot(p1v.astype(dtype), fp.patch_kernel,
+                       preferred_element_type=jnp.float32).astype(dtype)
+               + fp.patch_bias)
+        pos_enc = sinusoid_encoding_table(
+            model.num_patches, model.encoder_embed_dim)[0].astype(dtype)
+        tok = tok + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
+
+        # encoder suffix: ~n_sfx (~33) queries — far below the flash
+        # kernel's minimum block, so dense attention wins regardless of
+        # use_flash; two_source=True routes to the concat-free dense impl
+        # (no S-fold prefix K/V broadcast per layer)
+        hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
+                            model.encoder_num_heads, False, True, gelu=gelu)
+        hs = _ln(hs, fp.enc_norm)
+        zs = jnp.dot(hs, fp.e2d_kernel,
+                     preferred_element_type=jnp.float32).astype(dtype)
+
+        # --- decoder frame-1 rows: mask tokens everywhere, encoded tokens
+        # at the visible slots (order within the sequence is irrelevant:
+        # attention is permutation-equivariant and positions ride the
+        # embeddings)
+        vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
+        z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
 
     dec_kvs, pw = cache.dec_kvs, 1.0
     ph, pw_ = model.full_patch_size[-2:]

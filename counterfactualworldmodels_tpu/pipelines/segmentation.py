@@ -424,14 +424,33 @@ class FlowGenerator(PredictorBasedGenerator):
                 mask_out.reshape(b * s, n))
 
     def _disable_fast_engine(self, exc):
-        """Permanently degrade this generator to the exact per-sample path
-        after a fast-engine failure (e.g. a Pallas kernel that fails to
-        compile on the local hardware). ``engine='fast'`` is the default,
-        so a compile/runtime failure must never strand the caller — the
-        exact path computes the same quantities, just without prefix
-        sharing. Kernel-level degrades (CWM_FLASH_TWO_SOURCE=0,
-        CWM_RAFT_LANES=0) are finer-grained alternatives."""
+        """Degrade to the exact per-sample path after a fast-engine
+        failure. ``engine='fast'`` is the default, so a failure must never
+        strand the caller — the exact path computes the same quantities,
+        just without prefix sharing.
+
+        Two failure classes with different blast radii:
+
+        * ``ValueError`` — an engine *precondition* miss (prompt shape the
+          prefix factorization does not support, e.g. a mask touching
+          frame 0 that slipped past the fast_ok checks). The engine is
+          healthy; only THIS prompt is unsupported → fall back for this
+          call, leave the engine enabled. Permanently disabling here was
+          the r04 degrade-poisoning bug: one factual /predict silently
+          cost every later counterfactual its 2-4x fast-path speedup.
+        * anything else (Pallas compile failure on local hardware, XLA
+          runtime fault, OOM) — the engine itself is broken → disable
+          permanently and free its device state. Kernel-level degrades
+          (CWM_FLASH_TWO_SOURCE=0, CWM_RAFT_LANES=0) remain the
+          finer-grained alternatives."""
         import warnings
+        if isinstance(exc, ValueError):
+            warnings.warn(
+                'shared-prefix fast engine does not support this prompt '
+                f'({exc}); using the exact per-sample path for this call '
+                'only. The fast engine stays enabled for supported '
+                'prompts.', RuntimeWarning)
+            return
         warnings.warn(
             'shared-prefix fast engine failed '
             f'({type(exc).__name__}: {exc}); falling back to the exact '

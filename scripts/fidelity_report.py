@@ -4,13 +4,23 @@ Runs the full counterfactual pipeline (mask -> perturbation -> VMAE predict
 -> RAFT flow) twice on real demo images — once through the exact model
 (pipelines.segmentation.counterfactual_videos_and_flows) and once through
 the shared-prefix engine (counterfactual_videos_and_flows_fast) — and
-reports agreement statistics of the predicted videos and flow fields.
+reports agreement statistics of (a) the predicted videos and flow fields
+(incl. MAX per-pixel error, the BASELINE.md tolerance metric) and (b) the
+END PRODUCTS users actually consume: the covariance-probe Spelke segment
+map (reference cwm/models/segmentation.py:478-547) and the movability
+mean-motion map (reference cwm/models/movability.py:299-360 /
+segmentation.py:257-276), per approximation rung.
+
+On a bf16 backend it additionally runs exact and fast legs in f32 on the
+first image to DECOMPOSE the measured deviation into bf16-numerics vs
+prefix-isolation vs pooling (VERDICT r04 weak #5).
 
 Writes FIDELITY_r{N}.json at the repo root (one JSON object) and prints it.
 
 Usage: python scripts/fidelity_report.py [--samples 8] [--out FIDELITY.json]
 """
 import argparse
+import dataclasses
 import glob
 import json
 import os
@@ -19,6 +29,63 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def _pair_stats(ye, fe, yx, fx):
+    """Agreement of (video, flow) pairs: correlation, mean relative
+    deviation, and max per-pixel absolute error (videos are [0,1]-scaled
+    pixels, so video_max_abs_err compares directly against the BASELINE.md
+    <=1e-2 tolerance; flow is in pixels of displacement)."""
+    ye = np.asarray(ye, np.float32).ravel()
+    yx = np.asarray(yx, np.float32).ravel()
+    fe = np.asarray(fe, np.float32).ravel()
+    fx = np.asarray(fx, np.float32).ravel()
+    return {
+        'video_corr': round(float(np.corrcoef(ye, yx)[0, 1]), 5),
+        'flow_corr': round(float(np.corrcoef(fe, fx)[0, 1]), 5),
+        'flow_mean_rel_dev': round(float(
+            np.abs(fe - fx).mean() / (np.abs(fe).mean() + 1e-8)), 5),
+        'video_max_abs_err': round(float(np.abs(ye - yx).max()), 5),
+        'flow_max_abs_err': round(float(np.abs(fe - fx).max()), 5),
+    }
+
+
+def _end_products(flows, probe_yx, ds=2):
+    """(segment map, movability map) from one batch of counterfactual
+    flows [S, 1, 2, H, W].
+
+    segment = the probe row of the pixelxpixel flow-magnitude covariance
+    (reference segmentation.py:478-547; computed directly as one row
+    instead of the full [hw x hw] matrix), probed at pixel ``probe_yx``
+    (the active patch). movability = minmax-normalized mean flow
+    magnitude over samples (reference segmentation.py:257-276)."""
+    fs = np.asarray(flows, np.float32)[:, 0]            # [S, 2, H, W]
+    mags = np.sqrt((fs ** 2).mean(1))                   # [S, H, W] (RMS
+    # over flow channels — reference ChannelMSE, utils.py:510-513)
+    s, h, w = mags.shape
+    mov = mags.mean(0)
+    mov = (mov - mov.min()) / max(float(mov.max() - mov.min()), 1e-8)
+    m_ds = mags.reshape(s, h // ds, ds, w // ds, ds).mean((2, 4))
+    mc = m_ds - m_ds.mean(0)
+    probe = mc[:, probe_yx[0] // ds, probe_yx[1] // ds]
+    seg = (mc * probe[:, None, None]).mean(0)           # covariance row
+    return seg, mov
+
+
+def _map_agreement(a, b, top_q=0.9):
+    """Agreement of two spatial maps: Pearson + Spearman rank correlation
+    and IoU of the top-decile pixel sets (the thresholded segment /
+    movability masks a user would extract)."""
+    from scipy.stats import spearmanr
+    av, bv = np.asarray(a).ravel(), np.asarray(b).ravel()
+    ta, tb = np.quantile(av, top_q), np.quantile(bv, top_q)
+    ma, mb = av >= ta, bv >= tb
+    inter, union = (ma & mb).sum(), (ma | mb).sum()
+    return {
+        'pearson': round(float(np.corrcoef(av, bv)[0, 1]), 5),
+        'spearman': round(float(spearmanr(av, bv).statistic), 5),
+        'iou_top10pct': round(float(inter) / max(int(union), 1), 5),
+    }
 
 
 def conjoined_fidelity(paths, mode, args, on_tpu, dtype):
@@ -133,10 +200,14 @@ def main():
     ap.add_argument('--model', default='large', choices=['large', 'base'],
                     help='base is light enough for CPU smoke runs')
     ap.add_argument('--raft-iters', type=int, default=24)
-    ap.add_argument('--prefix-pools', default='2:1,2:2,2:2:tanh',
+    ap.add_argument('--prefix-pools', default='2:1,2:2,2:2:tanh,4:4,4:4:tanh',
                     help='comma-separated prefix[:suffix[:gelu]] pool '
                          'configs to also measure vs exact (empty = '
-                         'none), e.g. "2:1,2:2,2:2:tanh"')
+                         'none), e.g. "2:1,2:2,4:4:tanh"')
+    ap.add_argument('--no-decompose', action='store_true',
+                    help='skip the f32 bf16-vs-isolation decomposition '
+                         'legs (they re-run exact+fast+pooled in f32 on '
+                         'the first image)')
     ap.add_argument('--conjoined', default='auto',
                     choices=['auto', 'flagship', 'small', 'off'],
                     help='also measure the conjoined (IMU) engine: '
@@ -192,6 +263,9 @@ def main():
         pools.append((int(parts[0]),
                       int(parts[1]) if len(parts) > 1 and parts[1] else 1,
                       parts[2] if len(parts) > 2 else 'erf'))
+    psz = model.full_patch_size[-1]
+    grid = 224 // psz
+    decompose = None
     for path in paths:
         img = Image.open(path).convert('RGB').resize((224, 224))
         x = jnp.asarray(np.asarray(img), jnp.float32).transpose(2, 0, 1)[None] / 255.
@@ -201,18 +275,26 @@ def main():
         passive[:, :npf] = False
         active = np.ones((1, n, s), dtype=bool)
         active[:, :npf] = False
+        a_idx = []
         for i in range(s):
             passive[0, npf + rng.choice(npf, 32, replace=False), i] = False
-            active[0, npf + rng.randint(npf), i] = False
+            ai = rng.randint(npf)
+            a_idx.append(ai)
+            active[0, npf + ai, i] = False
         passive = jnp.asarray(passive)
         active = jnp.asarray(active)
         shifts = jnp.asarray(rng.randint(-3, 4, size=(1, s, 2)), jnp.int32)
         keys = jax.random.split(jax.random.PRNGKey(args.seed + 1),
                                 s).reshape(1, s, 2)
+        # covariance probe pixel = sample 0's active patch center (the
+        # interface's 'X' key probes the clicked patch)
+        probe_yx = ((a_idx[0] // grid) * psz + psz // 2,
+                    (a_idx[0] % grid) * psz + psz // 2)
 
         y_e, f_e, _ = counterfactual_videos_and_flows(
             model, params, raft, raft_params, x, passive, active, shifts,
             keys, n_vis, True, args.raft_iters, True)
+        seg_e, mov_e = _end_products(f_e, probe_yx)
         try:
             y_f, f_f, _ = jax.block_until_ready(
                 counterfactual_videos_and_flows_fast(
@@ -233,18 +315,11 @@ def main():
                 two_source)
 
         def vs_exact(y_x, f_x):
-            yx = np.asarray(y_x.reshape(s, -1), np.float32)
-            ye_ = np.asarray(y_e.reshape(s, -1), np.float32)
-            fe_ = np.asarray(f_e.reshape(-1), np.float32)
-            fx = np.asarray(f_x.reshape(-1), np.float32)
-            return {
-                'video_corr': round(float(np.corrcoef(
-                    ye_.reshape(-1), yx.reshape(-1))[0, 1]), 5),
-                'flow_corr': round(float(np.corrcoef(fe_, fx)[0, 1]), 5),
-                'flow_mean_rel_dev': round(float(
-                    np.abs(fe_ - fx).mean()
-                    / (np.abs(fe_).mean() + 1e-8)), 5),
-            }
+            stats = _pair_stats(y_e, f_e, y_x, f_x)
+            seg_x, mov_x = _end_products(f_x, probe_yx)
+            stats['segment'] = _map_agreement(seg_e, seg_x)
+            stats['movability'] = _map_agreement(mov_e, mov_x)
+            return stats
 
         row = {'image': os.path.basename(path), **vs_exact(y_f, f_f)}
         # pooled-prefix/suffix fidelity (same prompts, vs the SAME exact
@@ -267,6 +342,62 @@ def main():
                 traceback.print_exc()
                 row[key_] = {'error': f'{type(e).__name__}: {e}'[:200]}
         per_image.append(row)
+
+        # --- bf16-vs-isolation-vs-pooling decomposition (first image):
+        # every leg re-run in f32 against the same prompts (VERDICT r04
+        # weak #5 — without an f32 exact leg on this backend, the bf16
+        # contribution to the measured deviation is unattributable)
+        if (decompose is None and dtype != jnp.float32
+                and not args.no_decompose):
+            try:
+                model32 = dataclasses.replace(model, dtype=jnp.float32)
+                raft32 = RAFT(iters=args.raft_iters, dtype=jnp.float32)
+                fp32 = stack_vmae_params(model32, params,
+                                         dtype=jnp.float32)
+                y_e32, f_e32, _ = jax.block_until_ready(
+                    counterfactual_videos_and_flows(
+                        model32, params, raft32, raft_params, x, passive,
+                        active, shifts, keys, n_vis, True, args.raft_iters,
+                        True))
+                y_f32, f_f32, _ = jax.block_until_ready(
+                    counterfactual_videos_and_flows_fast(
+                        model32, fp32, raft32, raft_params, x, passive,
+                        active, shifts, keys, n_vis, True, args.raft_iters,
+                        True, on_tpu, two_source))
+                decompose = {
+                    'image': os.path.basename(path),
+                    'note': 'flow_mean_rel_dev attribution: isolation = '
+                            'fast_f32 vs exact_f32; bf16 = each engine '
+                            'f32 vs bf16; total = fast_bf16 vs exact_bf16',
+                    'exact_bf16_vs_exact_f32':
+                        _pair_stats(y_e32, f_e32, y_e, f_e),
+                    'fast_bf16_vs_fast_f32':
+                        _pair_stats(y_f32, f_f32, y_f, f_f),
+                    'fast_f32_vs_exact_f32_isolation':
+                        _pair_stats(y_e32, f_e32, y_f32, f_f32),
+                    'fast_bf16_vs_exact_bf16_total':
+                        _pair_stats(y_e, f_e, y_f, f_f),
+                }
+                for pool, spool, gelu in pools:
+                    if (pool, spool) == (1, 1):
+                        continue
+                    key_ = f'pool{pool}_suffix{spool}_{gelu}'
+                    y_p32, f_p32, _ = jax.block_until_ready(
+                        counterfactual_videos_and_flows_fast(
+                            model32, fp32, raft32, raft_params, x, passive,
+                            active, shifts, keys, n_vis, True,
+                            args.raft_iters, True, on_tpu, two_source,
+                            prefix_pool=pool, suffix_pool=spool,
+                            gelu=gelu))
+                    decompose[f'{key_}_f32_vs_exact_f32'] = _pair_stats(
+                        y_e32, f_e32, y_p32, f_p32)
+                    decompose[f'{key_}_f32_vs_fast_f32_pooling_only'] = \
+                        _pair_stats(y_f32, f_f32, y_p32, f_p32)
+            except Exception as e:
+                traceback.print_exc()
+                decompose = {'error': f'{type(e).__name__}: {e}'[:300]}
+            finally:
+                jax.clear_caches()   # free the f32 programs' HBM
 
     conjoined = None
     if args.conjoined != 'off':
@@ -291,7 +422,14 @@ def main():
         'per_image': per_image,
         'min_flow_corr': min(r['flow_corr'] for r in per_image),
         'min_video_corr': min(r['video_corr'] for r in per_image),
+        'min_segment_spearman': min(r['segment']['spearman']
+                                    for r in per_image),
+        'min_movability_pearson': min(r['movability']['pearson']
+                                      for r in per_image),
+        'max_video_abs_err': max(r['video_max_abs_err'] for r in per_image),
     }
+    if decompose is not None:
+        report['bf16_vs_isolation_decomposition'] = decompose
     if conjoined is not None:
         report['conjoined'] = conjoined
     with open(args.out, 'w') as f:

@@ -627,6 +627,31 @@ def test_imu_predict_fast_route():
     np.testing.assert_allclose(np.asarray(y_fb), np.asarray(y_eb), atol=0)
 
 
+def test_imu_predict_zero_visible_frame1_keeps_fast_engine():
+    """Conjoined-engine cousin of the r04 plain-VMAE regression: a factual
+    predict whose frame 1 is FULLY masked must run on the conjoined fast
+    engine (not crash, not permanently degrade) and stay close to the
+    exact route."""
+    rng = np.random.RandomState(14)
+    model, params, w = _tiny()
+    ge = _generator(model, params, w, 'exact')
+    gf = _generator(model, params, w, 'fast')
+    x = np.asarray(_workload(rng)[0][0:1])
+    head = (rng.randn(1, IMU_TOK, 8 * 6) * 0.1).astype(np.float32)
+    mask = np.ones((1, N), bool)
+    mask[0, :N0] = False                     # frame 1 fully masked
+
+    kw = dict(x_context=jnp.asarray(ge.reshape_output(jnp.asarray(head))),
+              frame=None)
+    y_e = ge.predict(jnp.asarray(x), jnp.asarray(mask), **kw)
+    y_f = gf.predict(jnp.asarray(x), jnp.asarray(mask), **kw)
+    assert not gf._fast_disabled
+    assert gf._conj_prefix_lru is not None
+    assert gf._conj_prefix_lru.misses == 1
+    corr = np.corrcoef(np.asarray(y_f).ravel(), np.asarray(y_e).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
 @pytest.mark.slow
 def test_interface_on_imu_generator_fast_engine():
     """The interactive interface drives the IMU-conditioned generator with

@@ -407,6 +407,50 @@ def test_prefix_lru_eviction():
     assert hit and lru.hits == 2
 
 
+def test_zero_visible_frame1_factual_prompt():
+    """Regression (r04, commit 346052c): a factual prompt whose frame 1 is
+    FULLY masked — the reference's default predict workload
+    (cwm/models/masking.py:478-545 at mask_ratio 1.0) — reached the
+    concat-free dense two-source attention with a zero-width suffix panel
+    and died at `s1.max(-1)` on shape [..., 0]. n_sfx == 0 must decode
+    every frame-1 position from pure mask tokens (exact semantics, no
+    suffix encode) and stay close to the exact bidirectional model."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    x_mocos, mask, _ = _workload(model, s=2)
+    n0 = model.num_patches_per_frame
+    mask = jnp.ones_like(mask).at[:, :n0].set(False)
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    y_fast = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n0, True, x_mocos, mask))
+    y_exact = np.asarray(predict_video(model, params, x_mocos, mask, n0,
+                                       True, None))
+    np.testing.assert_allclose(y_fast[:, 0], y_exact[:, 0], atol=1e-5)
+    corr = np.corrcoef(y_fast[:, 1].ravel(), y_exact[:, 1].ravel())[0, 1]
+    assert np.isfinite(y_fast).all()
+    assert corr > 0.95, corr
+    # both samples share frame 0 and have identical (empty) prompts ->
+    # identical predictions: the suffix path contributes nothing
+    np.testing.assert_allclose(y_fast[0], y_fast[1], atol=1e-6)
+
+
+def test_dense_attention_prefix_zero_width_own_panel():
+    """_dense_attention_prefix with N1 == 0 own keys == single-source
+    dense attention over the prefix (the zero-suffix decoder never hits
+    this after the n_sfx==0 fix, but the impl must not trace-crash)."""
+    rng = np.random.RandomState(0)
+    s, h, nq, n0, d = 2, 2, 3, 5, 4
+    q = jnp.asarray(rng.randn(s, h, nq, d).astype(np.float32))
+    k0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    v0 = jnp.asarray(rng.randn(1, h, n0, d).astype(np.float32))
+    k1 = jnp.zeros((s, h, 0, d), jnp.float32)
+    v1 = jnp.zeros((s, h, 0, d), jnp.float32)
+    out = fv._dense_attention_prefix(q, k0, v0, k1, v1)
+    ref = fv._dense_attention(q, jnp.broadcast_to(k0, (s, h, n0, d)),
+                              jnp.broadcast_to(v0, (s, h, n0, d)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_shared_prefix_rejects_frame0_masks():
     """The public entry point must refuse masks touching frame 0 even
     when n_vis >= n0 (e.g. tube masks with the right popcount): the

@@ -460,6 +460,94 @@ def test_predict_fast_engine_routes_and_falls_back():
     np.testing.assert_allclose(np.asarray(y_fb), np.asarray(y_eb), atol=0)
 
 
+def test_factual_predict_zero_visible_frame1_keeps_fast_engine():
+    """Regression (r04 degrade-poisoning): a factual predict whose frame 1
+    is FULLY masked — the reference's default predict workload
+    (cwm/models/masking.py:478-545 at mask_ratio 1.0) — crashed the
+    zero-width suffix attention, and the degrade chain then PERMANENTLY
+    flipped the generator to the exact engine: one /predict silently cost
+    every later counterfactual its fast path. The prompt must now run on
+    the fast engine, and a following counterfactual must still use it."""
+    _, exact = _paired_generators()
+    fast = FlowGenerator(predictor=exact.predictor, params=exact.params,
+                         flow_model=exact.flow_model,
+                         flow_params=exact.flow_params, raft_iters=2,
+                         imagenet_normalize_inputs=True, seed=0,
+                         engine='fast')
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 2, 3, 128, 128).astype(np.float32))
+    n = exact.predictor.num_patches
+    n0 = n // 2
+    mask = np.ones((1, n), dtype=bool)
+    mask[0, :n0] = False                      # frame 1 fully masked
+
+    y_f = fast.predict(x, jnp.asarray(mask), frame=None)
+    assert not fast._fast_disabled
+    assert fast._prefix_lru is not None and fast._prefix_lru.misses == 1
+    y_e = exact.predict(x, jnp.asarray(mask), frame=None)
+    corr = np.corrcoef(np.asarray(y_f[:, 1]).ravel(),
+                       np.asarray(y_e[:, 1]).ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    # the subsequent counterfactual still rides the fast engine (and hits
+    # the prefix cache built by the factual predict)
+    active = np.ones((1, n), dtype=bool)
+    active[0, n0 + rng.randint(n0)] = False
+    y_cf, f_cf = fast.predict_counterfactual_videos_and_flows(
+        x[:, 0], active_patches=jnp.asarray(active), shifts=[(0, 1)],
+        num_samples=1, sample_batch_size=1)
+    assert not fast._fast_disabled
+    assert fast._prefix_lru.hits >= 1
+    assert np.isfinite(np.asarray(f_cf)).all()
+
+
+def test_unsupported_prompt_valueerror_does_not_poison_fast_engine(
+        monkeypatch):
+    """A ValueError from inside the fast route (engine precondition miss)
+    must fall back to the exact path for THAT call only — the engine stays
+    enabled for later supported prompts. Non-ValueError failures (kernel
+    broke) still disable permanently (covered by
+    test_fast_engine_failure_degrades_to_exact)."""
+    import warnings
+    from counterfactualworldmodels_tpu.pipelines import segmentation as seg
+
+    _, exact = _paired_generators()
+    fast = FlowGenerator(predictor=exact.predictor, params=exact.params,
+                         flow_model=exact.flow_model,
+                         flow_params=exact.flow_params, raft_iters=2,
+                         imagenet_normalize_inputs=True, seed=0,
+                         engine='fast')
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 3, 128, 128).astype(np.float32))
+    n = exact.predictor.num_patches
+    active = np.ones((1, n), dtype=bool)
+    active[0, n // 2 + rng.randint(n // 2)] = False
+    kw = dict(active_patches=jnp.asarray(active), shifts=[(0, 1)],
+              num_samples=1, sample_batch_size=1)
+
+    calls = {'n': 0}
+    real = seg.counterfactual_videos_and_flows_fast
+
+    def flaky(*a, **k):
+        calls['n'] += 1
+        if calls['n'] == 1:
+            raise ValueError('unsupported prompt shape for this engine')
+        return real(*a, **k)
+
+    monkeypatch.setattr(seg, 'counterfactual_videos_and_flows_fast', flaky)
+    with pytest.warns(RuntimeWarning, match='for this call only'):
+        y1, f1 = fast.predict_counterfactual_videos_and_flows(x, **kw)
+    assert not fast._fast_disabled          # NOT permanently degraded
+    assert np.isfinite(np.asarray(f1)).all()
+
+    # next call retries the fast engine and succeeds on it
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        y2, f2 = fast.predict_counterfactual_videos_and_flows(x, **kw)
+    assert calls['n'] == 2 and not fast._fast_disabled
+    assert np.isfinite(np.asarray(f2)).all()
+
+
 def test_set_flow_model_and_predict_flow_per_sample():
     """set_flow_model swap (reference segmentation.py:71-84) and
     predict_flow_per_sample (reference segmentation.py:199-208)."""

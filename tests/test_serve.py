@@ -551,7 +551,9 @@ def test_serve_imu_warmup():
     svc = serve.ImuCwmService(serve.build_imu_generator(args), 32,
                               engine='fast', batch_window_ms=5, seed=0,
                               max_scene_batch=4)
-    warmed = svc.warmup(buckets=(1, 2), log=None)
+    # pin active_counts: each (S bucket, prompt-patch count) pair keys its
+    # own program, so the default (1, 2, 3) would warm 2x3 = 6 dispatches
+    warmed = svc.warmup(buckets=(1, 2), active_counts=(1,), log=None)
     routes = [r for (r, _, _) in warmed]
     assert routes.count('counterfactual[fast]') == 2
     assert routes.count('mixed-scene') == 1

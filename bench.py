@@ -6,18 +6,22 @@ ViT-L/4x4 masked predictor on the visible tokens, and probe the predicted
 cwm/models/segmentation.py:49). This is the demo workload of the reference
 (movability / Spelke segmentation sampling loops).
 
-The predictor runs through the shared-prefix engine (models/fast_vmae.py):
-frame 0 is identical across the S prompts of a scene (the fix_passive
-construction), so its encoder/decoder passes run once per scene and each
-simulation pays only for its own frame-1 tokens. Fidelity vs the exact
-per-sample path is quantified in FIDELITY_r02_cpu.json (corr 1.0 on the
-demo images) and tests/test_fast_vmae.py; scripts/fidelity_report.py
-regenerates it (TPU or CPU).
+The predictor runs through the shared-prefix engine (models/fast_vmae.py)
+in the LIBRARY-DEFAULT configuration — whatever FlowGenerator(engine=
+'fast') resolves for this model at 224px via fast_vmae.resolve_pools
+('auto' grid-aware pooling: ViT-L 4x4 -> pool4+suffix4+tanh). The
+headline number is therefore the out-of-the-box rate, not an opt-in rung
+(VERDICT r04 #2); the exact-numerics rung and the other pooling rungs are
+reported alongside under 'rungs'. Fidelity per rung (incl. segment /
+movability end products and an f32 decomposition) is quantified in
+FIDELITY_r05_*.json and tests/test_fast_vmae.py;
+scripts/fidelity_report.py regenerates it (TPU or CPU).
 
 Prints ONE JSON line. vs_baseline is measured against the driver target of
 100 sims/sec/chip (BASELINE.md — the reference publishes no numbers).
-Extra keys: per-stage ms, analytic model FLOPs, and MFU vs the v5e bf16
-peak (197 TF/s).
+Extra keys: per-stage ms, analytic FLOPs both ways (exact-equivalent and
+pool-aware executed), true executed MFU vs the v5e bf16 peak (197 TF/s),
+and the exact-equivalent effective TF/s.
 
 Env knobs: CWM_BENCH_S (sample batch per scene, default 16);
 CWM_BENCH_MESH=N (shard the S samples over an N-chip 'samples' mesh and
@@ -25,10 +29,12 @@ report per-chip throughput; dryrun off-TPU with JAX_PLATFORMS=cpu
 XLA_FLAGS=--xla_force_host_platform_device_count=8); CWM_BENCH_MODEL
 (large|base|tiny) and CWM_BENCH_RAFT_ITERS for cheap plumbing dryruns;
 CWM_BENCH_START_CONFIG (skip the first n degrade configs);
-CWM_BENCH_SBIG (S-scaling probe size, default 64 on TPU: after the base-S
-measurement the bench re-times at this S and takes the better per-sim
-rate as the headline — scene-level work amortizes with S; failures keep
-the measured base-S number).
+CWM_BENCH_SBIG (S-scaling probe sizes, default 64,128,256 on TPU: the
+headline takes the best per-sim rate over S — scene-level work amortizes
+with S; failures keep the measured base-S number); CWM_BENCH_RUNGS=0
+(skip the non-default rung ladder); CWM_PREFIX_POOL / CWM_SUFFIX_POOL /
+CWM_FAST_GELU pin the measured config to a specific rung (they are the
+same knobs the library reads).
 """
 import json
 import os
@@ -39,8 +45,14 @@ import numpy as np
 V5E_PEAK_FLOPS = 197e12
 
 
-def vit_flops(model, s, n_sfx):
-    """Analytic MAC*2 count of one shared-prefix dispatch (S sims)."""
+def vit_flops(model, s, n_sfx, prefix_pool=1, suffix_pool=1):
+    """Analytic MAC*2 count of one shared-prefix dispatch (S sims).
+
+    prefix_pool/suffix_pool make the count EXECUTED-flop-aware for the
+    pooled rungs (VERDICT r04 weak #3): pooling shrinks only the decoder
+    attention's key set (QKV/proj/MLP matmuls and all queries stay
+    full-resolution — fast_vmae.suffix_block_one pools AFTER the K/V
+    projection). With pools of 1 this is the exact-equivalent count."""
     n0 = model.num_patches_per_frame
     n1 = model.num_patches - n0
     de, dd = model.encoder_embed_dim, model.decoder_embed_dim
@@ -55,8 +67,9 @@ def vit_flops(model, s, n_sfx):
     patch_dim = pt * ph * pw * 3
     prefix = Le * block(n0, n0, de) + Ld * block(n0, n0, dd)
     prefix += 2 * n0 * de * dd                          # encoder_to_decoder
+    nk_dec = n0 // prefix_pool ** 2 + n1 // suffix_pool ** 2
     suffix = s * (Le * block(n_sfx, n0 + n_sfx, de) +
-                  Ld * block(n1, n0 + n1, dd))
+                  Ld * block(n1, nk_dec, dd))
     embed = (n0 + s * n_sfx) * 2 * patch_dim * de
     head = s * n1 * 2 * dd * model.out_dim
     return prefix + suffix + embed + head
@@ -153,18 +166,44 @@ def main():
     passive, active, shifts, keys = build_prompts(s)
     n_vis = npf + 32 + 1
 
-    engine = 'shared-prefix'
+    # the headline measures the LIBRARY DEFAULT config: what
+    # FlowGenerator(engine='fast') resolves for this model at 224px
+    # (fast_vmae.resolve_pools 'auto' — ViT-L 4x4 grid 56 ->
+    # pool4+suffix4+tanh, the rung whose fidelity ladder lives in
+    # FIDELITY_r05_*.json). CWM_PREFIX_POOL/CWM_SUFFIX_POOL/CWM_FAST_GELU
+    # pin other rungs.
+    from counterfactualworldmodels_tpu.models.fast_vmae import resolve_pools
+    _, ph_, pw_ = model.full_patch_size
+    d_ppool, d_spool, d_gelu = resolve_pools(
+        hw // ph_, hw // pw_,
+        os.environ.get('CWM_PREFIX_POOL', 'auto') or 'auto',
+        os.environ.get('CWM_SUFFIX_POOL', 'auto') or 'auto',
+        os.environ.get('CWM_FAST_GELU', 'auto') or 'auto')
+
+    def rung_label(ppool, spool, gelu):
+        if (ppool, spool, gelu) == (1, 1, 'erf'):
+            return 'exact-numerics'
+        lbl = f'pooled{ppool}'
+        if spool > 1:
+            lbl += f'+suffix{spool}'
+        if gelu != 'erf':
+            lbl += f'+{gelu}'
+        return lbl
+
+    engine = f'shared-prefix/default:{rung_label(d_ppool, d_spool, d_gelu)}'
     two_source = on_tpu  # per-config override in the degrade loop below
 
     def dispatch():
         if mesh is not None:
             y, flows, masks = sharded_counterfactuals_fast(
                 mesh, model, fp, raft, raft_params, x, passive, active,
-                shifts, keys, n_vis, True, raft_iters, on_tpu, two_source)
+                shifts, keys, n_vis, True, raft_iters, on_tpu, two_source,
+                prefix_pool=d_ppool, suffix_pool=d_spool, gelu=d_gelu)
         else:
             y, flows, masks = counterfactual_videos_and_flows_fast(
                 model, fp, raft, raft_params, x, passive, active, shifts,
-                keys, n_vis, True, raft_iters, True, on_tpu, two_source)
+                keys, n_vis, True, raft_iters, True, on_tpu, two_source,
+                prefix_pool=d_ppool, suffix_pool=d_spool, gelu=d_gelu)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     # axon's block_until_ready does not actually block; force completion
@@ -227,9 +266,9 @@ def main():
     # fallback-path testing)
     start_cfg = int(os.environ.get('CWM_BENCH_START_CONFIG', 0))
     for engine, env_lanes, env_two_src, fn in [
-            ('shared-prefix', '1', '1', dispatch),
-            ('shared-prefix/no-two-source', '1', '0', dispatch),
-            ('shared-prefix/no-lanes', '0', '0', dispatch),
+            (engine, '1', '1', dispatch),
+            (engine + '/no-two-source', '1', '0', dispatch),
+            (engine + '/no-lanes', '0', '0', dispatch),
             ('exact-fallback', '0', '0', exact_dispatch),
             ('exact-dense', '0', '0', exact_dense_dispatch)][start_cfg:]:
         os.environ['CWM_RAFT_LANES'] = env_lanes
@@ -249,10 +288,11 @@ def main():
     n_chips = n_mesh if mesh is not None else 1
     sims_per_sec = (b * s) / dt / n_chips
 
-    # S-scaling probe: scene-level work amortizes with S (PERF.md), so the
-    # headline takes the best over S in {base, 64, 128, 256} when S wasn't
-    # pinned (CWM_BENCH_SBIG: comma-separated list to override). Failures
-    # (OOM/compile) keep the best already-measured number.
+    # S-scaling probe of the SAME default config: scene-level work
+    # amortizes with S (PERF.md), so the headline takes the best over S in
+    # {base, 64, 128, 256} when S wasn't pinned (CWM_BENCH_SBIG:
+    # comma-separated list to override). Failures (OOM/compile) keep the
+    # best already-measured number.
     s_scaling = None
     s_bigs = [int(v) for v in
               os.environ.get('CWM_BENCH_SBIG', '64,128,256').split(',') if v]
@@ -267,7 +307,9 @@ def main():
                 def dispatch_big():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p2, a2, sh2, k2,
-                        n_vis, True, raft_iters, True, on_tpu, two_source)
+                        n_vis, True, raft_iters, True, on_tpu, two_source,
+                        prefix_pool=d_ppool, suffix_pool=d_spool,
+                        gelu=d_gelu)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
                 float(dispatch_big())  # compile + warm
@@ -289,54 +331,40 @@ def main():
                       'headline', file=sys.stderr)
                 jax.clear_caches()
 
-    # pooled-prefix probe at the headline S: the decoder prefix K/V pooled
-    # 2x2 and count-weighted in the softmax (fast_vmae.pool_dec_prefix) —
-    # ~38% fewer suffix score elements, the measured throughput bound.
-    # Fidelity quantified offline (FIDELITY_r04_pooled_tpu.json + the
-    # trained-weights pooled test); CWM_BENCH_POOL=0 disables,
-    # CWM_BENCH_POOL_HEADLINE=0 keeps it out of the headline number.
-    pooled = None
-    pool = int(os.environ.get('CWM_BENCH_POOL', '2') or 0)
-    if pool > 1 and engine.startswith('shared-prefix') and mesh is None:
+    # non-default rung ladder at the headline S (visibility only — the
+    # HEADLINE is always the library-default config above; VERDICT r04 #2).
+    # Includes the exact-numerics rung (pool 1, erf) so the cost of the
+    # default approximation stays measured. CWM_BENCH_RUNGS=0 disables.
+    rungs_out = None
+    if (os.environ.get('CWM_BENCH_RUNGS', '1') != '0'
+            and engine.startswith('shared-prefix') and mesh is None):
         p3, a3, sh3, k3 = build_prompts(s)
-        pooled = {'s': s,
-                  'fidelity_ref': 'FIDELITY_r04_pooled_tpu.json + '
-                                  'FIDELITY_r04_pool4_tpu.json'}
-        rungs = [(pool, 1, 'erf'), (pool, pool, 'erf'), (pool, pool, 'tanh')]
-        if pool == 2 and os.environ.get('CWM_BENCH_POOL4', '1') != '0':
-            # pool4 fidelity measured indistinguishable from pool2 at the
-            # flagship config (FIDELITY_r04_pool4_tpu.json: rel dev
-            # 0.0133-0.0141 vs 0.0134 unpooled, flow corr 0.9998+) — the
-            # per-sample decoder K/V is mask-token dominated and pools
-            # cleanly even 4x4
-            rungs += [(4, 4, 'erf'), (4, 4, 'tanh')]
-        for ppool, spool, gelu in rungs:
+        rungs_out = {'s': s, 'fidelity_ref': 'FIDELITY_r05_*.json'}
+        ladder = [(1, 1, 'erf'), (2, 2, 'tanh'), (4, 4, 'erf'),
+                  (4, 4, 'tanh')]
+        for ppool, spool, gelu in ladder:
+            if (ppool, spool, gelu) == (d_ppool, d_spool, d_gelu):
+                rungs_out[rung_label(ppool, spool, gelu)] = round(
+                    sims_per_sec, 3)   # the headline itself
+                continue
+            grid_ = hw // ph_
+            if grid_ % ppool or grid_ % spool:
+                continue   # grid not divisible by this rung's pool
             try:
-                def dispatch_pool():
+                def dispatch_rung():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p3, a3, sh3, k3,
                         n_vis, True, raft_iters, True, on_tpu, two_source,
                         prefix_pool=ppool, suffix_pool=spool, gelu=gelu)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
-                dtp = measure(dispatch_pool)
-                rate_p = (b * s) / dtp
-                label = f'pooled{ppool}'
-                if spool > 1:
-                    label += f'+suffix{spool}'
-                if gelu != 'erf':
-                    label += f'+{gelu}'
-                pooled[label] = round(rate_p, 3)
-                if (rate_p > sims_per_sec
-                        and os.environ.get('CWM_BENCH_POOL_HEADLINE', '1')
-                        != '0'):
-                    sims_per_sec, dt = rate_p, dtp
-                    engine = f'shared-prefix/{label}'
+                dtp = measure(dispatch_rung)
+                rungs_out[rung_label(ppool, spool, gelu)] = round(
+                    (b * s) / dtp, 3)
             except Exception:
                 traceback.print_exc()
-                print(f'pooled probe (pool={ppool}, suffix_pool={spool}, '
-                      f'gelu={gelu}) failed; headline keeps the best '
-                      'measured config', file=sys.stderr)
+                print(f'rung ({ppool},{spool},{gelu}) probe failed',
+                      file=sys.stderr)
                 jax.clear_caches()
 
     # per-stage breakdown (separate dispatches; small overhead each)
@@ -362,7 +390,8 @@ def main():
 
         stages['prefix_ms'] = t_of(lambda: encode_prefix(model, fp, True, xm[0:1, 0]))
         stages['suffix_ms'] = t_of(lambda: predict_frame1_from_prefix(
-            model, fp, True, cache, xm[:, 1], vis1, two_source=two_source))
+            model, fp, True, cache, xm[:, 1], vis1, two_source=two_source,
+            prefix_pool=d_ppool, suffix_pool=d_spool, gelu=d_gelu))
         stages['raft_ms'] = t_of(lambda: apply_raft_shared0(
             raft, raft_params, yv, raft_iters, True))
 
@@ -373,18 +402,31 @@ def main():
         'vs_baseline': round(sims_per_sec / 100.0, 4),
         'config': {'b': b, 's': s, 'hw': hw, 'n_vis_f1': 33,
                    'engine': engine, 'raft_iters': raft_iters,
-                   'model': bench_model,
+                   'model': bench_model, 'prefix_pool': d_ppool,
+                   'suffix_pool': d_spool, 'gelu': d_gelu,
+                   'library_default': True,
                    'backend': jax.default_backend(), 'mesh': n_chips},
         'stages': stages,
     }
     if s_scaling is not None:
         rec['s_scaling'] = s_scaling
-    if pooled is not None:
-        rec['pooled_prefix'] = pooled
+    if rungs_out is not None:
+        rec['rungs'] = rungs_out
     if engine.startswith('shared-prefix'):  # analytic flop model is engine-shaped
-        flops = vit_flops(model, s, 33) + raft_flops(s)
-        rec['model_tflops_per_dispatch'] = round(flops / 1e12, 3)
-        rec['mfu_vs_v5e_peak'] = round((flops / dt) / V5E_PEAK_FLOPS, 4)
+        # VERDICT r04 weak #3: report BOTH accountings unambiguously.
+        # exact-equivalent: the FLOPs the exact-numerics engine would
+        # execute for the same S sims (an effective rate, NOT an MFU);
+        # executed: pool-aware FLOPs actually dispatched (a true MFU).
+        exact_fl = vit_flops(model, s, 33) + raft_flops(s)
+        exec_fl = (vit_flops(model, s, 33, d_ppool, d_spool)
+                   + raft_flops(s))
+        rec['tflops_per_dispatch'] = {
+            'exact_equivalent': round(exact_fl / 1e12, 3),
+            'executed': round(exec_fl / 1e12, 3),
+        }
+        rec['mfu_executed_vs_v5e_peak'] = round(
+            (exec_fl / dt) / V5E_PEAK_FLOPS, 4)
+        rec['exact_equivalent_tflops_per_s'] = round(exact_fl / dt / 1e12, 3)
     print(json.dumps(rec))
 
 

@@ -160,6 +160,50 @@ def resolve_gelu(gelu: Optional[str] = None) -> str:
     return gelu
 
 
+# Minimum frame-1 grid edge for each 'auto' pooling rung: pool engages
+# only when the grid divides by it AND the pooled panel keeps enough
+# spatial resolution that the within-window K/V variation (the whole
+# approximation error, see pool_dec_prefix) stays small relative to the
+# scene. Calibrated against the measured fidelity ladder
+# (FIDELITY_r05_*.json / tests/test_fast_vmae.py trained-weights gates):
+# ViT-L 4x4 @224 (grid 56) -> pool 4 (the headline rung); ViT-B 8x8 @224
+# (grid 28) -> pool 2; test-scale grids (<=16) stay exact.
+_AUTO_POOL_MIN_GRID = {4: 32, 2: 24}
+
+
+def resolve_pools(gh: int, gw: int, prefix_pool='auto', suffix_pool='auto',
+                  gelu='auto'):
+    """Resolve the generator-level pooling/gelu knobs OUTSIDE jit.
+
+    'auto' (the FlowGenerator production default) picks the largest
+    pooling rung in {4, 2, 1} the (gh, gw) frame-1 token grid supports
+    per _AUTO_POOL_MIN_GRID, and pairs it with the tanh gelu when any
+    pooling is engaged (its ~3e-4 activation error is far below the
+    measured pooling/bf16 deviations — PERF.md) or the reference-exact
+    erf when none is. Integers and 'erf'/'tanh' pass through; env
+    CWM_PREFIX_POOL / CWM_SUFFIX_POOL / CWM_FAST_GELU override at the
+    generator level (pipelines/segmentation.py ctor).
+
+    Returns (prefix_pool: int, suffix_pool: int, gelu: str).
+    """
+    def auto_pool():
+        for p in (4, 2):
+            if (gh % p == 0 and gw % p == 0
+                    and min(gh, gw) >= _AUTO_POOL_MIN_GRID[p]):
+                return p
+        return 1
+
+    pp = auto_pool() if prefix_pool in (None, 'auto') else int(prefix_pool)
+    sp = auto_pool() if suffix_pool in (None, 'auto') else int(suffix_pool)
+    if gelu is None:
+        gelu = os.environ.get('CWM_FAST_GELU', 'auto')
+    if gelu == 'auto':
+        gelu = 'tanh' if max(pp, sp) > 1 else 'erf'
+    assert gelu in ('erf', 'tanh'), gelu
+    assert pp >= 1 and sp >= 1, (pp, sp)
+    return pp, sp, gelu
+
+
 def _dense_attention(q, k, v):
     return dense_attention(q, k, v, dtype=v.dtype)
 

@@ -149,8 +149,9 @@ class FlowGenerator(PredictorBasedGenerator):
                  patch_sampling_kwargs={},
                  engine: str = 'fast',
                  prefix_cache_size: int = 4,
-                 prefix_pool: Optional[int] = None,
-                 suffix_pool: Optional[int] = None,
+                 prefix_pool=None,
+                 suffix_pool=None,
+                 fast_gelu: Optional[str] = None,
                  **kwargs):
         super().__init__(*args, **kwargs)
         assert engine in ('exact', 'fast'), engine
@@ -161,17 +162,27 @@ class FlowGenerator(PredictorBasedGenerator):
         # ~38% fewer suffix-attention score elements at pool=2 (the
         # measured throughput bound, PERF.md) for a quantified fidelity
         # cost (tests/test_fast_vmae.py, scripts/fidelity_report.py).
-        # None -> CWM_PREFIX_POOL env (default 1 = off).
-        if prefix_pool is None:
-            prefix_pool = int(os.environ.get('CWM_PREFIX_POOL', '1') or 1)
-        assert prefix_pool >= 1, prefix_pool
-        self.prefix_pool = int(prefix_pool)
+        # Default 'auto': grid-aware — production scale (e.g. ViT-L 4x4
+        # @224, grid 56) engages the measured headline rung
+        # (pool4+suffix4+tanh, fast_vmae.resolve_pools); small grids stay
+        # exact-numerics. Integers pin a rung; 1 = off. Env overrides:
+        # CWM_PREFIX_POOL / CWM_SUFFIX_POOL / CWM_FAST_GELU.
+        def _pool_knob(value, env):
+            if value is None:
+                value = os.environ.get(env, 'auto') or 'auto'
+            if value != 'auto':
+                value = int(value)
+                assert value >= 1, (env, value)
+            return value
+
+        self.prefix_pool = _pool_knob(prefix_pool, 'CWM_PREFIX_POOL')
         # suffix_pool likewise pools the PER-SAMPLE decoder keys/values
-        # (queries stay full-res); None -> CWM_SUFFIX_POOL (default off)
-        if suffix_pool is None:
-            suffix_pool = int(os.environ.get('CWM_SUFFIX_POOL', '1') or 1)
-        assert suffix_pool >= 1, suffix_pool
-        self.suffix_pool = int(suffix_pool)
+        # (queries stay full-res)
+        self.suffix_pool = _pool_knob(suffix_pool, 'CWM_SUFFIX_POOL')
+        if fast_gelu is None:
+            fast_gelu = os.environ.get('CWM_FAST_GELU', 'auto') or 'auto'
+        assert fast_gelu in ('auto', 'erf', 'tanh'), fast_gelu
+        self.fast_gelu = fast_gelu
         self._prefix_lru = None  # built lazily on first fast chunk
         self._fast_params_src = None  # identity key: rebuilt on params swap
         self._fast_disabled = False  # set by _disable_fast_engine on failure
@@ -468,6 +479,15 @@ class FlowGenerator(PredictorBasedGenerator):
         self._fast_params_src = None
         self._fast_params = None
 
+    def _pool_config(self, h: int, w: int):
+        """Resolve the ('auto'-capable) pooling/gelu knobs for a dispatch
+        at image size (h, w) — see fast_vmae.resolve_pools. Returns
+        (prefix_pool, suffix_pool, gelu)."""
+        from ..models import fast_vmae
+        ph, pw = self.patch_size[-2:]
+        return fast_vmae.resolve_pools(h // ph, w // pw, self.prefix_pool,
+                                       self.suffix_pool, self.fast_gelu)
+
     def _ensure_fast_engine(self):
         """Lazy init of the shared-prefix engine state, keyed on params
         identity: swapping G.params rebuilds the stacked weights and drops
@@ -512,11 +532,11 @@ class FlowGenerator(PredictorBasedGenerator):
                 from ..models import fast_vmae
                 self._ensure_fast_engine()
                 cache, _ = self._prefix_lru.get(x[0:1, 0])
+                ppool, spool, gelu = self._pool_config(*x.shape[-2:])
                 vid = fast_vmae.predict_videos_shared_prefix(
                     self.predictor, self._fast_params, self._use_flash,
                     n_vis, self.imagenet_normalize_inputs, x, mask, cache,
-                    prefix_pool=self.prefix_pool,
-                    suffix_pool=self.suffix_pool)
+                    prefix_pool=ppool, suffix_pool=spool, gelu=gelu)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 jax.block_until_ready(vid)
@@ -556,15 +576,15 @@ class FlowGenerator(PredictorBasedGenerator):
                 # env resolved per call (not cached) so the documented
                 # degrade knob CWM_FLASH_TWO_SOURCE=0 takes effect
                 # mid-session
+                ppool, spool, gelu = self._pool_config(*x.shape[-2:])
                 out = counterfactual_videos_and_flows_fast(
                     self.predictor, self._fast_params, self.flow_model,
                     self.flow_params, x, passive, active, shifts, keys,
                     n_vis, self.imagenet_normalize_inputs, iters, True,
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
-                    prefix_cache=cache, prefix_pool=self.prefix_pool,
-                    suffix_pool=self.suffix_pool,
-                    gelu=fast_vmae.resolve_gelu())
+                    prefix_cache=cache, prefix_pool=ppool,
+                    suffix_pool=spool, gelu=gelu)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 return jax.block_until_ready(out)

@@ -538,6 +538,154 @@ def test_fidelity_vs_exact_model_trained_weights():
           f'mean-rel-dev {rel_s:.4f} corr {corr_s:.4f}')
     assert corr_s > 0.9, (corr_s, rel_s)
 
+    # the production-default rung at flagship scale, (4,4,tanh) — gated
+    # here with the SAME trained weights (VERDICT r04 #3). At this 8x8
+    # grid pool4 keeps only a 2x2 prefix panel, a far harsher coarsening
+    # than the flagship grid 56 (-> 14x14 panel), so this bounds the
+    # shipped rung's trained-weights deviation from ABOVE.
+    y_44 = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n_vis, True, x_mocos, mask, prefix_pool=4,
+        suffix_pool=4, gelu='tanh'))
+    rel_44 = (np.abs(y_44[:, 1] - y_exact[:, 1]).mean()
+              / np.abs(y_exact[:, 1]).mean())
+    corr_44 = np.corrcoef(y_44[:, 1].ravel(), y_exact[:, 1].ravel())[0, 1]
+    print(f'trained-weights headline rung (4,4,tanh) fidelity: '
+          f'mean-rel-dev {rel_44:.4f} corr {corr_44:.4f}')
+    assert corr_44 > 0.9, (corr_44, rel_44)
+
+
+@pytest.mark.slow
+def test_end_product_agreement_across_rungs():
+    """VERDICT r04 #3(c): agreement of the END PRODUCTS users consume —
+    the covariance-probe segment map (reference segmentation.py:478-547)
+    and the movability mean-motion map (reference segmentation.py:257-276)
+    — between the exact engine and every pooling rung, with TRAINED
+    weights, through the full pipeline (perturb -> predict -> RAFT)."""
+    from scipy.stats import spearmanr
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        FlowGenerator)
+    from counterfactualworldmodels_tpu.training import train as T
+
+    model = _model()
+    opt = T.make_optimizer(learning_rate=2e-3, warmup_steps=5,
+                           total_steps=200)
+    state = T.init_train_state(model, opt, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    base = rng.rand(4, 1, 3, 32, 32).astype(np.float32)
+    mask_t, n_vis_t = T.make_batch_masks(jax.random.PRNGKey(1), model, 4,
+                                         0.8)
+    step = jax.jit(T.make_train_step(model, opt, n_vis_t, remat=False))
+    for i in range(120):
+        shift = rng.randint(-6, 7, 2)
+        f1 = np.roll(base, tuple(shift), axis=(-2, -1))
+        state, _ = step(state, jnp.asarray(np.concatenate([base, f1], 1)),
+                        mask_t)
+    params = jax.device_get(state.params)
+
+    raft = RAFT(iters=4)
+    rparams = init_raft_params(raft, jax.random.PRNGKey(2), hw=32)
+    x = jnp.asarray(base[0])                       # [1, 3, 32, 32]
+    n = model.num_patches
+    n0 = n // 2
+    s = 8
+    active = np.ones((1, n, s), dtype=bool)
+    a0 = 3 * 8 + 3                                 # probe patch (grid 8)
+    for i in range(s):
+        active[0, n0 + a0, i] = False
+    shifts = [tuple(v) for v in rng.randint(-2, 3, size=(s, 2))]
+
+    def end_products(flows):
+        fs = np.asarray(flows, np.float32)[:, 0]   # [S, 2, H, W]
+        mags = np.sqrt((fs ** 2).mean(1))
+        mov = mags.mean(0)
+        mov = (mov - mov.min()) / max(float(mov.max() - mov.min()), 1e-8)
+        mc = mags - mags.mean(0)
+        probe = mc[:, 3 * 4 + 2, 3 * 4 + 2]        # active patch center
+        seg = (mc * probe[:, None, None]).mean(0)
+        return seg, mov
+
+    outs = {}
+    configs = [('exact', None), ('fast', (1, 1, 'erf')),
+               ('rung22', (2, 2, 'tanh')), ('rung44', (4, 4, 'tanh'))]
+    for name, rung in configs:
+        kw = {} if rung is None else dict(
+            prefix_pool=rung[0], suffix_pool=rung[1], fast_gelu=rung[2])
+        G = FlowGenerator(predictor=model, params=params, flow_model=raft,
+                          flow_params=rparams, raft_iters=4, seed=0,
+                          imagenet_normalize_inputs=True,
+                          engine='exact' if rung is None else 'fast', **kw)
+        _, f = G.predict_counterfactual_videos_and_flows(
+            x, active_patches=jnp.asarray(active), shifts=shifts,
+            num_samples=s, sample_batch_size=s)
+        outs[name] = end_products(f)
+
+    seg_e, mov_e = outs['exact']
+    for name in ('fast', 'rung22', 'rung44'):
+        seg_x, mov_x = outs[name]
+        seg_rank = spearmanr(seg_e.ravel(), seg_x.ravel()).statistic
+        mov_corr = np.corrcoef(mov_e.ravel(), mov_x.ravel())[0, 1]
+        ta = np.quantile(mov_e, 0.9)
+        tb = np.quantile(mov_x, 0.9)
+        iou = (((mov_e >= ta) & (mov_x >= tb)).sum()
+               / max(((mov_e >= ta) | (mov_x >= tb)).sum(), 1))
+        print(f'{name}: seg spearman {seg_rank:.4f} mov corr '
+              f'{mov_corr:.4f} mov IoU@90 {iou:.4f}')
+        assert seg_rank > 0.9, (name, seg_rank)
+        assert mov_corr > 0.95, (name, mov_corr)
+        assert iou > 0.6, (name, iou)
+
+
+def test_resolve_pools_auto_rungs():
+    """The 'auto' production default (VERDICT r04 #2: the config
+    FlowGenerator() ships must be the config the headline measures):
+    grid-aware rung selection with the tanh gelu riding any pooled rung."""
+    # flagship ViT-L 4x4 @224px: grid 56 -> the measured headline rung
+    assert fv.resolve_pools(56, 56) == (4, 4, 'tanh')
+    # ViT-B 8x8 @224px: grid 28 (divisible by 4 but < 32) -> pool2
+    assert fv.resolve_pools(28, 28) == (2, 2, 'tanh')
+    # test-scale grids stay exact-numerics, reference-exact gelu
+    assert fv.resolve_pools(8, 8) == (1, 1, 'erf')
+    assert fv.resolve_pools(16, 16) == (1, 1, 'erf')
+    # divisibility gates each rung
+    assert fv.resolve_pools(30, 30) == (2, 2, 'tanh')
+    assert fv.resolve_pools(27, 27) == (1, 1, 'erf')
+    # pinned values pass through; 'auto' gelu follows the pooled state
+    assert fv.resolve_pools(56, 56, 1, 1) == (1, 1, 'erf')
+    assert fv.resolve_pools(8, 8, 2, 2) == (2, 2, 'tanh')
+    assert fv.resolve_pools(56, 56, 4, 4, 'erf') == (4, 4, 'erf')
+    assert fv.resolve_pools(56, 56, 'auto', 1) == (4, 1, 'tanh')
+
+
+def test_generator_auto_pool_config(monkeypatch):
+    """FlowGenerator defaults to prefix_pool='auto': production image
+    sizes resolve to the pooled rung, test-scale sizes to exact; env knobs
+    pin a rung for every dispatch."""
+    from counterfactualworldmodels_tpu.models.raft.raft import (
+        RAFT, init_raft_params)
+    from counterfactualworldmodels_tpu.pipelines.segmentation import (
+        FlowGenerator)
+    model = _model()   # patch (1, 4, 4)
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    raft = RAFT(iters=2)
+    rparams = init_raft_params(raft, jax.random.PRNGKey(1), hw=32)
+    G = FlowGenerator(predictor=model, params=params, flow_model=raft,
+                      flow_params=rparams, raft_iters=2, seed=0,
+                      engine='fast')
+    assert G.prefix_pool == 'auto' and G.suffix_pool == 'auto'
+    assert G.fast_gelu == 'auto'
+    assert G._pool_config(32, 32) == (1, 1, 'erf')        # grid 8
+    assert G._pool_config(224, 224) == (4, 4, 'tanh')     # grid 56
+
+    monkeypatch.setenv('CWM_PREFIX_POOL', '1')
+    monkeypatch.setenv('CWM_SUFFIX_POOL', '1')
+    monkeypatch.setenv('CWM_FAST_GELU', 'erf')
+    G2 = FlowGenerator(predictor=model, params=params, flow_model=raft,
+                       flow_params=rparams, raft_iters=2, seed=0,
+                       engine='fast')
+    assert G2._pool_config(224, 224) == (1, 1, 'erf')
+
 
 def test_stack_params_rejects_unsupported_model_knobs():
     """stack_vmae_params fails loudly for model knobs the engine does not

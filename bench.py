@@ -165,6 +165,8 @@ def main():
 
     passive, active, shifts, keys = build_prompts(s)
     n_vis = npf + 32 + 1
+    from counterfactualworldmodels_tpu.models.fast_vmae import sfx_bucket
+    n_sfx_pad = sfx_bucket(n_vis - npf, n - npf)
 
     # the headline measures the LIBRARY DEFAULT config: what
     # FlowGenerator(engine='fast') resolves for this model at 224px
@@ -202,8 +204,9 @@ def main():
         else:
             y, flows, masks = counterfactual_videos_and_flows_fast(
                 model, fp, raft, raft_params, x, passive, active, shifts,
-                keys, n_vis, True, raft_iters, True, on_tpu, two_source,
-                prefix_pool=d_ppool, suffix_pool=d_spool, gelu=d_gelu)
+                keys, n_sfx_pad, True, raft_iters, True, on_tpu, two_source,
+                prefix_pool=d_ppool, suffix_pool=d_spool, gelu=d_gelu,
+                n_vis=n_vis)
         return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
     # axon's block_until_ready does not actually block; force completion
@@ -307,9 +310,9 @@ def main():
                 def dispatch_big():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p2, a2, sh2, k2,
-                        n_vis, True, raft_iters, True, on_tpu, two_source,
+                        n_sfx_pad, True, raft_iters, True, on_tpu, two_source,
                         prefix_pool=d_ppool, suffix_pool=d_spool,
-                        gelu=d_gelu)
+                        gelu=d_gelu, n_vis=n_vis)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
                 float(dispatch_big())  # compile + warm
@@ -354,8 +357,9 @@ def main():
                 def dispatch_rung():
                     _, flows, _ = counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, p3, a3, sh3, k3,
-                        n_vis, True, raft_iters, True, on_tpu, two_source,
-                        prefix_pool=ppool, suffix_pool=spool, gelu=gelu)
+                        n_sfx_pad, True, raft_iters, True, on_tpu, two_source,
+                        prefix_pool=ppool, suffix_pool=spool, gelu=gelu,
+                        n_vis=n_vis)
                     return jnp.sum(jnp.abs(flows).astype(jnp.float32))
 
                 dtp = measure(dispatch_rung)

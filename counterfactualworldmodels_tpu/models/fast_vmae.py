@@ -204,12 +204,55 @@ def resolve_pools(gh: int, gw: int, prefix_pool='auto', suffix_pool='auto',
     return pp, sp, gelu
 
 
+def sfx_bucket(n_sfx: int, n1: int) -> int:
+    """Serving-shape bucket for the per-sample visible-frame-1 width.
+
+    Every distinct suffix width keys its own XLA program; without
+    bucketing, a user clicking a prompt size the serving warmup did not
+    anticipate pays the full first-compile (~35 s on TPU — PERF.md
+    serving section). Padding the width up to the next bucket makes any
+    click count hit one of a handful of already-compiled programs; the
+    pad slots carry a sentinel index (= n1) that the engine masks out of
+    attention and drops at the scatter, so bucketing is numerics-neutral
+    (tests/test_fast_vmae.py::test_sfx_bucketing_*).
+
+    Buckets are 4, 8, 16, ... (powers of two), capped at n1; width 0 (a
+    factual prompt with frame 1 fully masked) stays 0 — it has its own
+    suffix-free program. CWM_SFX_BUCKET=0 disables bucketing (exact
+    widths, one program per width).
+    """
+    if n_sfx <= 0:
+        return 0
+    if os.environ.get('CWM_SFX_BUCKET', '1') == '0':
+        return n_sfx
+    b = 4
+    while b < n_sfx:
+        b *= 2
+    return min(b, n1)
+
+
+def pad_vis1_idx(mask1, n_sfx_pad: int):
+    """Visible-first frame-1 indices padded to a static bucket width.
+
+    mask1: bool [S, N1] (True = masked). Returns int32 [S, n_sfx_pad]:
+    each row's real visible indices first (original order), then the
+    sentinel N1 in the pad slots. Rows with MORE than n_sfx_pad visible
+    tokens are silently truncated — callers derive n_sfx_pad from the
+    max visible count (sfx_bucket), so this cannot happen in practice.
+    """
+    n1 = mask1.shape[-1]
+    vis_counts = (~mask1).sum(-1)
+    order = mask_order(mask1)[:, :n_sfx_pad]
+    col = jnp.arange(n_sfx_pad, dtype=vis_counts.dtype)[None]
+    return jnp.where(col < vis_counts[:, None], order, n1)
+
+
 def _dense_attention(q, k, v):
     return dense_attention(q, k, v, dtype=v.dtype)
 
 
 def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0,
-                            weight1: float = 1.0):
+                            weight1: float = 1.0, own_valid=None):
     """Two-source dense attention WITHOUT materializing broadcast+concat
     K/V: softmax over [shared prefix scores ; own scores], f32 like
     dense_attention. q [S, H, Nq, d]; k0/v0 [S0, H, N0, d] with S0 in
@@ -222,6 +265,13 @@ def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0,
 
     weight0/weight1: key multiplicity of the prefix/own panel (pooled
     modes) — each key counts as weight identical keys in the softmax.
+
+    own_valid: optional bool [S, N1]; False marks pad keys in the own
+    panel (suffix-width bucketing, sfx_bucket) whose scores are set to
+    -inf — exp(-inf) = 0, so the softmax runs over exactly the real key
+    set and masking is numerics-neutral. A row with no valid own key
+    degenerates to prefix-only attention (the running max stays the
+    finite prefix max).
 
     A zero-width own panel (N1 == 0: a factual prompt whose frame 1 is
     fully masked — the reference's default /predict workload,
@@ -250,6 +300,8 @@ def _dense_attention_prefix(q, k0, v0, k1, v1, weight0: float = 1.0,
         s0 = s0 + float(np.log(weight0))
     if weight1 != 1.0:
         s1 = s1 + float(np.log(weight1))
+    if own_valid is not None:
+        s1 = jnp.where(own_valid[:, None, None, :], s1, -jnp.inf)
     m = jnp.maximum(s0.max(-1, keepdims=True), s1.max(-1, keepdims=True))
     p0 = jnp.exp(s0 - m)
     p1 = jnp.exp(s1 - m)
@@ -299,7 +351,8 @@ def _pool_kv_grid(x, pool: int, grid):
 
 def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
                      two_source: bool, prefix_weight: float = 1.0,
-                     suffix_pool: int = 1, grid=None, gelu: str = 'erf'):
+                     suffix_pool: int = 1, grid=None, gelu: str = 'erf',
+                     key_valid=None):
     """One pre-norm ViT Block: per-sample tokens attend [cached prefix
     kv0 ; own kv]. Shared by both engines — see prefix_block_one.
 
@@ -308,7 +361,12 @@ def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
     suffix_pool: >1 pools the PER-SAMPLE keys/values pool x pool over the
     (gh, gw) token ``grid`` and weights them pool^2-fold — queries stay
     full-resolution, so every output position is still computed; only
-    what it READS from the other suffix positions is coarsened."""
+    what it READS from the other suffix positions is coarsened.
+    key_valid: optional bool [S, N] pad-key mask (suffix-width bucketing,
+    sfx_bucket) — False keys are excluded from every query's softmax.
+    Only the bucketed encoder-suffix pass uses it (tiny N), so it forces
+    the dense two-source impl; incompatible with suffix_pool > 1 (pooling
+    would average pad garbage into real windows)."""
     scale = (h.shape[-1] // num_heads) ** -0.5
     s, n, _ = h.shape
     k0, v0 = kv0
@@ -316,19 +374,23 @@ def suffix_block_one(p, kv0, h, num_heads: int, use_flash: bool,
     q, k, v = _qkv(p['attn'], ln, num_heads)
     suffix_weight = 1.0
     if suffix_pool > 1:
+        assert key_valid is None, 'bucketed pad keys cannot be pooled'
         k = _pool_kv_grid(k, suffix_pool, grid)
         v = _pool_kv_grid(v, suffix_pool, grid)
         suffix_weight = float(suffix_pool * suffix_pool)
-    if two_source and use_flash:
+    if two_source and use_flash and key_valid is None:
         o = flash_attention_prefix(q * scale, k0, v0, k, v,
                                    prefix_weight=prefix_weight,
                                    suffix_weight=suffix_weight)
-    elif two_source or prefix_weight != 1.0 or suffix_weight != 1.0:
+    elif (two_source or prefix_weight != 1.0 or suffix_weight != 1.0
+          or key_valid is not None):
         # dense two-source: no S-fold broadcast+concat of the prefix
-        # panels (also the only dense impl that can weight the panels)
+        # panels (also the only dense impl that can weight the panels
+        # or mask bucketing pad keys)
         o = _dense_attention_prefix(q * scale, k0, v0, k, v,
                                     weight0=prefix_weight,
-                                    weight1=suffix_weight)
+                                    weight1=suffix_weight,
+                                    own_valid=key_valid)
     else:
         kf = jnp.concatenate(
             [jnp.broadcast_to(k0, (s,) + k0.shape[1:]), k], axis=2)
@@ -369,18 +431,20 @@ def resolve_two_source(use_flash: bool, two_source=None) -> bool:
 
 def _suffix_blocks(stacked, kvs, hs, num_heads: int, use_flash: bool,
                    two_source: bool, prefix_weight: float = 1.0,
-                   suffix_pool: int = 1, grid=None, gelu: str = 'erf'):
+                   suffix_pool: int = 1, grid=None, gelu: str = 'erf',
+                   key_valid=None):
     """Per-sample tokens attending to [cached prefix kv ; own kv].
 
     two_source=True uses the two-source attention (flash kernel on TPU,
     concat-free dense otherwise), which reads the shared prefix panels
     in place instead of broadcasting S copies per layer (see bench.py
-    degrade chain). prefix_weight / suffix_pool: see suffix_block_one."""
+    degrade chain). prefix_weight / suffix_pool / key_valid: see
+    suffix_block_one (key_valid is layer-invariant, closed over)."""
     def body(h, xs):
         p, kv0 = xs
         return suffix_block_one(p, kv0, h, num_heads, use_flash,
                                 two_source, prefix_weight, suffix_pool,
-                                grid, gelu), None
+                                grid, gelu, key_valid), None
 
     return jax.lax.scan(body, hs, (stacked, kvs))[0]
 
@@ -506,23 +570,31 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
         # suffix stage is exact, not an approximation.
         z1 = base
     else:
+        # pad slots (suffix-width bucketing, sfx_bucket / pad_vis1_idx)
+        # carry the sentinel index n1: gather them safely at slot 0, mask
+        # their keys out of attention, and drop them at the scatter. With
+        # no padding, valid is all-True and every step below is the
+        # identity — non-bucketed numerics are unchanged.
+        valid = vis1_idx < n1
+        idx_safe = jnp.where(valid, vis1_idx, 0)
         # --- encode suffix: gather visible patches, embed, add positions
         p1 = patch_ops.patchify(x1n[:, :, None], model.full_patch_size,
                                 temporal_dim=2, squeeze_channel_dim=True)
-        p1v = jnp.take_along_axis(p1, vis1_idx[..., None], axis=1)
+        p1v = jnp.take_along_axis(p1, idx_safe[..., None], axis=1)
         tok = (jnp.dot(p1v.astype(dtype), fp.patch_kernel,
                        preferred_element_type=jnp.float32).astype(dtype)
                + fp.patch_bias)
         pos_enc = sinusoid_encoding_table(
             model.num_patches, model.encoder_embed_dim)[0].astype(dtype)
-        tok = tok + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
+        tok = tok + jnp.take(pos_enc, n0 + idx_safe, axis=0)
 
         # encoder suffix: ~n_sfx (~33) queries — far below the flash
         # kernel's minimum block, so dense attention wins regardless of
         # use_flash; two_source=True routes to the concat-free dense impl
         # (no S-fold prefix K/V broadcast per layer)
         hs = _suffix_blocks(fp.enc_blocks, cache.enc_kvs, tok,
-                            model.encoder_num_heads, False, True, gelu=gelu)
+                            model.encoder_num_heads, False, True, gelu=gelu,
+                            key_valid=valid)
         hs = _ln(hs, fp.enc_norm)
         zs = jnp.dot(hs, fp.e2d_kernel,
                      preferred_element_type=jnp.float32).astype(dtype)
@@ -530,9 +602,10 @@ def _predict_frame1_core(model: PretrainVisionTransformer,
         # --- decoder frame-1 rows: mask tokens everywhere, encoded tokens
         # at the visible slots (order within the sequence is irrelevant:
         # attention is permutation-equivariant and positions ride the
-        # embeddings)
-        vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
-        z1 = jax.vmap(lambda b, i, v: b.at[i].set(v))(base, vis1_idx, vals)
+        # embeddings); pad rows index n1 = out of bounds -> dropped
+        vals = zs + jnp.take(pos_dec, n0 + idx_safe, axis=0)
+        z1 = jax.vmap(lambda b, i, v: b.at[i].set(v, mode='drop'))(
+            base, vis1_idx, vals)
 
     dec_kvs, pw = cache.dec_kvs, 1.0
     ph, pw_ = model.full_patch_size[-2:]
@@ -664,15 +737,24 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
     the fused dispatch pipelines build their masks correct-by-
     construction and call the core directly."""
     n0 = model.num_patches_per_frame
+    n1 = model.num_patches - n0
     if bool(np.asarray(mask_mocos[..., :n0]).any()):
         raise ValueError(
             'predict_videos_shared_prefix: mask touches frame 0; the '
             'shared-prefix engine requires frame 0 fully visible — use '
             'the exact path (pipelines.prediction.predict_video) for '
             'such prompts')
+    if n_vis < n0:
+        raise ValueError(
+            f'n_vis={n_vis} < num_patches_per_frame={n0}: the shared-prefix '
+            'engine requires frame 0 fully visible in every prompt (the '
+            'fix_passive construction); masks touching frame 0 must use the '
+            'exact path (pipelines.segmentation.counterfactual_videos_and_'
+            'flows)')
     return _predict_videos_core(model, fp, use_flash,
                                 resolve_two_source(use_flash, two_source),
-                                n_vis, normalize, x_mocos, mask_mocos, cache,
+                                sfx_bucket(n_vis - n0, n1), normalize,
+                                x_mocos, mask_mocos, cache,
                                 int(prefix_pool), int(suffix_pool),
                                 resolve_gelu(gelu))
 
@@ -680,7 +762,7 @@ def predict_videos_shared_prefix(model: PretrainVisionTransformer,
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 9, 10, 11))
 def _predict_videos_core(model: PretrainVisionTransformer,
                          fp: FastParams, use_flash: bool, two_source: bool,
-                         n_vis: int, normalize: bool,
+                         n_sfx_pad: int, normalize: bool,
                          x_mocos, mask_mocos,
                          cache: Optional[PrefixCache] = None,
                          prefix_pool: int = 1, suffix_pool: int = 1,
@@ -689,6 +771,12 @@ def _predict_videos_core(model: PretrainVisionTransformer,
     counterfactual workload: x_mocos [S, T, C, H, W] share frame 0 (the
     fix_passive construction guarantees it; only sample 0's frame 0 is
     read), frame 0 fully visible, per-sample visibility in frame 1 only.
+
+    n_sfx_pad: STATIC bucketed suffix width (sfx_bucket) — the only
+    prompt-size-dependent piece of the program key, so every prompt size
+    within a bucket reuses one compiled program. Real per-sample visible
+    counts are derived from the mask (traced); they may be ragged, and
+    each must be <= n_sfx_pad.
 
     Returns [S, T, C, H, W] reconstructed videos: input patches at visible
     positions, predictions at masked ones — exactly the layout of
@@ -699,15 +787,6 @@ def _predict_videos_core(model: PretrainVisionTransformer,
     """
     s, t, c, h, w = x_mocos.shape
     n0 = model.num_patches_per_frame
-    n1 = model.num_patches - n0
-    n_sfx = n_vis - n0
-    if n_sfx < 0:
-        raise ValueError(
-            f'n_vis={n_vis} < num_patches_per_frame={n0}: the shared-prefix '
-            'engine requires frame 0 fully visible in every prompt (the '
-            'fix_passive construction); masks touching frame 0 must use the '
-            'exact path (pipelines.segmentation.counterfactual_videos_and_'
-            'flows)')
 
     xm = imagenet_normalize(x_mocos, temporal_dim=1) if normalize else x_mocos
 
@@ -715,7 +794,7 @@ def _predict_videos_core(model: PretrainVisionTransformer,
         cache = encode_prefix(model, fp, use_flash, xm[0:1, 0])
 
     mask1 = mask_mocos[:, n0:]
-    vis1_idx = mask_order(mask1)[:, :n_sfx]
+    vis1_idx = pad_vis1_idx(mask1, n_sfx_pad)
     y1 = _predict_frame1_core(model, fp, use_flash, two_source, cache,
                               xm[:, 1], vis1_idx, prefix_pool, suffix_pool,
                               gelu)

@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models import fast_vmae
 from ..pipelines.segmentation import (counterfactual_videos_and_flows,
                                       counterfactual_videos_and_flows_fast)
 from .pipeline import _shard_map, _SHARD_MAP_KW
@@ -83,12 +84,16 @@ def sharded_counterfactuals_fast(mesh: Mesh, vmae_model, fast_params,
     pipelines.segmentation.counterfactual_videos_and_flows_fast; S must be
     divisible by the mesh size.
     """
+    n0 = vmae_model.num_patches_per_frame
+    n_sfx_pad = fast_vmae.sfx_bucket(n_vis - n0, vmae_model.num_patches - n0)
+
     def local(fp, rp, xl, p, a, sh, k, *cache):
         return counterfactual_videos_and_flows_fast(
-            vmae_model, fp, raft_model, rp, xl, p, a, sh, k, n_vis,
+            vmae_model, fp, raft_model, rp, xl, p, a, sh, k, n_sfx_pad,
             normalize, raft_iters, True, use_flash, two_source,
             prefix_cache=cache[0] if cache else None,
-            prefix_pool=prefix_pool, suffix_pool=suffix_pool, gelu=gelu)
+            prefix_pool=prefix_pool, suffix_pool=suffix_pool, gelu=gelu,
+            n_vis=n_vis)
 
     in_specs = [P(), P(), P(), P(None, None, 'samples'),
                 P(None, None, 'samples'), P(None, 'samples'),
@@ -131,10 +136,14 @@ def sharded_counterfactuals_fast_multi(mesh: Mesh, vmae_model, fast_params,
     from ..pipelines.segmentation import (
         counterfactual_videos_and_flows_fast_multi)
 
+    n0 = vmae_model.num_patches_per_frame
+    n_sfx_pad = fast_vmae.sfx_bucket(n_vis - n0, vmae_model.num_patches - n0)
+
     def local(fp, rp, xl, p, a, sh, k, cache):
         return counterfactual_videos_and_flows_fast_multi(
-            vmae_model, fp, raft_model, rp, xl, p, a, sh, n_vis, normalize,
-            raft_iters, True, use_flash, two_source, k, cache)
+            vmae_model, fp, raft_model, rp, xl, p, a, sh, n_sfx_pad,
+            normalize, raft_iters, True, use_flash, two_source, k, cache,
+            n_vis=n_vis)
 
     f = _shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P('samples'), P('samples'),

@@ -577,14 +577,16 @@ class FlowGenerator(PredictorBasedGenerator):
                 # degrade knob CWM_FLASH_TWO_SOURCE=0 takes effect
                 # mid-session
                 ppool, spool, gelu = self._pool_config(*x.shape[-2:])
+                n_sfx_pad = fast_vmae.sfx_bucket(
+                    n_vis - n0, self.predictor.num_patches - n0)
                 out = counterfactual_videos_and_flows_fast(
                     self.predictor, self._fast_params, self.flow_model,
                     self.flow_params, x, passive, active, shifts, keys,
-                    n_vis, self.imagenet_normalize_inputs, iters, True,
+                    n_sfx_pad, self.imagenet_normalize_inputs, iters, True,
                     self._use_flash,
                     fast_vmae.resolve_two_source(self._use_flash),
                     prefix_cache=cache, prefix_pool=ppool,
-                    suffix_pool=spool, gelu=gelu)
+                    suffix_pool=spool, gelu=gelu, n_vis=n_vis)
                 # surface async execution faults (not just compile errors)
                 # inside this try so they degrade too; no-op on axon
                 return jax.block_until_ready(out)
@@ -754,14 +756,15 @@ FlowGenerator.get_error_maps = _get_error_maps
                                    18))
 def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
                                          raft_params, x, passive, active,
-                                         shifts, keys, n_vis: int,
+                                         shifts, keys, n_sfx_pad: int,
                                          normalize: bool, raft_iters: int,
                                          fix_passive: bool, use_flash: bool,
                                          two_source: bool = False,
                                          prefix_cache=None,
                                          prefix_pool: int = 1,
                                          suffix_pool: int = 1,
-                                         gelu: str = 'erf'):
+                                         gelu: str = 'erf',
+                                         n_vis=None):
     """Shared-prefix fast path of counterfactual_videos_and_flows for the
     production workload shape: B=1, frame 0 fully visible and identical
     across samples (fix_passive). The ViT runs via the prefix-isolated
@@ -775,10 +778,23 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     as counterfactual_videos_and_flows with B=1. prefix_cache: optional
     fast_vmae.make_prefix_cache(...) of this scene's frame 0 (serving layers
     key it by image hash; skips the per-scene prefix passes entirely).
+
+    n_sfx_pad: STATIC bucketed suffix width (fast_vmae.sfx_bucket) — the
+    prompt-size part of the program key. n_vis: the rectangularizer's
+    per-sample visible-count target, TRACED — every prompt size within a
+    bucket shares one compiled program (the serving warmup compiles one
+    program per bucket instead of one per click count).
     """
     from ..models.fast_vmae import _predict_videos_core
     from ..models.raft.raft import apply_raft_shared0
 
+    if n_vis is None:
+        raise TypeError(
+            'counterfactual_videos_and_flows_fast: n_vis is required — '
+            'pass the rectangularizer target as n_vis=<count> and the '
+            'static bucketed width (fast_vmae.sfx_bucket(n_vis - n0, n1)) '
+            'positionally as n_sfx_pad; without it per-sample visible '
+            'counts are data-dependent and can exceed the bucket width')
     b, t, c, h, w = x.shape
     assert b == 1, 'fast path is per-scene; vmap/shard the scene axis'
     s = passive.shape[-1]
@@ -792,7 +808,7 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
     x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
 
     y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
-                             n_vis, normalize, x_mocos, mask_mocos,
+                             n_sfx_pad, normalize, x_mocos, mask_mocos,
                              prefix_cache, prefix_pool, suffix_pool, gelu)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
@@ -802,13 +818,14 @@ def counterfactual_videos_and_flows_fast(vmae_model, fast_params, raft_model,
 def counterfactual_videos_and_flows_fast_multi(vmae_model, fast_params,
                                                raft_model, raft_params,
                                                x, passive, active,
-                                               shifts, n_vis: int,
+                                               shifts, n_sfx_pad: int,
                                                normalize: bool,
                                                raft_iters: int,
                                                fix_passive: bool,
                                                use_flash: bool,
                                                two_source: bool,
-                                               keys, prefix_cache):
+                                               keys, prefix_cache,
+                                               n_vis=None):
     """Multi-SCENE fast dispatch: each sample carries its OWN scene.
 
     x [S, T, C, H, W] per-sample scene videos; passive/active [S, N];
@@ -828,6 +845,11 @@ def counterfactual_videos_and_flows_fast_multi(vmae_model, fast_params,
     from ..models.fast_vmae import _predict_videos_core
     from ..models.raft.raft import apply_raft_video
 
+    if n_vis is None:
+        raise TypeError(
+            'counterfactual_videos_and_flows_fast_multi: n_vis is required '
+            '(see counterfactual_videos_and_flows_fast)')
+
     def one(xb, p, a, shift, key):
         return perturb.make_motion_counterfactual(
             xb, p, a, shift, key, vmae_model.full_patch_size,
@@ -836,7 +858,7 @@ def counterfactual_videos_and_flows_fast_multi(vmae_model, fast_params,
     x_mocos, mask_mocos = jax.vmap(one)(x, passive, active, shifts, keys)
 
     y = _predict_videos_core(vmae_model, fast_params, use_flash, two_source,
-                             n_vis, normalize, x_mocos, mask_mocos,
+                             n_sfx_pad, normalize, x_mocos, mask_mocos,
                              prefix_cache)
     flows = apply_raft_video(raft_model, raft_params, y, iters=raft_iters,
                              scale_inputs=True)

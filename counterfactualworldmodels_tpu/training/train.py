@@ -32,12 +32,38 @@ class TrainState(NamedTuple):
 
 def make_optimizer(learning_rate=1.5e-4, weight_decay=0.05,
                    warmup_steps=1000, total_steps=100_000,
-                   b1=0.9, b2=0.95, clip_norm=1.0):
+                   b1=0.9, b2=0.95, clip_norm=1.0, mu_dtype=None):
+    """mu_dtype: dtype of Adam's first moment (e.g. jnp.bfloat16 halves
+    that buffer's HBM; the second moment and params stay f32 — the
+    optax-recommended mixed-precision Adam layout)."""
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1))
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay))
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
+                    mu_dtype=mu_dtype))
+
+
+def apply_remat(loss_fn, remat):
+    """Rematerialization ladder for a loss function.
+
+    False: save everything (fastest when activations fit HBM).
+    True/'full': jax.checkpoint over the whole loss — minimum memory,
+    recomputes the entire forward during the backward (~+1/3 FLOPs).
+    'dots': policy remat — matmul/attention OUTPUTS are saved, only the
+    cheap elementwise/norm ops recompute: near-no-remat speed at a
+    fraction of no-remat's activation memory (the MXU results that
+    dominate HBM in a ViT are exactly what the backward needs anyway).
+    """
+    if not remat:
+        return loss_fn
+    if remat in (True, 'full'):
+        return jax.checkpoint(loss_fn)
+    if remat == 'dots':
+        return jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    raise ValueError(f'remat must be False, True/"full", or "dots": {remat}')
 
 
 def masked_prediction_loss(model: PretrainVisionTransformer, params, x, mask,
@@ -119,12 +145,10 @@ def make_train_step(model: PretrainVisionTransformer, optimizer,
     microbatch; identical update to the full-batch step for this
     mean loss).
     """
-    loss_fn = functools.partial(
+    loss_fn = apply_remat(functools.partial(
         masked_prediction_loss, model,
         n_vis=n_vis, normalize_inputs=normalize_inputs,
-        normalize_targets=normalize_targets)
-    if remat:
-        loss_fn = jax.checkpoint(loss_fn, static_argnums=())
+        normalize_targets=normalize_targets), remat)
 
     def train_step(state: TrainState, x, mask):
         if accum_steps > 1:
@@ -215,8 +239,7 @@ def make_cmae_train_step(model, optimizer, n_vis: int,
     def loss_fn(params, x, mask):
         return channel_mae_train_loss(model, params, x, mask, n_vis,
                                       group_masked_counts)
-    if remat:
-        loss_fn = jax.checkpoint(loss_fn)
+    loss_fn = apply_remat(loss_fn, remat)
 
     def train_step(state: TrainState, x, mask):
         if accum_steps > 1:
@@ -315,8 +338,7 @@ def make_conjoined_train_step(model, optimizer, n_vis: int,
     def loss_fn(params, x, mask, xc, mc):
         return conjoined_prediction_loss(model, params, x, mask, xc, mc,
                                          n_vis, n_vis_context, **loss_kwargs)
-    if remat:
-        loss_fn = jax.checkpoint(loss_fn)
+    loss_fn = apply_remat(loss_fn, remat)
 
     def train_step(state: TrainState, x, mask, xc, mc):
         if accum_steps > 1:

@@ -246,6 +246,8 @@ def main():
     npf = n // 2
     s = args.samples
     n_vis = npf + 32 + 1
+    from counterfactualworldmodels_tpu.models.fast_vmae import sfx_bucket
+    n_sfx_pad = sfx_bucket(n_vis - npf, n - npf)
     rng = np.random.RandomState(args.seed)
 
     paths = sorted(glob.glob(args.images))[:args.max_images]
@@ -299,8 +301,8 @@ def main():
             y_f, f_f, _ = jax.block_until_ready(
                 counterfactual_videos_and_flows_fast(
                     model, fp, raft, raft_params, x, passive, active,
-                    shifts, keys, n_vis, True, args.raft_iters, True,
-                    on_tpu, two_source))
+                    shifts, keys, n_sfx_pad, True, args.raft_iters, True,
+                    on_tpu, two_source, n_vis=n_vis))
         except Exception:
             if not two_source:
                 raise
@@ -311,8 +313,8 @@ def main():
             two_source = False
             y_f, f_f, _ = counterfactual_videos_and_flows_fast(
                 model, fp, raft, raft_params, x, passive, active, shifts,
-                keys, n_vis, True, args.raft_iters, True, on_tpu,
-                two_source)
+                keys, n_sfx_pad, True, args.raft_iters, True, on_tpu,
+                two_source, n_vis=n_vis)
 
         def vs_exact(y_x, f_x):
             stats = _pair_stats(y_e, f_e, y_x, f_x)
@@ -334,9 +336,9 @@ def main():
                 y_p, f_p, _ = jax.block_until_ready(
                     counterfactual_videos_and_flows_fast(
                         model, fp, raft, raft_params, x, passive, active,
-                        shifts, keys, n_vis, True, args.raft_iters, True,
+                        shifts, keys, n_sfx_pad, True, args.raft_iters, True,
                         on_tpu, two_source, prefix_pool=pool,
-                        suffix_pool=spool, gelu=gelu))
+                        suffix_pool=spool, gelu=gelu, n_vis=n_vis))
                 row[key_] = vs_exact(y_p, f_p)
             except Exception as e:
                 traceback.print_exc()
@@ -362,8 +364,9 @@ def main():
                 y_f32, f_f32, _ = jax.block_until_ready(
                     counterfactual_videos_and_flows_fast(
                         model32, fp32, raft32, raft_params, x, passive,
-                        active, shifts, keys, n_vis, True, args.raft_iters,
-                        True, on_tpu, two_source))
+                        active, shifts, keys, n_sfx_pad, True,
+                        args.raft_iters, True, on_tpu, two_source,
+                        n_vis=n_vis))
                 decompose = {
                     'image': os.path.basename(path),
                     'note': 'flow_mean_rel_dev attribution: isolation = '
@@ -385,10 +388,10 @@ def main():
                     y_p32, f_p32, _ = jax.block_until_ready(
                         counterfactual_videos_and_flows_fast(
                             model32, fp32, raft32, raft_params, x, passive,
-                            active, shifts, keys, n_vis, True,
+                            active, shifts, keys, n_sfx_pad, True,
                             args.raft_iters, True, on_tpu, two_source,
                             prefix_pool=pool, suffix_pool=spool,
-                            gelu=gelu))
+                            gelu=gelu, n_vis=n_vis))
                     decompose[f'{key_}_f32_vs_exact_f32'] = _pair_stats(
                         y_e32, f_e32, y_p32, f_p32)
                     decompose[f'{key_}_f32_vs_fast_f32_pooling_only'] = \

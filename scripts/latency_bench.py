@@ -57,10 +57,21 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(1, 2, 3, 224, 224).astype(np.float32))
 
+    # ONE dispatch + one scalar fetch per iteration: the |y|-sum rides
+    # inside the jitted program. Eager jnp.abs/astype/sum after the core
+    # call would add 3 host round-trips per iteration — on the axon relay
+    # each is a network hop with its own jitter, which inflated the r04
+    # warm-prefix p99 (113.7 ms vs p50 64.9; VERDICT r04 weak #6). The
+    # production click path fetches the predicted array once, so the
+    # fused-reduction program is the honest proxy.
+    @jax.jit
+    def _cold_core(params_, x_, mask_):
+        y = predict_video(model, params_, x_, mask_, n_vis, True, 1)
+        return jnp.sum(jnp.abs(y).astype(jnp.float32))
+
     def run():
-        y = predict_video(model, params, x, mask, n_vis, True, 1)
         # axon's block_until_ready does not block; sync via scalar fetch
-        return float(jnp.sum(jnp.abs(y)))
+        return float(_cold_core(params, x, mask))
 
     def timed(fn):
         fn(); fn()  # compile + warm
@@ -69,12 +80,14 @@ def main():
             t0 = time.perf_counter()
             fn()
             lats.append((time.perf_counter() - t0) * 1e3)
+        raw = [round(v, 2) for v in lats]   # chronological, for tail diag
         lats.sort()
 
         def pct(p):
             return round(
                 lats[min(len(lats) - 1, int(p / 100 * len(lats)))], 2)
-        return {'p50_ms': pct(50), 'p90_ms': pct(90), 'p99_ms': pct(99)}
+        return {'p50_ms': pct(50), 'p90_ms': pct(90), 'p99_ms': pct(99),
+                'lats_ms': raw}
 
     rec = {
         'metric': f'single-prediction latency (ViT-{args.model[0].upper()}, '
@@ -112,15 +125,23 @@ def main():
         vis1 = jnp.asarray(rng.choice(npf, 33, replace=False)[None],
                            jnp.int32)
 
-        def run_warm():
-            y1 = predict_frame1_from_prefix(model, fp, on_tpu, cache,
-                                            xm[:, 1], vis1,
+        @jax.jit
+        def _warm_core(fp_, cache_, x1_, vis1_):
+            y1 = predict_frame1_from_prefix(model, fp_, on_tpu, cache_,
+                                            x1_, vis1_,
                                             two_source=two_source)
-            return float(jnp.sum(jnp.abs(y1).astype(jnp.float32)))
+            return jnp.sum(jnp.abs(y1).astype(jnp.float32))
+
+        x1 = xm[:, 1]
+
+        def run_warm():
+            return float(_warm_core(fp, cache, x1, vis1))
 
         rec['warm_prefix'] = timed(run_warm)
         rec['warm_prefix']['note'] = ('S=1 suffix pass against a cached '
-                                      'frame-0 prefix (PrefixLru hit)')
+                                      'frame-0 prefix (PrefixLru hit); '
+                                      'fused |y|-sum, single dispatch per '
+                                      'iteration')
 
     optional('warm_prefix', warm_prefix_section)
 
@@ -156,14 +177,17 @@ def main():
         # (imu.py -> predict_videos_conjoined_prefix); time the same
         # compiled program, not the eager trace (each eager op is a host
         # round-trip on the axon relay — measured 3.8 s of pure dispatch)
-        import functools as _ft
-        f_imu = jax.jit(_ft.partial(fc.predict_frame1_conjoined, cmodel,
-                                    use_flash=on_tpu,
-                                    two_source=two_source))
+        @jax.jit
+        def f_imu(cfp_, ccache_, x1_, vis1_):
+            y1 = fc.predict_frame1_conjoined(cmodel, cfp_, ccache_, x1_,
+                                             vis1_, use_flash=on_tpu,
+                                             two_source=two_source)
+            return jnp.sum(jnp.abs(y1).astype(jnp.float32))
+
+        cx1 = cxm[:, :, 1]
 
         def run_warm_imu():
-            y1 = f_imu(cfp, ccache, cxm[:, :, 1], cvis1)
-            return float(jnp.sum(jnp.abs(y1).astype(jnp.float32)))
+            return float(f_imu(cfp, ccache, cx1, cvis1))
 
         rec['warm_prefix_imu'] = timed(run_warm_imu)
         rec['warm_prefix_imu']['note'] = (

@@ -405,6 +405,15 @@ class CwmService:
             return self._dispatch_same_scene(n_vis, items)
         return self._dispatch_multi_scene(n_vis, items)
 
+    def _sfx_pad(self, n_vis):
+        """Static bucketed suffix width for a dispatch (the prompt-size
+        part of the program key — fast_vmae.sfx_bucket); warmup compiles
+        one program per bucket, so any click count within a warmed bucket
+        skips the first-request compile."""
+        from counterfactualworldmodels_tpu.models.fast_vmae import sfx_bucket
+        n0 = self.G.predictor.num_patches_per_frame
+        return sfx_bucket(n_vis - n0, self.G.predictor.num_patches - n0)
+
     def _dispatch_multi_scene(self, n_vis, items):
         """ONE fused dispatch for concurrent prompts on DIFFERENT images:
         per-sample scenes + stacked per-sample prefix caches (sample i
@@ -455,8 +464,9 @@ class CwmService:
             ys, flows, _ = counterfactual_videos_and_flows_fast_multi(
                 G.predictor, self._fp, G.flow_model, G.flow_params, xs,
                 jnp.asarray(pas), jnp.asarray(act), jnp.asarray(shf),
-                n_vis, G.imagenet_normalize_inputs, G.raft_iters, True,
-                use_flash, resolve_two_source(use_flash), keys, stacked)
+                self._sfx_pad(n_vis), G.imagenet_normalize_inputs,
+                G.raft_iters, True, use_flash,
+                resolve_two_source(use_flash), keys, stacked, n_vis=n_vis)
             self.scene_batches += 1
             out, off = [], 0
             for s in counts:
@@ -527,9 +537,10 @@ class CwmService:
             use_flash = jax.default_backend() == 'tpu'
             ys, flows, _ = counterfactual_videos_and_flows_fast(
                 G.predictor, self._fp, G.flow_model, G.flow_params, video,
-                passive, active, shifts, keys, n_vis,
+                passive, active, shifts, keys, self._sfx_pad(n_vis),
                 G.imagenet_normalize_inputs, G.raft_iters, True, use_flash,
-                resolve_two_source(use_flash), prefix_cache=cache)
+                resolve_two_source(use_flash), prefix_cache=cache,
+                n_vis=n_vis)
             extra = ({} if self._batcher is None
                      else {'batched_samples': s_pad})
             out, off = [], 0
@@ -648,7 +659,7 @@ class CwmService:
     def _warm_mixed_dispatch(self, n_vis, items):
         return self._dispatch_multi_scene(n_vis, items)
 
-    def warmup(self, buckets=(1, 4, 16), active_counts=(1, 2, 3),
+    def warmup(self, buckets=(1, 4, 16), active_counts=(1, 5, 9),
                log=print):
         """Pre-compile the serving programs before accepting traffic.
 
@@ -659,13 +670,16 @@ class CwmService:
         to max(buckets). On TPU the first compile per shape costs tens of
         seconds; paying all of them at startup (under the persistent XLA
         compilation cache) keeps the first real requests at steady-state
-        latency. Programs are additionally keyed by the visible-patch
-        count: ``active_counts`` lists the prompt sizes to warm (k total
-        distinct prompt patches -> n_vis = n_patches//2 + k for the plain
-        service; the split between active and passive does not change the
-        program, only the union count does — a 1-active + 1-passive click
-        runs the k=2 program). Prompts whose patch count was not warmed
-        pay one compile on first use (then cached persistently).
+        latency. Programs are additionally keyed by the BUCKETED
+        visible-patch count (fast_vmae.sfx_bucket: prompt sizes 1-4 share
+        the width-4 program, 5-8 the width-8, 9-16 the width-16, ...):
+        ``active_counts`` lists one prompt size per bucket to warm (k
+        total distinct prompt patches -> n_vis = n_patches//2 + k for the
+        plain service; the split between active and passive does not
+        change the program, only the union count's bucket does). The
+        default (1, 5, 9) warms buckets 4/8/16, so ANY click count from
+        1 to 16 hits an already-compiled program; prompts in an un-warmed
+        bucket pay one compile on first use (then cached persistently).
 
         Service counters are restored and the prefix caches cleared
         afterwards (``_req_counter`` resets, so request numerics match an
@@ -705,8 +719,10 @@ class CwmService:
             lambda: self.predict({'image': img0, 'active': [[0, 0]]}))
         for b in buckets:
             for k in active_counts:
+                # distinct patch coords (duplicates would shrink the
+                # union count below k and warm the wrong bucket)
                 req = {'image': img0,
-                       'active': [[(j + 1) % 4, (j + 2) % 4]
+                       'active': [[j // 4, j % 4]
                                   for j in range(int(k))],
                        'shift': [0, 1], 'num_samples': int(b)}
                 run(f'counterfactual[{self.engine}]', b,
@@ -1141,10 +1157,12 @@ def main():
                          'persistent XLA cache, not on the first users)')
     ap.add_argument('--warmup-buckets', default='1,4,16',
                     help='comma-separated S buckets to warm (--warmup)')
-    ap.add_argument('--warmup-prompt-sizes', default='1,2,3',
+    ap.add_argument('--warmup-prompt-sizes', default='1,5,9',
                     help='comma-separated prompt patch counts to warm '
-                         '(--warmup): each distinct total count of '
-                         'active+passive patches keys its own program')
+                         '(--warmup): programs are keyed by the BUCKETED '
+                         'active+passive union count (fast_vmae.sfx_bucket '
+                         '4/8/16/...), so one size per bucket suffices — '
+                         'the default covers any click count from 1 to 16')
     args = ap.parse_args()
 
     import jax

@@ -253,6 +253,71 @@ def test_injected_prefix_cache_matches_implicit():
                                np.asarray(y_implicit), atol=1e-5)
 
 
+def test_sfx_bucket_values(monkeypatch):
+    """Bucket ladder: 0 stays 0 (suffix-free program), widths round up to
+    the next power-of-two >= 4, capped at n1; CWM_SFX_BUCKET=0 disables."""
+    assert fv.sfx_bucket(0, 64) == 0
+    for w in (1, 2, 3, 4):
+        assert fv.sfx_bucket(w, 64) == 4
+    for w in (5, 8):
+        assert fv.sfx_bucket(w, 64) == 8
+    assert fv.sfx_bucket(9, 64) == 16
+    assert fv.sfx_bucket(33, 64) == 64
+    assert fv.sfx_bucket(33, 40) == 40   # cap: never wider than frame 1
+    monkeypatch.setenv('CWM_SFX_BUCKET', '0')
+    assert fv.sfx_bucket(5, 64) == 5     # exact widths when disabled
+
+
+def test_sfx_bucketing_matches_exact_width(monkeypatch):
+    """Suffix-width bucketing (pad + sentinel key masking + scatter drop)
+    is numerics-neutral: the padded program == the exact-width program."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    x, m, n_vis = _workload(model, n_sfx=5, seed=6)
+    n0 = model.num_patches_per_frame
+    # the default path genuinely pads: bucket 8 > real width 5
+    assert fv.sfx_bucket(n_vis - n0, model.num_patches - n0) == 8
+    y_b = fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
+                                          x, m)
+    monkeypatch.setenv('CWM_SFX_BUCKET', '0')
+    y_e = fv.predict_videos_shared_prefix(model, fp, False, n_vis, True,
+                                          x, m)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=1e-5)
+
+
+def test_sfx_bucketing_ragged_rows(monkeypatch):
+    """Rows with DIFFERENT visible counts share one padded program; each
+    row equals its own exact-width single-sample run (sentinel keys are
+    per-row, so padding one row never perturbs another)."""
+    model = _model()
+    params = jvmae.init_params(model, jax.random.PRNGKey(0))
+    fp = fv.stack_vmae_params(model, params, dtype=jnp.float32)
+    n0 = model.num_patches_per_frame
+    n1 = model.num_patches - n0
+    rng = np.random.RandomState(7)
+    h, w = model.img_size
+    counts = [2, 3, 5]
+    s = len(counts)
+    x0 = rng.rand(1, 3, h, w).astype(np.float32)
+    x1 = x0 + 0.1 * rng.randn(s, 3, h, w).astype(np.float32)
+    x = jnp.asarray(np.concatenate(
+        [np.repeat(x0[:, None], s, 0), x1[:, None]], axis=1))
+    mask = np.ones((s, model.num_patches), dtype=bool)
+    mask[:, :n0] = False
+    for i, c in enumerate(counts):
+        mask[i, n0 + rng.choice(n1, c, replace=False)] = False
+    mask = jnp.asarray(mask)
+
+    y = np.asarray(fv.predict_videos_shared_prefix(
+        model, fp, False, n0 + max(counts), True, x, mask))
+    monkeypatch.setenv('CWM_SFX_BUCKET', '0')
+    for i, c in enumerate(counts):
+        y_i = np.asarray(fv.predict_videos_shared_prefix(
+            model, fp, False, n0 + c, True, x[i:i + 1], mask[i:i + 1]))
+        np.testing.assert_allclose(y[i], y_i[0], atol=1e-5)
+
+
 @pytest.mark.parametrize('use_flash,two_source', [(False, False),
                                                   (True, True)])
 def test_multi_scene_stacked_caches_match_per_scene(use_flash, two_source):
@@ -338,7 +403,8 @@ def test_fused_fast_pipeline_runs_and_pastes_match_exact():
         n_vis, True, 1, True)
     y, f, m = counterfactual_videos_and_flows_fast(
         model, fp, raft, raft_params, x, passive, active, shifts, keys,
-        n_vis, True, 1, True, False)
+        fv.sfx_bucket(n_vis - n0, n - n0), True, 1, True, False,
+        n_vis=n_vis)
     np.testing.assert_array_equal(np.asarray(m), np.asarray(m_ref))
     # identical counterfactual construction: visible pixels pasted equal
     mask1 = np.asarray(m)[:, n0:]

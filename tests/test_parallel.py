@@ -77,6 +77,44 @@ def test_sharded_counterfactuals_match_single_device():
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
 
 
+def test_remat_ladder_matches_full():
+    """apply_remat: 'dots' (save MXU outputs, recompute elementwise) and
+    False (no remat) give the SAME update as full remat — remat is pure
+    recompute scheduling, numerics-neutral up to fp reassociation. Also
+    exercises the bf16-first-moment optimizer (mu_dtype)."""
+    model = _tiny_model()
+    opt = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                total_steps=10)
+    state0 = jtrain.init_train_state(model, opt, jax.random.PRNGKey(0))
+    mask, n_vis = jtrain.make_batch_masks(jax.random.PRNGKey(1), model,
+                                          batch_size=2, mask_ratio=0.5)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 2, 3, 32, 32).astype(np.float32))
+
+    def leaf0(state):
+        return np.asarray(jax.tree_util.tree_leaves(state.params)[0],
+                          np.float32)
+
+    ref_state, ref_m = jtrain.make_train_step(model, opt, n_vis,
+                                              remat=True)(state0, x, mask)
+    for mode in ('dots', False):
+        st, m = jtrain.make_train_step(model, opt, n_vis,
+                                       remat=mode)(state0, x, mask)
+        np.testing.assert_allclose(float(m['loss']),
+                                   float(ref_m['loss']), rtol=1e-5)
+        np.testing.assert_allclose(leaf0(st), leaf0(ref_state), atol=1e-5)
+    with pytest.raises(ValueError, match='remat'):
+        jtrain.make_train_step(model, opt, n_vis, remat='bogus')
+
+    opt_b = jtrain.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                  total_steps=10, mu_dtype=jnp.bfloat16)
+    st_b = jtrain.init_train_state(model, opt_b, jax.random.PRNGKey(0))
+    st_b, m_b = jtrain.make_train_step(model, opt_b, n_vis)(st_b, x, mask)
+    assert np.isfinite(float(m_b['loss']))
+    mu = jax.tree_util.tree_leaves(st_b.opt_state)
+    assert any(getattr(l, 'dtype', None) == jnp.bfloat16 for l in mu)
+
+
 @pytest.mark.slow
 def test_sharded_train_step_runs_and_matches():
     mesh = parallel.make_mesh({'dp': 2, 'tp': 2})
@@ -452,9 +490,11 @@ def test_sharded_fast_counterfactuals_match_single_device():
     keys = jax.random.split(jax.random.PRNGKey(3), b * s).reshape(b, s, 2)
     n_vis = n // 2 + 1
 
+    from counterfactualworldmodels_tpu.models.fast_vmae import sfx_bucket
     y_ref, f_ref, m_ref = counterfactual_videos_and_flows_fast(
         model, fp, raft, raft_params, x, passive, active, shifts, keys,
-        n_vis, True, 1, True, False)
+        sfx_bucket(n_vis - n // 2, n // 2), True, 1, True, False,
+        n_vis=n_vis)
     y_sh, f_sh, m_sh = parallel.sharded_counterfactuals_fast(
         mesh, model, fp, raft, raft_params, x, passive, active, shifts,
         keys, n_vis, True, 1, False)
@@ -496,8 +536,9 @@ def test_sharded_fast_multi_scene_matches_single_device():
          for i in range(s)])
 
     y_ref, f_ref, m_ref = counterfactual_videos_and_flows_fast_multi(
-        model, fp, raft, raft_params, x, passive, active, shifts, n_vis,
-        True, 1, True, False, False, keys, cache)
+        model, fp, raft, raft_params, x, passive, active, shifts,
+        fv.sfx_bucket(n_vis - n // 2, n // 2),
+        True, 1, True, False, False, keys, cache, n_vis=n_vis)
     y_sh, f_sh, m_sh = parallel.sharded_counterfactuals_fast_multi(
         mesh, model, fp, raft, raft_params, x, passive, active, shifts,
         keys, n_vis, True, 1, False, False, prefix_cache=cache)

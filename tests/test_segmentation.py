@@ -342,8 +342,9 @@ def test_fast_multi_scene_matches_per_scene_dispatches():
         cache = fv.make_prefix_cache(model, fp, False, True, x[:, 0])
         y, f, m = counterfactual_videos_and_flows_fast(
             model, fp, raft, rparams, x, jnp.asarray(passive),
-            jnp.asarray(active), shifts, keys, n_vis, True, 2, True,
-            False, False, prefix_cache=cache)
+            jnp.asarray(active), shifts, keys,
+            fv.sfx_bucket(n_vis - n // 2, n // 2), True, 2, True,
+            False, False, prefix_cache=cache, n_vis=n_vis)
         serial.append((y, f, m))
         scenes.append((x, passive[..., 0], active[..., 0], shifts[0],
                        keys[0], cache))
@@ -354,9 +355,10 @@ def test_fast_multi_scene_matches_per_scene_dispatches():
         jnp.concatenate([s[0] for s in scenes]),
         jnp.concatenate([jnp.asarray(s[1]) for s in scenes]),
         jnp.concatenate([jnp.asarray(s[2]) for s in scenes]),
-        jnp.concatenate([s[3] for s in scenes]), n_vis, True, 2, True,
+        jnp.concatenate([s[3] for s in scenes]),
+        fv.sfx_bucket(n_vis - n // 2, n // 2), True, 2, True,
         False, False,
-        jnp.concatenate([s[4] for s in scenes]), stacked)
+        jnp.concatenate([s[4] for s in scenes]), stacked, n_vis=n_vis)
 
     np.testing.assert_array_equal(
         np.asarray(m_m), np.asarray(jnp.concatenate([m for _, _, m in serial])))

@@ -61,8 +61,8 @@ from ..ops import patches as patch_ops
 from ..ops.normalization import imagenet_normalize
 from ..ops.pos_embed import sinusoid_encoding_table
 from .conjoined import ConjoinedVMAE
-from .fast_vmae import (HashLru, _ln, prefix_block_one,
-                        resolve_two_source, suffix_block_one)
+from .fast_vmae import (HashLru, _ln, pad_vis1_idx, prefix_block_one,
+                        resolve_two_source, sfx_bucket, suffix_block_one)
 from .vmae import mask_order
 
 
@@ -180,11 +180,17 @@ def _cross_full(pc, x, src, num_heads: int):
     return x, src, (qk_x[..., d:], v_x)
 
 
-def _cross_suffix(pc, h, src, ckv, num_heads: int):
+def _cross_suffix(pc, h, src, ckv, num_heads: int, suffix_valid=None):
     """Cross block for the per-sample suffix: suffix main tokens read the
     PER-SAMPLE context (exact), and the per-sample context attends over
     the full main key set — cached prefix (k_pre, v_pre) from _cross_full
-    plus the per-sample suffix keys. Returns (h, src) updated."""
+    plus the per-sample suffix keys. Returns (h, src) updated.
+
+    suffix_valid: optional bool [S, N]; False marks suffix-width-bucketing
+    pad rows of ``h`` (fast_vmae.sfx_bucket) — their keys are -inf'd out
+    of the context<-main softmax so pad garbage never reaches the context
+    stream (the main<-context direction needs no mask: pad QUERIES write
+    only their own pad rows, dropped at the decoder scatter)."""
     ca = pc['cross_attention']
     inner, d, scale = _cross_dims(pc, num_heads)
     s, n, _ = h.shape
@@ -220,6 +226,9 @@ def _cross_suffix(pc, h, src, ckv, num_heads: int):
                              preferred_element_type=jnp.float32)
     sim_sfx = jnp.einsum('shmd,shnd->shmn', q_s, qk_x[..., d:],
                          preferred_element_type=jnp.float32)
+    if suffix_valid is not None:
+        sim_sfx = jnp.where(suffix_valid[:, None, None, :], sim_sfx,
+                            -jnp.inf)
     attn_src = jax.nn.softmax(
         jnp.concatenate([sim_pre, sim_sfx], axis=-1), -1)
     n_pre = k_pre.shape[2]
@@ -382,7 +391,8 @@ def encode_conjoined_prefix(model: ConjoinedVMAE, params, x0, x_c,
 
 def predict_frame1_conjoined(model: ConjoinedVMAE, params,
                              cache: ConjoinedPrefixCache, x1n, vis1_idx,
-                             use_flash: bool, two_source: bool):
+                             use_flash: bool, two_source: bool,
+                             key_valid=None):
     """Per-sample pass: encode visible frame-1 tokens against the cached
     prefix, carrying an exact per-sample context stream alongside, then
     decode every frame-1 position.
@@ -390,6 +400,14 @@ def predict_frame1_conjoined(model: ConjoinedVMAE, params,
     x1n: [S, C, H, W] normalized counterfactual frame 1; vis1_idx: int32
     [S, n_sfx] visible patch indices within frame 1. Returns
     [S, N1, out_dim] predictions for ALL frame-1 patches (row-major).
+
+    key_valid: optional bool [S, n_sfx]; False marks suffix-width-
+    bucketing pad slots of vis1_idx (sentinel index n1 —
+    fast_vmae.sfx_bucket / pad_vis1_idx). Pad slots gather safely at 0,
+    their keys are masked out of the main self-attention
+    (suffix_block_one) and the context<-main cross direction
+    (_cross_suffix), and their rows drop at the decoder scatter —
+    bucketing is numerics-neutral.
     """
     m, c = model.main, model.context
     n0 = m.num_patches // m.num_frames
@@ -399,13 +417,15 @@ def predict_frame1_conjoined(model: ConjoinedVMAE, params,
     dtype = enc['patch_embed']['proj']['kernel'].dtype
     s = x1n.shape[0]
 
+    idx_safe = (vis1_idx if key_valid is None
+                else jnp.where(key_valid, vis1_idx, 0))
     p1 = patch_ops.patchify(x1n[:, :, None], (m.tubelet_size,) + m.patch_size,
                             temporal_dim=2, squeeze_channel_dim=True)
-    p1v = jnp.take_along_axis(p1, vis1_idx[..., None], axis=1)
+    p1v = jnp.take_along_axis(p1, idx_safe[..., None], axis=1)
     h = _dense_b(enc['patch_embed']['proj'], p1v.astype(dtype))
     pos_enc = sinusoid_encoding_table(
         m.num_patches, m.encoder_embed_dim)[0].astype(dtype)
-    h = h + jnp.take(pos_enc, n0 + vis1_idx, axis=0)
+    h = h + jnp.take(pos_enc, n0 + idx_safe, axis=0)
     ctx = jnp.broadcast_to(cache.ctx_tokens,
                            (s,) + cache.ctx_tokens.shape[1:])
 
@@ -423,16 +443,19 @@ def predict_frame1_conjoined(model: ConjoinedVMAE, params,
     for idx, (pi, pj) in enumerate(enc_pairs):
         while i < pi:
             h = _block_suffix_one(enc[f'blocks_{i}'], cache.enc_kvs[i], h,
-                                  m.encoder_num_heads, False, False)
+                                  m.encoder_num_heads, False, False,
+                                  key_valid=key_valid)
             i += 1
         while j < pj:
             ctx = ctx_block(ce[f'blocks_{j}'], ctx)
             j += 1
         h, ctx = _cross_suffix(params[f'encoder_cross_blocks_{idx}'], h, ctx,
-                               cache.enc_cross_kv[idx], model.cross_num_heads)
+                               cache.enc_cross_kv[idx], model.cross_num_heads,
+                               suffix_valid=key_valid)
     for k in range(i, m.encoder_depth):
         h = _block_suffix_one(enc[f'blocks_{k}'], cache.enc_kvs[k], h,
-                              m.encoder_num_heads, False, False)
+                              m.encoder_num_heads, False, False,
+                              key_valid=key_valid)
     for k in range(j, c.encoder_depth):
         ctx = ctx_block(ce[f'blocks_{k}'], ctx)
     h = _ln(h, enc['norm'])
@@ -446,8 +469,10 @@ def predict_frame1_conjoined(model: ConjoinedVMAE, params,
         m.num_patches, m.decoder_embed_dim)[0].astype(dtype)
     mt = params['main_mask_token'].astype(dtype)
     base = jnp.broadcast_to(mt + pos_dec[n0:], (s, n1, pos_dec.shape[-1]))
-    vals = zs + jnp.take(pos_dec, n0 + vis1_idx, axis=0)
-    z1 = jax.vmap(lambda b, ii, v: b.at[ii].set(v))(base, vis1_idx, vals)
+    vals = zs + jnp.take(pos_dec, n0 + idx_safe, axis=0)
+    # pad rows carry the sentinel index n1 = out of bounds -> dropped
+    z1 = jax.vmap(lambda b, ii, v: b.at[ii].set(v, mode='drop'))(
+        base, vis1_idx, vals)
     if m.padded and m.max_padding_tokens:
         nulls = (mt + params['main_null_dec'].astype(dtype))
         z1 = jnp.concatenate(
@@ -531,27 +556,30 @@ def predict_videos_conjoined_prefix(wrapper, params, x_mocos, mask_mocos,
             'tokens masked, which this engine does not implement (it '
             'conditions on the FULL context) — use the exact path for '
             'masked-context prompts')
+    if n_vis < n0:
+        raise ValueError(
+            f'n_vis={n_vis} < frame-0 patches={n0}: the conjoined '
+            'shared-prefix engine requires frame 0 fully visible (prompts '
+            'masking frame 0 must use the exact path)')
     return _conjoined_videos_core(
         wrapper, params, x_mocos, mask_mocos, x_context, mask_context,
-        n_vis, normalize, use_flash,
+        sfx_bucket(n_vis - n0, m.num_patches - n0), normalize, use_flash,
         resolve_two_source(use_flash, two_source), cache)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9))
 def _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos, x_context,
-                           mask_context, n_vis: int, normalize: bool,
+                           mask_context, n_sfx_pad: int, normalize: bool,
                            use_flash: bool, two_source: bool,
                            cache: Optional[ConjoinedPrefixCache] = None):
+    """n_sfx_pad: STATIC bucketed suffix width (fast_vmae.sfx_bucket) —
+    the prompt-size part of the program key; real per-sample visible
+    counts come from the mask (traced), each must be <= n_sfx_pad."""
     model = wrapper.model
     m = model.main
     s, t, ch, hh, ww = x_mocos.shape
     n0 = m.num_patches // m.num_frames
-    n_sfx = n_vis - n0
-    if n_sfx < 0:
-        raise ValueError(
-            f'n_vis={n_vis} < frame-0 patches={n0}: the conjoined '
-            'shared-prefix engine requires frame 0 fully visible (prompts '
-            'masking frame 0 must use the exact path)')
+    n1 = m.num_patches - n0
 
     xm = imagenet_normalize(x_mocos, temporal_dim=1) if normalize else x_mocos
     (x_m, mask_m), (x_c, mask_c) = wrapper.get_stream_inputs(
@@ -563,9 +591,12 @@ def _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos, x_context,
                                         use_flash)
 
     mask1 = mask_m[:, n0:]
-    vis1_idx = mask_order(mask1)[:, :n_sfx]
+    # pad slots carry the sentinel index mask1.shape[-1] (out of bounds
+    # for the [S, n1] scatter); key_valid masks them out of attention
+    vis1_idx = pad_vis1_idx(mask1, n_sfx_pad)
     y1 = predict_frame1_conjoined(model, params, cache, x_m[:, :, 1],
-                                  vis1_idx, use_flash, two_source)
+                                  vis1_idx, use_flash, two_source,
+                                  key_valid=vis1_idx < mask1.shape[-1])
 
     raw1 = patch_ops.patchify(x_mocos[:, 1:2],
                               (m.tubelet_size,) + m.patch_size,

@@ -397,6 +397,69 @@ def test_fidelity_vs_exact_conjoined():
                                np.asarray(y_exact[:, 0]), atol=1e-6)
 
 
+def test_conjoined_sfx_bucketing_matches_exact_width(monkeypatch):
+    """Suffix-width bucketing in the conjoined engine (pad + sentinel
+    masking in main self-attention AND the context<-main cross direction,
+    scatter drop) is numerics-neutral: padded program == exact-width."""
+    rng = np.random.RandomState(6)
+    model, params, w = _tiny()
+    x_mocos, mask, imu, vis1, n_vis = _workload(rng, k=5)  # bucket 8 > 5
+    mask_c = jnp.zeros((1, IMU_TOK), bool)
+    y_b = fc.predict_videos_conjoined_prefix(
+        w, params, x_mocos, mask, imu, mask_c, n_vis, True, False)
+    monkeypatch.setenv('CWM_SFX_BUCKET', '0')
+    y_e = fc.predict_videos_conjoined_prefix(
+        w, params, x_mocos, mask, imu, mask_c, n_vis, True, False)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_e), atol=1e-5)
+
+
+def test_conjoined_sfx_bucketing_ragged_rows(monkeypatch):
+    """Rows with DIFFERENT visible counts share one padded conjoined
+    program; each row equals its own exact-width single-sample run —
+    in particular the per-sample context stream (which attends the
+    suffix keys) must not read any pad key."""
+    rng = np.random.RandomState(7)
+    model, params, w = _tiny()
+    counts = [2, 3, 5]
+    s = len(counts)
+    x_mocos, mask, imu, _, _ = _workload(rng, s=s, k=5)
+    mask = np.array(mask)   # writable copy
+    mask[:, N0:] = True
+    for i, c in enumerate(counts):
+        mask[i, N0 + rng.choice(N - N0, c, replace=False)] = False
+    mask = jnp.asarray(mask)
+    mask_c = jnp.zeros((1, IMU_TOK), bool)
+
+    y = np.asarray(fc.predict_videos_conjoined_prefix(
+        w, params, x_mocos, mask, imu, mask_c, N0 + max(counts), True,
+        False))
+    monkeypatch.setenv('CWM_SFX_BUCKET', '0')
+    for i, c in enumerate(counts):
+        y_i = np.asarray(fc.predict_videos_conjoined_prefix(
+            w, params, x_mocos[i:i + 1], mask[i:i + 1], imu, mask_c,
+            N0 + c, True, False))
+        np.testing.assert_allclose(y[i], y_i[0], atol=1e-5)
+
+
+def test_conjoined_zero_suffix_factual():
+    """A factual prompt with frame 1 fully masked (n_vis == n0, the
+    reference's default predict workload) runs the suffix-free program
+    without crashing — the r04 zero-suffix bug class, conjoined side."""
+    rng = np.random.RandomState(8)
+    model, params, w = _tiny()
+    x_mocos, _, imu, _, _ = _workload(rng, s=2)
+    mask = np.ones((2, N), bool)
+    mask[:, :N0] = False
+    mask_c = jnp.zeros((1, IMU_TOK), bool)
+    y = fc.predict_videos_conjoined_prefix(
+        w, params, x_mocos, jnp.asarray(mask), imu, mask_c, N0, True,
+        False)
+    y = np.asarray(y)
+    assert np.isfinite(y).all()
+    np.testing.assert_allclose(y[:, 0], np.asarray(x_mocos[:, 0]),
+                               atol=1e-6)
+
+
 def test_prefix_cache_injection_and_lru():
     rng = np.random.RandomState(5)
     model, params, w = _tiny()

@@ -551,8 +551,8 @@ def test_serve_imu_warmup():
     svc = serve.ImuCwmService(serve.build_imu_generator(args), 32,
                               engine='fast', batch_window_ms=5, seed=0,
                               max_scene_batch=4)
-    # pin active_counts: each (S bucket, prompt-patch count) pair keys its
-    # own program, so the default (1, 2, 3) would warm 2x3 = 6 dispatches
+    # pin active_counts: warmup runs one dispatch per (S bucket,
+    # prompt-size) pair, so the default (1, 5, 9) would run 2x3 = 6
     warmed = svc.warmup(buckets=(1, 2), active_counts=(1,), log=None)
     routes = [r for (r, _, _) in warmed]
     assert routes.count('counterfactual[fast]') == 2

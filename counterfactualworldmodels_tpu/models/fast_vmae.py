@@ -216,19 +216,26 @@ def sfx_bucket(n_sfx: int, n1: int) -> int:
     attention and drops at the scatter, so bucketing is numerics-neutral
     (tests/test_fast_vmae.py::test_sfx_bucketing_*).
 
-    Buckets are 4, 8, 16, ... (powers of two), capped at n1; width 0 (a
-    factual prompt with frame 1 fully masked) stays 0 — it has its own
-    suffix-free program. CWM_SFX_BUCKET=0 disables bucketing (exact
-    widths, one program per width).
+    Buckets are 4, 8, 16 in the interactive-click regime, then widen
+    with midpoints (24, 32, 40, 48, 64, 96, ...) so the pad overhead
+    stays <=~40% of the real width — in particular the reference's
+    canonical 32-passive + 1-active probe prompt (width 33,
+    cwm/models/segmentation.py:346-432) pads to 40, not 64 (a pure
+    power-of-two ladder measured ~7% off the exact-numerics rung's
+    throughput via the doubled encoder-suffix width). Capped at n1;
+    width 0 (a factual prompt with frame 1 fully masked) stays 0 — it
+    has its own suffix-free program. CWM_SFX_BUCKET=0 disables
+    bucketing (exact widths, one program per width).
     """
     if n_sfx <= 0:
         return 0
     if os.environ.get('CWM_SFX_BUCKET', '1') == '0':
         return n_sfx
-    b = 4
-    while b < n_sfx:
-        b *= 2
-    return min(b, n1)
+    for b in (4, 8, 16, 24, 32, 40, 48, 64, 96, 128, 192, 256, 384, 512,
+              768, 1024, 1536, 2048, 3072, 4096):
+        if b >= n_sfx or b >= n1:
+            return min(b, n1)
+    return n1
 
 
 def pad_vis1_idx(mask1, n_sfx_pad: int):

@@ -4,6 +4,10 @@
 # Each step has its own timeout and failures don't stop later steps.
 cd /root/repo
 
+echo "=== 0. headline bench ==="
+timeout 9000 python bench.py > /tmp/bench_r05.log 2>&1
+grep -E '^\{' /tmp/bench_r05.log | tail -1 | tee BENCH_r05_local.json
+
 echo "=== 1. hardware kernel-parity pytest pass ==="
 CWM_TEST_TPU=1 timeout 5400 python -m pytest \
     tests/test_flash_attention.py tests/test_raft.py \
@@ -58,9 +62,5 @@ echo "=== 6. conjoined bench ==="
 timeout 5400 python scripts/bench_conjoined.py \
     --out BENCH_CONJOINED_r05.json > /tmp/conj_r05.log 2>&1
 grep -E '^\{' /tmp/conj_r05.log | tail -1 | head -c 400; echo
-
-echo "=== 7. headline bench ==="
-timeout 9000 python bench.py > /tmp/bench_r05.log 2>&1
-grep -E '^\{' /tmp/bench_r05.log | tail -1 | tee BENCH_r05_local.json
 
 echo "=== DONE ==="

@@ -254,18 +254,22 @@ def test_injected_prefix_cache_matches_implicit():
 
 
 def test_sfx_bucket_values(monkeypatch):
-    """Bucket ladder: 0 stays 0 (suffix-free program), widths round up to
-    the next power-of-two >= 4, capped at n1; CWM_SFX_BUCKET=0 disables."""
+    """Bucket ladder: 0 stays 0 (suffix-free program); 4/8/16 in the
+    click regime, midpoint steps above (pad overhead bounded); capped at
+    n1; CWM_SFX_BUCKET=0 disables."""
     assert fv.sfx_bucket(0, 64) == 0
     for w in (1, 2, 3, 4):
         assert fv.sfx_bucket(w, 64) == 4
     for w in (5, 8):
         assert fv.sfx_bucket(w, 64) == 8
     assert fv.sfx_bucket(9, 64) == 16
-    assert fv.sfx_bucket(33, 64) == 64
-    assert fv.sfx_bucket(33, 40) == 40   # cap: never wider than frame 1
+    assert fv.sfx_bucket(17, 64) == 24
+    assert fv.sfx_bucket(33, 3136) == 40  # the canonical probe prompt
+    assert fv.sfx_bucket(50, 3136) == 64
+    assert fv.sfx_bucket(33, 36) == 36    # cap: never wider than frame 1
+    assert fv.sfx_bucket(5000, 6000) == 6000
     monkeypatch.setenv('CWM_SFX_BUCKET', '0')
-    assert fv.sfx_bucket(5, 64) == 5     # exact widths when disabled
+    assert fv.sfx_bucket(5, 64) == 5      # exact widths when disabled
 
 
 def test_sfx_bucketing_matches_exact_width(monkeypatch):

@@ -506,8 +506,9 @@ def test_serve_warmup():
     warmed = svc.warmup(buckets=(1, 2), active_counts=(1, 2), log=None)
     routes = [r for (r, _, _) in warmed]
     assert routes.count('predict') == 1
-    # buckets (1, 2) x prompt-patch counts (1, 2): each distinct
-    # active+passive union count keys its own program
+    # buckets (1, 2) x prompt-patch counts (1, 2): one warmup dispatch per
+    # pair (sizes 1 and 2 share the width-4 bucketed program — the second
+    # dispatch is a compile-cache hit, but warmup still runs it)
     assert routes.count('counterfactual[fast]') == 4
     assert routes.count('mixed-scene') == 1              # scene bucket 2
     assert all(dt >= 0 for (_, _, dt) in warmed)

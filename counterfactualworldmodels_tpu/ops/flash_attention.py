@@ -136,6 +136,26 @@ def _score_tile_cap(nk_resident: int, block_q: int, d: int,
     return max(0, min(_SCORE_TILE_BYTES, free // 2))
 
 
+def _wide_dtype_vmem_overflow(nk_resident: int, d: int,
+                              itemsize: int) -> bool:
+    """True when this whole-panel-resident kernel cannot fit the dtype.
+
+    Mosaic double-buffers the K/V panel windows, so the real scoped-VMEM
+    floor is ~2x the single-copy panel bytes plus score/softmax
+    temporaries. The bf16 production shapes (up to 6336 resident keys,
+    ~6.5 MiB double-buffered panels) compile and run on v5e; the same
+    panel WIDTH in f32 was measured OOM (23.87 MiB scoped vs the 16 MiB
+    limit — ViT-L decoder 6272x6272 f32, fidelity_report decomposition
+    leg, r05). Wide dtypes therefore get this conservative gate and the
+    entry points fall back to the chunked dense reference (same math);
+    bf16 block selection is untouched (measured-good)."""
+    if itemsize < 4:
+        return False
+    d_lanes = -(-d // 128) * 128
+    panels2 = 2 * 2 * nk_resident * d_lanes * itemsize  # K+V, 2x buffered
+    return panels2 + 6 * 1024 * 1024 > 15 * 1024 * 1024
+
+
 def _pick_blocks(n: int, nk: int, d: int = 64, force_block_q: int = None,
                  nk_resident: int = None, itemsize: int = 2):
     """Choose (block_q, block_k): q block and key CHUNK size.
@@ -318,20 +338,28 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool,
     return out[:, :n]
 
 
-def _chunked_dense_attention(q, k, v):
+def _chunked_dense_attention(q, k, v, bias=None):
     """Differentiable reference attention, scanned over query chunks with
     per-chunk rematerialization — O(chunk * Nk) live score memory in both
     passes instead of O(Nq * Nk). Numerics match the dense path (f32
     logits/softmax); used as the backward rule for the Pallas forward
-    (which defines no VJP of its own)."""
+    (which defines no VJP of its own) and as the wide-dtype fallback of
+    the entry points (_wide_dtype_vmem_overflow).
+
+    bias: optional [Nk] f32 per-key logit bias (the dense image of the
+    kernel's per-panel key-multiplicity weights: +ln(weight))."""
     b, h, n, d = q.shape
+
+    def scores(qc):
+        s = jnp.einsum('bhqd,bhkd->bhqk', qc, k,
+                       preferred_element_type=jnp.float32)
+        return s if bias is None else s + bias
+
     # bound the live f32 score tile to ~128 MB
     per_row = b * h * k.shape[2] * 4
     chunk = max(64, min(1024, int(2 ** 27 // max(per_row, 1) // 64 * 64)))
     if n <= chunk:
-        attn = jnp.einsum('bhqd,bhkd->bhqk', q, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        attn = jax.nn.softmax(scores(q), axis=-1).astype(v.dtype)
         return jnp.einsum('bhqk,bhkd->bhqd', attn, v,
                           preferred_element_type=jnp.float32).astype(q.dtype)
     nc = -(-n // chunk)
@@ -339,9 +367,7 @@ def _chunked_dense_attention(q, k, v):
     qs = jnp.moveaxis(qp.reshape(b, h, nc, chunk, d), 2, 0)
 
     def body(_, qc):
-        s = jnp.einsum('bhqd,bhkd->bhqk', qc, k,
-                       preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        p = jax.nn.softmax(scores(qc), axis=-1).astype(v.dtype)
         o = jnp.einsum('bhqk,bhkd->bhqd', p, v,
                        preferred_element_type=jnp.float32).astype(q.dtype)
         return None, o
@@ -401,6 +427,11 @@ def flash_attention(q, k, v, block_q: int = None, block_k: int = None,
         interpret = jax.default_backend() != 'tpu'
     b, h, n, d = q.shape
     nk = k.shape[2]
+    if not interpret and _wide_dtype_vmem_overflow(nk, d,
+                                                   q.dtype.itemsize):
+        # f32 panels this wide blow the scoped-VMEM limit; same math,
+        # bounded memory, still differentiable
+        return _chunked_dense_attention(q, k, v)
     if block_q is None or block_k is None:
         auto_q, auto_k = _pick_blocks(n, nk, d, itemsize=q.dtype.itemsize)
         block_q = block_q or auto_q
@@ -423,6 +454,26 @@ def _flash2_kernel(q_ref, k0_ref, v0_ref, k1_ref, v1_ref, o_ref, *,
     m, l, acc = _panel_partials(q, k1_ref, v1_ref, block_k1, n1_valid,
                                 state, score_dtype, weight=suffix_weight)
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _dense_two_source(q, k0, v0, k1, v1, w0: float, w1: float):
+    """Chunked dense image of _flash2_kernel's two-source softmax: the
+    per-panel key-multiplicity weights become +ln(w) logit biases over
+    the concatenated panels. Wide-dtype fallback (the two-source kernel
+    keeps both panels resident; see _wide_dtype_vmem_overflow)."""
+    import math
+    s = q.shape[0]
+    if k0.shape[0] == 1 and s > 1:
+        k0 = jnp.broadcast_to(k0, (s,) + k0.shape[1:])
+        v0 = jnp.broadcast_to(v0, (s,) + v0.shape[1:])
+    k = jnp.concatenate([k0, k1], 2)
+    v = jnp.concatenate([v0, v1], 2)
+    bias = None
+    if w0 != 1.0 or w1 != 1.0:
+        bias = jnp.concatenate([
+            jnp.full((k0.shape[2],), math.log(w0), jnp.float32),
+            jnp.full((k1.shape[2],), math.log(w1), jnp.float32)])
+    return _chunked_dense_attention(q, k, v, bias)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'block_q',
@@ -474,6 +525,12 @@ def flash_attention_prefix(q, k0, v0, k1, v1,
         raise ValueError(
             f'flash_attention_prefix: empty panel (N0={n0}, N1={n1}); '
             'use flash_attention for single-source attention')
+
+    if not interpret and _wide_dtype_vmem_overflow(n0 + n1, d,
+                                                   q.dtype.itemsize):
+        return _dense_two_source(q, k0, v0, k1, v1,
+                                 float(prefix_weight),
+                                 float(suffix_weight))
 
     item = q.dtype.itemsize
     tuned2 = _tuned_2src(nq, n0, n1, d, item)

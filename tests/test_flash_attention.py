@@ -248,3 +248,51 @@ def test_flash_attention_gradient_matches_dense():
     for a, b in zip(g_flash(q, k, v), g_dense(q, k, v)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-3)
+
+
+def test_wide_dtype_fallback_routes_to_dense():
+    """f32 panels wide enough to blow scoped VMEM must route to the
+    chunked dense fallback BEFORE touching Pallas — so the entry points
+    work with interpret=False even off-TPU (the r05 fidelity f32
+    decomposition leg OOM'd in Mosaic: 23.87 MiB scoped vs 16 MiB)."""
+    import jax
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention, flash_attention_prefix, _dense_two_source,
+        _wide_dtype_vmem_overflow)
+    # gate: f32 at the measured-OOM width trips, bf16 production never
+    assert _wide_dtype_vmem_overflow(6272, 64, 4)
+    assert not _wide_dtype_vmem_overflow(6336, 64, 2)
+    assert not _wide_dtype_vmem_overflow(512, 64, 4)
+
+    rng = np.random.RandomState(11)
+    b, h, d = 1, 2, 64
+    nk = 8192  # > gate threshold for itemsize 4
+    q = jnp.asarray(rng.randn(b, h, 16, d).astype(np.float32)) * 0.2
+    k = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32)) * 0.2
+    v = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32))
+
+    def dense(q, k, v):
+        s = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+        p = jax.nn.softmax(s, -1)
+        return jnp.einsum('bhqk,bhkd->bhqd', p, v)
+
+    # interpret=False off-TPU would die in Pallas lowering if the gate
+    # did not reroute; rerouting means this returns fine and matches
+    out = np.asarray(flash_attention(q, k, v, interpret=False))
+    np.testing.assert_allclose(out, np.asarray(dense(q, k, v)),
+                               atol=2e-5, rtol=1e-5)
+
+    # two-source: weighted panels -> +ln(w) bias dense image
+    n0, n1 = 4096, 4608
+    k0 = k[:, :, :n0]; v0 = v[:, :, :n0]
+    k1 = k[:, :, n0:n0 + n1] * 0.5; v1 = v[:, :, n0:n0 + n1]
+    out2 = np.asarray(flash_attention_prefix(
+        q, k0, v0, k1, v1, interpret=False,
+        prefix_weight=2.0, suffix_weight=1.0))
+    ref2 = np.asarray(_dense_two_source(q, k0, v0, k1, v1, 2.0, 1.0))
+    np.testing.assert_allclose(out2, ref2, atol=2e-5, rtol=1e-5)
+    # and the dense image itself against explicit key replication
+    kf = jnp.concatenate([k0, k0, k1], 2)
+    vf = jnp.concatenate([v0, v0, v1], 2)
+    np.testing.assert_allclose(out2, np.asarray(dense(q, kf, vf)),
+                               atol=2e-5, rtol=1e-5)

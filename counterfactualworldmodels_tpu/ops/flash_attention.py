@@ -338,6 +338,213 @@ def _flash_bhnd(q, k, v, block_q: int, block_k: int, interpret: bool,
     return out[:, :n]
 
 
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      block_k: int, n_valid: int, score_dtype):
+    """Forward kernel that also writes the per-row softmax logsumexp
+    (m + ln l) — the residual the Pallas backward needs to rebuild the
+    probabilities without re-running the online softmax."""
+    m, l, acc = _panel_partials(q_ref[0], k_ref, v_ref, block_k, n_valid,
+                                (None, None, None), score_dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+@functools.partial(jax.jit, static_argnames=('block_q', 'block_k',
+                                             'interpret', 'score_dtype'))
+def _flash_bhnd_lse(q, k, v, block_q: int, block_k: int, interpret: bool,
+                    score_dtype: str = 'float32'):
+    """_flash_bhnd variant returning (out, lse[bh, n] f32). Used only on
+    the training forward (custom_vjp fwd rule); the lse write adds n
+    floats per (batch, head) — noise next to the attention matmuls."""
+    bh, n, d = q.shape
+    nk = k.shape[1]
+    n_pad_q = -(-n // block_q) * block_q
+    n_pad_k = -(-nk // block_k) * block_k
+    _vmem_budget_check(n_pad_k, block_q, block_k, d, q.dtype.itemsize,
+                       interpret, 'flash_attention(lse)')
+    qp = jnp.pad(q, ((0, 0), (0, n_pad_q - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, n_pad_k - nk), (0, 0)))
+    grid = (bh, n_pad_q // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_lse, block_k=block_k, n_valid=nk,
+                          score_dtype=jnp.dtype(score_dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad_k, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad_q, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad_q, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * n_pad_q * n_pad_k * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * n_pad_q * n_pad_k),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n], lse[:, :n, 0]
+
+
+def _flash_bwd_kernel(q_ref, do_ref, l_ref, dd_ref, k_ref, v_ref,
+                      dq_ref, dk_ref, dv_ref, *, chunk_q: int):
+    """Fused flash backward, one program per (batch*head, key block).
+
+    Scores are rebuilt TRANSPOSED ([block_k, chunk_q]) so the per-QUERY
+    statistics (lse L, delta D = rowsum(dO*O)) broadcast along the lane
+    dimension — L and D arrive pre-reshaped to [1, n_chunks, chunk_q] and
+    are sliced on sublanes (lane slices at non-128 offsets would force a
+    relayout). Per key block: dv += P^T dO', dS^T = P^T * (V dO^T - D),
+    dk += dS^T Q, and the dq panel (same output block for every key step
+    of a (batch, head) — the sequential-grid revisiting accumulation
+    idiom) gains dS K per query chunk. 5 MXU matmuls per (q, k) tile pair
+    = 10*Nq*Nk*D backward FLOPs, no score tensor ever in HBM.
+
+    Padded queries contribute exactly zero to dk/dv/dq (dO, L, D are
+    zero-padded: P^T column = exp(0-0) = 1 but every product term is 0);
+    padded keys produce garbage dk/dv rows that the host slices off, and
+    their dq contribution is dS^T^T @ 0 = 0. No masking needed anywhere.
+    """
+    first = pl.program_id(1) == 0
+    kb = k_ref[0]                       # [bk, d]
+    vb = v_ref[0]
+    nq_pad = q_ref.shape[1]
+    dk_acc = None
+    dv_acc = None
+    for i in range(nq_pad // chunk_q):
+        sl = slice(i * chunk_q, (i + 1) * chunk_q)
+        qc = q_ref[0, sl]               # [cq, d]
+        doc = do_ref[0, sl]
+        lc = l_ref[0, i:i + 1, :]       # [1, cq] f32, lanes = queries
+        dc = dd_ref[0, i:i + 1, :]
+        s_t = jax.lax.dot_general(kb, qc, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p_t = jnp.exp2(s_t * _LOG2E - lc * _LOG2E)      # [bk, cq]
+        dv_c = jax.lax.dot_general(p_t.astype(doc.dtype), doc,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(vb, doc, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        ds_t = (p_t * (dp_t - dc)).astype(qc.dtype)     # [bk, cq]
+        dk_c = jax.lax.dot_general(ds_t, qc, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dq_c = jax.lax.dot_general(ds_t, kb, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            dq_ref[0, sl] = dq_c
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dq_ref[0, sl] = dq_ref[0, sl] + dq_c
+
+        dk_acc = dk_c if dk_acc is None else dk_acc + dk_c
+        dv_acc = dv_c if dv_acc is None else dv_acc + dv_c
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _divisor_block(n16: int, cap: int) -> int:
+    """Largest 16-multiple <= cap that divides n16 (itself a multiple of
+    16); falls back to cap (the caller pads) when none >= 128 exists."""
+    top = min(cap, n16)
+    for cand in range(top - top % 16, 127, -16):
+        if n16 % cand == 0:
+            return cand
+    return top - top % 16 or 16
+
+
+def _pick_bwd_blocks(n: int, nk: int, d: int, itemsize: int):
+    """(chunk_q, block_k) for the fused backward, or None when the
+    resident set (q/dO panels + f32 dq panel) cannot fit VMEM — the
+    caller then falls back to the chunked dense vjp."""
+    d_lanes = -(-d // 128) * 128
+    n16 = -(-n // 16) * 16
+    nk16 = -(-nk // 16) * 16
+    panels = n16 * d_lanes * (2 * itemsize + 4)       # q + dO + f32 dq
+    if panels > 9 * 1024 * 1024:
+        return None
+    for cap_k in (512, 256, 128):
+        bk = _divisor_block(nk16, cap_k)
+        for cap_q in (512, 256, 128):
+            cq = _divisor_block(n16, cap_q)
+            tiles = 3 * bk * cq * 4                   # s/p, dp, ds tiles
+            blocks = 4 * bk * d_lanes * 4             # k, v, dk, dv
+            if panels + tiles + blocks < 12 * 1024 * 1024:
+                return cq, bk
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=('chunk_q', 'block_k',
+                                             'interpret'))
+def _flash_bwd_bhnd(q, k, v, do, lse, delta, chunk_q: int, block_k: int,
+                    interpret: bool):
+    """Dispatch the fused backward kernel. q/k/v/do [bh, n(, k), d];
+    lse/delta [bh, n] f32 (delta = rowsum(dO * O)). Returns (dq, dk, dv)
+    in q.dtype."""
+    bh, n, d = q.shape
+    nk = k.shape[1]
+    n_pad = -(-n // chunk_q) * chunk_q
+    nk_pad = -(-nk // block_k) * block_k
+    qp = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, n_pad - n), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    nc = n_pad // chunk_q
+    lp = jnp.pad(lse, ((0, 0), (0, n_pad - n))).reshape(bh, nc, chunk_q)
+    dp_ = jnp.pad(delta, ((0, 0), (0, n_pad - n))).reshape(bh, nc, chunk_q)
+    grid = (bh, nk_pad // block_k)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, chunk_q=chunk_q),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, chunk_q), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, chunk_q), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), q.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * n_pad * nk_pad * d,
+            bytes_accessed=3 * (qp.size + kp.size) * qp.dtype.itemsize,
+            transcendentals=bh * n_pad * nk_pad),
+        interpret=interpret,
+    )(qp, dop, lp, dp_, kp, vp)
+    return (dq[:, :n].astype(q.dtype), dk[:, :nk], dv[:, :nk])
+
+
 def _chunked_dense_attention(q, k, v, bias=None):
     """Differentiable reference attention, scanned over query chunks with
     per-chunk rematerialization — O(chunk * Nk) live score memory in both
@@ -388,17 +595,40 @@ def _flash_attention_vjp(q, k, v, block_q, block_k, interpret, score_dtype):
 
 
 def _flash_vjp_fwd(q, k, v, block_q, block_k, interpret, score_dtype):
-    return (_flash_attention_vjp(q, k, v, block_q, block_k, interpret,
-                                 score_dtype), (q, k, v))
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    out, lse = _flash_bhnd_lse(
+        q.reshape(b * h, n, d), k.reshape(b * h, nk, d),
+        v.reshape(b * h, nk, d), block_q, block_k, interpret, score_dtype)
+    out = out.reshape(b, h, n, d)
+    return out, (q, k, v, out, lse.reshape(b, h, n))
 
 
 def _flash_vjp_bwd(block_q, block_k, interpret, score_dtype, res, g):
-    # The Pallas kernel has no derivative; differentiate the chunked dense
-    # reference instead (flash-style cost: ~2 extra fwd passes, bounded
-    # memory). Forward outputs agree with the kernel to its own tolerance.
-    q, k, v = res
-    _, pullback = jax.vjp(_chunked_dense_attention, q, k, v)
-    return pullback(g.astype(q.dtype))
+    """Backward: the fused Pallas kernel (_flash_bwd_kernel — 5 MXU
+    matmuls per tile pair, scores never in HBM) when the resident set
+    fits VMEM; the chunked dense vjp otherwise (same math, bounded
+    memory). CWM_FLASH_BWD forces 'dense' (the pre-r05 path) or 'pallas'
+    (even under interpret — CPU parity tests)."""
+    import os
+    q, k, v, out, lse = res
+    mode = os.environ.get('CWM_FLASH_BWD', 'auto')
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    blocks = _pick_bwd_blocks(n, nk, d, q.dtype.itemsize)
+    use_pallas = (mode != 'dense' and blocks is not None
+                  and (not interpret or mode == 'pallas'))
+    if not use_pallas:
+        _, pullback = jax.vjp(_chunked_dense_attention, q, k, v)
+        return pullback(g.astype(q.dtype))
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), -1)
+    cq, bk = blocks
+    dq, dk, dv = _flash_bwd_bhnd(
+        q.reshape(b * h, n, d), k.reshape(b * h, nk, d),
+        v.reshape(b * h, nk, d), g.astype(q.dtype).reshape(b * h, n, d),
+        lse.reshape(b * h, n), delta.reshape(b * h, n), cq, bk, interpret)
+    return (dq.reshape(b, h, n, d), dk.reshape(b, h, nk, d),
+            dv.reshape(b, h, nk, d))
 
 
 _flash_attention_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -296,3 +296,77 @@ def test_wide_dtype_fallback_routes_to_dense():
     vf = jnp.concatenate([v0, v0, v1], 2)
     np.testing.assert_allclose(out2, np.asarray(dense(q, kf, vf)),
                                atol=2e-5, rtol=1e-5)
+
+
+def _dense_ref(q, k, v):
+    s = jnp.einsum('bhqd,bhkd->bhqk', q, k)
+    return jnp.einsum('bhqk,bhkd->bhqd', jax.nn.softmax(s, -1), v)
+
+
+def test_flash_lse_forward_matches_plain_kernel():
+    """The lse-emitting forward (_flash_bhnd_lse) must return the exact
+    same output as the plain kernel plus the dense logsumexp rows."""
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        _flash_bhnd, _flash_bhnd_lse)
+    rng = np.random.RandomState(3)
+    bh, n, nk, d = 3, 200, 333, 64   # ragged: padding on both axes
+    q = jnp.asarray(rng.randn(bh, n, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(bh, nk, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(bh, nk, d).astype(np.float32))
+    out0 = _flash_bhnd(q, k, v, 64, 128, True)
+    out1, lse = _flash_bhnd_lse(q, k, v, 64, 128, True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               atol=1e-6, rtol=1e-6)
+    s = jnp.einsum('bqd,bkd->bqk', q, k)
+    ref = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_flash_pallas_backward_matches_dense_grads(monkeypatch):
+    """The fused Pallas backward (CWM_FLASH_BWD=pallas, interpret mode on
+    CPU) must reproduce the dense-attention gradients for ragged
+    cross-attention shapes — padding on queries AND keys exercises the
+    no-masking-needed arithmetic in _flash_bwd_kernel's docstring."""
+    monkeypatch.setenv('CWM_FLASH_BWD', 'pallas')
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention, _pick_bwd_blocks)
+    assert _pick_bwd_blocks(200, 333, 64, 4) is not None
+    rng = np.random.RandomState(4)
+    b, h, n, nk, d = 1, 2, 200, 333, 64
+    q = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, h, nk, d).astype(np.float32))
+    co = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * co)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_ref(q, k, v) * co)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip('qkv', g_f, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4, err_msg=name)
+
+
+def test_flash_pallas_backward_self_attention_exact_divisors(monkeypatch):
+    """Self-attention at block-divisible sizes (no padding at all) — the
+    production training shape class (decoder N=6272 = 448*14)."""
+    monkeypatch.setenv('CWM_FLASH_BWD', 'pallas')
+    from counterfactualworldmodels_tpu.ops.flash_attention import (
+        flash_attention)
+    rng = np.random.RandomState(5)
+    b, h, n, d = 1, 2, 256, 64
+    q = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    g_f = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2),
+                   argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(lambda *a: jnp.sum(_dense_ref(*a) ** 2),
+                   argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip('qkv', g_f, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=1e-4, err_msg=name)

@@ -98,8 +98,10 @@ def bench_vmae(steps, model_name, accum_steps: int = 1, remat=True,
         name += f'_remat_{remat}'.replace('False', 'off')
     if mu_dtype is not None:
         name += '_mu_bf16'
+    import os as _os
     return {'family': name, 'batch': batch, 'accum_steps': accum_steps,
             'remat': str(remat),
+            'flash_bwd': _os.environ.get('CWM_FLASH_BWD', 'auto'),
             'sec_per_step': round(dt, 4),
             'clips_per_sec': round(batch / dt, 2),
             'mfu': round(flops / dt / V5E_PEAK_FLOPS, 4)}

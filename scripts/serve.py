@@ -701,6 +701,8 @@ class CwmService:
         warmed = []
 
         def run(route, batch, fn):
+            if log:
+                log(f'warmup {route} batch={batch}: compiling...')
             t0 = time.perf_counter()
             try:
                 fn()

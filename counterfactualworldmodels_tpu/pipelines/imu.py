@@ -613,6 +613,15 @@ class ImuConditionedFlowGenerator(FlowGenerator):
             x.shape[0] == 1 and fix_passive and frame0_clear)
 
 
+def _imu_sfx_pad(wrapper, n_vis: int) -> int:
+    """Static bucketed suffix width for the conjoined engine
+    (fast_vmae.sfx_bucket over the frame-1 visible count)."""
+    from ..models.fast_vmae import sfx_bucket
+    m = wrapper.model.main
+    n0 = m.num_patches // m.num_frames
+    return sfx_bucket(n_vis - n0, m.num_patches - n0)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 11, 12, 13, 14, 15))
 def _imu_counterfactual_step_fast(wrapper, params, raft_model, raft_params,
                                   x, passive, active, shifts, keys,
@@ -643,9 +652,15 @@ def _imu_counterfactual_step_fast(wrapper, params, raft_model, raft_params,
     f = jax.vmap(one, in_axes=(None, 1, 1, 0, 0))
     x_mocos, mask_mocos = f(x[0], passive[0], active[0], shifts[0], keys[0])
 
+    # _conjoined_videos_core takes the STATIC bucketed suffix width, not
+    # the raw visible-token target (fcc13e2 moved bucketing out of the
+    # core; passing n_vis raw overflows pad_vis1_idx whenever
+    # n_vis > frame-1 patches — i.e. on every frame-0-visible prompt)
+    n_sfx_pad = _imu_sfx_pad(wrapper, n_vis)
     y = _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos,
-                               x_context, mask_context, n_vis, normalize,
-                               use_flash, two_source, prefix_cache)
+                               x_context, mask_context, n_sfx_pad,
+                               normalize, use_flash, two_source,
+                               prefix_cache)
     flows = apply_raft_shared0(raft_model, raft_params, y, raft_iters, True)
     return y, flows, mask_mocos
 
@@ -678,7 +693,8 @@ def _imu_counterfactual_multi_step_fast(wrapper, params, raft_model,
     x_mocos, mask_mocos = jax.vmap(one)(x, passive, active, shifts, keys)
 
     y = _conjoined_videos_core(wrapper, params, x_mocos, mask_mocos,
-                               x_context, mask_context, n_vis, normalize,
+                               x_context, mask_context,
+                               _imu_sfx_pad(wrapper, n_vis), normalize,
                                use_flash, two_source, prefix_cache)
     flows = apply_raft_video(raft_model, raft_params, y, iters=raft_iters,
                              scale_inputs=True)
